@@ -1,0 +1,109 @@
+"""Sources: parquet/CSV/JSON readers plus ingest-order row-id minting.
+
+The reference's data model is "a CSV addressed by URL, loaded whole into
+pandas, with the integer file position as row identity" (reference
+test.py:170, test.py:221 — see SURVEY.md §1.1). At scale the whole-file
+driver load is the 100 TB blocker, so here ingest is a distributed
+``spark.read`` and row identity is minted explicitly at ingest time.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Columnar parquet scan — Catalyst pushes filters/pruning into it.
+
+    ``events.ts`` is written as parquet TIMESTAMP(NANOS), which Spark's
+    vectorized reader rejects. We read nanos as raw int64
+    (``nanosAsLong``) and convert to micro-precision TIMESTAMP_NTZ with
+    integer division — the exact truncation DuckDB applies, so oracle
+    comparisons agree. Integer (not float) division matters: 2024 epoch
+    nanos ≈ 1.7e18 exceeds double's 53-bit integer range.
+    """
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        return df.withColumn(
+            "ts", F.expr("timestamp_micros(ts DIV 1000)").cast("timestamp_ntz")
+        )
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in TABLES}
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | None = None,
+    header: bool = True,
+) -> DataFrame:
+    """CSV source (reference test.py:170 ``pd.read_csv``), distributed.
+
+    Schema-on-read is preserved (inferSchema when none given) but an
+    explicit schema skips the extra inference pass — at 100 TB always pass
+    one. PERMISSIVE mode mirrors pandas' tolerance for ragged rows.
+    """
+    reader = spark.read.option("header", str(header).lower()).option(
+        "mode", "PERMISSIVE"
+    )
+    if schema is not None:
+        reader = reader.schema(schema)
+    else:
+        reader = reader.option("inferSchema", "true")
+    return reader.csv(path)
+
+
+def with_ingest_row_id(df: DataFrame, col_name: str = "_row_id") -> DataFrame:
+    """Mint a contiguous 0-based ingest-order row id.
+
+    Reference parity: the pandas integer index is the reference's row
+    identity and its output-order contract (test.py:103, test.py:221).
+    ``monotonically_increasing_id`` is NOT contiguous, so we use the
+    classic two-pass ``zipWithIndex``: pass 1 counts rows per partition,
+    pass 2 assigns offsets — no global sort, no single-partition funnel,
+    scale-safe. The partition order of a fresh file scan is the file/split
+    order, which is the contract the reference relies on.
+
+    Cost note: this drops to the RDD API (one extra serialization round).
+    Use it only when ingest-order identity is genuinely required (the
+    enrichment pipeline); analytical queries should key on natural columns.
+    """
+    spark = df.sparkSession
+    schema = T.StructType(df.schema.fields + [T.StructField(col_name, T.LongType(), False)])
+    rdd = df.rdd.zipWithIndex().map(lambda pair: tuple(pair[0]) + (pair[1],))
+    return spark.createDataFrame(rdd, schema)
+
+
+def with_order_row_id(
+    df: DataFrame, order_cols: list[str], col_name: str = "_row_id"
+) -> DataFrame:
+    """Deterministic 0-based row id from a natural total order.
+
+    Preferred at scale when the data HAS a natural key (here: every fixture
+    table does): a global ``row_number`` is implemented by Spark as a
+    range-partitioned sort, which distributes, unlike a naive
+    single-partition window.
+    """
+    from pyspark.sql import Window
+
+    w = Window.orderBy(*[F.col(c) for c in order_cols])
+    return df.withColumn(col_name, F.row_number().over(w) - F.lit(1))

@@ -1,0 +1,30 @@
+"""Run every registered query against its DuckDB oracle at sf=0.01 —
+the same gate the driver applies (CORRECTNESS_r{N}.json)."""
+
+from __future__ import annotations
+
+import pytest
+
+from batch_processing_new_spark.registry import all_specs
+from tests.conftest import SF_CORRECT
+from tests.oracle_check import assert_parity
+
+SPECS = all_specs()
+ORACLE_NAMES = [n for n, s in SPECS.items() if s.oracle is not None]
+ROWS_ONLY_NAMES = [n for n, s in SPECS.items() if s.oracle is None]
+
+
+@pytest.mark.parametrize("name", ORACLE_NAMES)
+def test_oracle_parity(spark, duck, name):
+    spec = SPECS[name]
+    sdf = spec.fn(spark, SF_CORRECT)
+    rel = duck.sql(spec.oracle)
+    assert_parity(sdf, rel, name)
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY_NAMES)
+def test_rows_only_runs(spark, name):
+    spec = SPECS[name]
+    sdf = spec.fn(spark, SF_CORRECT)
+    assert sdf.count() >= 0
+    assert len(sdf.schema.fields) > 0
