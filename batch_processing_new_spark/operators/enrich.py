@@ -1,0 +1,253 @@
+"""Per-row LLM enrichment — the reference's core operator, Spark-first.
+
+Reference semantics being reproduced (SURVEY.md §2A, cited to
+/root/reference/test.py):
+
+- prompt construction ``f"{system_prompt}\\n\\nInput: {cell}"`` (test.py:86-87)
+- one chat-completions call per row, response text appended as a new
+  ``Response`` column (test.py:57-74, test.py:186)
+- retry x7 with exponential backoff 1s->64s, per-call timeout, terminal
+  failure degrades to the in-band sentinel ``"Error: Unable to process"``
+  (test.py:66-80) — a row never aborts the job (test.py:105-107)
+- ~200 concurrent in-flight calls via a two-level thread pool
+  (test.py:116,163-165,200)
+
+Spark mapping: ``df.mapInPandas`` — each Arrow batch is processed by an
+asyncio loop with a semaphore-capped client pool, so the concurrency
+topology becomes ``executors x cores x per-task in-flight cap`` instead of
+the reference's fixed 10x20 pools. The enrichment result is a typed struct
+(response, error, attempts, latency_ms) rather than an in-band sentinel;
+``response`` keeps the sentinel-compatible value for parity.
+
+Scale notes:
+- The operator is an optimizer barrier by construction (Python UDF); keep
+  it late in the plan, after filters/limits, so Catalyst prunes first.
+- Spark task retries would re-run whole partitions of paid API calls —
+  callers should run the enrich stage with ``spark.task.maxFailures=1``
+  and speculation off, or make calls idempotent via the dedupe path.
+- ``dedupe_inputs=True`` enriches only DISTINCT input texts and joins
+  results back — the big real-world cost optimization the reference
+  lacks (SURVEY.md §4.2).
+"""
+
+from __future__ import annotations
+
+import asyncio
+import hashlib
+import time
+from collections.abc import Callable, Iterator
+from dataclasses import dataclass, field
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+SENTINEL = "Error: Unable to process"  # exact string, reference test.py:80
+
+RESULT_FIELDS = (
+    "response string, error string, attempts int, latency_ms double"
+)
+
+
+@dataclass
+class EnrichConfig:
+    """Job spec — mirrors the reference's POST body (test.py:148-159)."""
+
+    system_prompt: str = ""
+    model: str = "mock-model"
+    temperature: float = 0.0
+    max_tokens: int = 16
+    # orchestration (reference: 20 row-workers/batch, 7 retries, 1s base
+    # backoff doubling to 64s, 200s timeout — test.py:66-78,116)
+    concurrency: int = 20
+    retries: int = 7
+    base_delay: float = 1.0
+    max_delay: float = 64.0
+    timeout: float = 200.0
+    # transport: "mock" (deterministic, hermetic) or "http" (real API)
+    transport: str = "mock"
+    api_url: str = ""
+    api_key_env: str = "OPENAI_API_KEY"
+    # mock-only: inputs for which the transport terminally fails, to
+    # exercise the sentinel path deterministically in tests
+    mock_fail_inputs: frozenset[str] = field(default_factory=frozenset)
+    # mock-only: simulated per-call latency seconds (0 = as fast as possible)
+    mock_latency: float = 0.0
+    # cost optimization: enrich distinct inputs only, join back
+    dedupe_inputs: bool = False
+
+
+def build_prompt(system_prompt: str, input_text: str) -> str:
+    """Exact prompt shape of the reference (test.py:87)."""
+    return f"{system_prompt}\n\nInput: {input_text}"
+
+
+def mock_response(prompt: str) -> str:
+    """Deterministic mock transport: md5-derived response.
+
+    md5 (not sha1) because the DuckDB oracle must compute the identical
+    value in SQL and DuckDB 1.0 ships md5 but not sha1.
+    """
+    return "resp::" + hashlib.md5(prompt.encode("utf-8")).hexdigest()[:8]
+
+
+async def _call_with_retries(
+    transport: Callable, prompt: str, cfg: EnrichConfig, sem: asyncio.Semaphore
+) -> tuple[str, str | None, int, float]:
+    """Retry x N with exponential backoff; degrade to sentinel (test.py:66-80)."""
+    t0 = time.monotonic()
+    delay = cfg.base_delay
+    last_err: str | None = None
+    for attempt in range(1, cfg.retries + 1):
+        try:
+            async with sem:
+                resp = await asyncio.wait_for(transport(prompt), timeout=cfg.timeout)
+            return resp, None, attempt, (time.monotonic() - t0) * 1000.0
+        except Exception as exc:  # noqa: BLE001 — any failure degrades, never aborts
+            last_err = f"{type(exc).__name__}: {exc}"
+            if attempt < cfg.retries:
+                await asyncio.sleep(min(delay, cfg.max_delay))
+                delay *= 2
+    return SENTINEL, last_err, cfg.retries, (time.monotonic() - t0) * 1000.0
+
+
+def _make_transport(cfg: EnrichConfig) -> Callable:
+    if cfg.transport == "mock":
+
+        async def mock_transport(prompt: str) -> str:
+            if cfg.mock_latency:
+                await asyncio.sleep(cfg.mock_latency)
+            # the scripted-failure hook sees the raw input text after the
+            # prompt prefix, mirroring fixture FIXTURES.md §B
+            input_text = prompt.split("\n\nInput: ", 1)[-1]
+            if input_text in cfg.mock_fail_inputs:
+                raise RuntimeError("scripted mock failure")
+            return mock_response(prompt)
+
+        return mock_transport
+
+    if cfg.transport == "http":
+        # Real chat-completions REST transport (reference test.py:58-74).
+        # Gated import: aiohttp/httpx may be absent in the test image.
+        import json
+        import os
+        import urllib.request
+
+        api_key = os.environ.get(cfg.api_key_env, "")
+
+        async def http_transport(prompt: str) -> str:
+            def blocking_call() -> str:
+                body = json.dumps(
+                    {
+                        "model": cfg.model,
+                        "messages": [{"role": "user", "content": prompt}],
+                        "temperature": cfg.temperature,
+                        "max_tokens": cfg.max_tokens,
+                    }
+                ).encode()
+                req = urllib.request.Request(
+                    cfg.api_url,
+                    data=body,
+                    headers={
+                        "Content-Type": "application/json",
+                        "Authorization": f"Bearer {api_key}",
+                    },
+                )
+                with urllib.request.urlopen(req, timeout=cfg.timeout) as r:
+                    payload = json.loads(r.read())
+                return payload["choices"][0]["message"]["content"].strip()
+
+            return await asyncio.to_thread(blocking_call)
+
+        return http_transport
+
+    raise ValueError(f"unknown transport: {cfg.transport}")
+
+
+async def _enrich_series(texts: list[str], cfg: EnrichConfig) -> list[tuple]:
+    transport = _make_transport(cfg)
+    sem = asyncio.Semaphore(cfg.concurrency)
+    prompts = [build_prompt(cfg.system_prompt, t) for t in texts]
+    return list(
+        await asyncio.gather(
+            *(_call_with_retries(transport, p, cfg, sem) for p in prompts)
+        )
+    )
+
+
+def enrich(
+    df: DataFrame,
+    input_col: str,
+    cfg: EnrichConfig,
+    response_col: str = "Response",
+    with_result_struct: bool = False,
+) -> DataFrame:
+    """Append an LLM response column to ``df`` (reference ops 4-10).
+
+    The input cell is string-coerced exactly as the reference does
+    (``str(row[column_index])``, test.py:86). Output keeps every input
+    column untouched and appends ``response_col`` (plus optionally the
+    typed ``_enrich`` result struct with error/attempts/latency).
+    """
+    from batch_processing_new_spark.shipping import ensure_package_on_executors
+
+    ensure_package_on_executors(df.sparkSession)
+
+    if cfg.dedupe_inputs:
+        return _enrich_deduped(df, input_col, cfg, response_col, with_result_struct)
+
+    out_schema = ", ".join(
+        [f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields]
+        + [
+            f"`{response_col}` string",
+            "`_enrich_error` string",
+            "`_enrich_attempts` int",
+            "`_enrich_latency_ms` double",
+        ]
+    )
+    acc = df.sparkSession.sparkContext.accumulator(0)  # progress (test.py:97-101)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            texts = pdf[input_col].astype(str).tolist()
+            results = asyncio.run(_enrich_series(texts, cfg))
+            out = pdf.copy()
+            out[response_col] = [r[0] for r in results]
+            out["_enrich_error"] = [r[1] for r in results]
+            out["_enrich_attempts"] = [r[2] for r in results]
+            out["_enrich_latency_ms"] = [r[3] for r in results]
+            acc.add(len(out))
+            yield out
+
+    result = df.mapInPandas(run, schema=out_schema)
+    if not with_result_struct:
+        result = result.drop("_enrich_error", "_enrich_attempts", "_enrich_latency_ms")
+    return result
+
+
+def _enrich_deduped(
+    df: DataFrame,
+    input_col: str,
+    cfg: EnrichConfig,
+    response_col: str,
+    with_result_struct: bool,
+) -> DataFrame:
+    """Enrich DISTINCT inputs, then join responses back.
+
+    Same-input rows cost one API call instead of N. The joined-back map
+    is usually tiny relative to the fact table -> broadcast; if it were
+    huge, AQE falls back to a shuffle join automatically.
+    """
+    base_cfg = EnrichConfig(**{**cfg.__dict__, "dedupe_inputs": False})
+    distinct = df.select(F.col(input_col).cast("string").alias(input_col)).distinct()
+    enriched_map = enrich(
+        distinct, input_col, base_cfg, response_col, with_result_struct=True
+    ).withColumnRenamed(input_col, "_enrich_key")
+    joined = df.join(
+        F.broadcast(enriched_map),
+        df[input_col].cast("string") == F.col("_enrich_key"),
+        "left",
+    ).drop("_enrich_key")
+    if not with_result_struct:
+        joined = joined.drop("_enrich_error", "_enrich_attempts", "_enrich_latency_ms")
+    return joined

@@ -1,0 +1,49 @@
+"""Sinks: ordered single-file CSV/parquet writers (SURVEY.md §7 step 7).
+
+The reference's product contract is ONE downloadable CSV named
+``{file_name}_final.csv`` (test.py:248-253). Distributed writes produce a
+directory of part files, so the single-file edge is: sort -> coalesce(1)
+-> write -> rename the part file. ``coalesce(1)`` funnels the final
+(already small, post-aggregation/post-sort) result through one task —
+acceptable for a result artifact; internal intermediates should use
+``write_parquet`` (distributed, partitioned) instead.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+
+from pyspark.sql import DataFrame
+
+
+def write_single_csv(df: DataFrame, dest_path: str, header: bool = True) -> str:
+    """Write ``df`` as exactly one CSV file at ``dest_path``."""
+    staging = dest_path + "._staging"
+    (
+        df.coalesce(1)
+        .write.mode("overwrite")
+        .option("header", str(header).lower())
+        # bare empty field (",\n") like the reference's csv.writer, not "\"\""
+        .option("emptyValue", "")
+        .csv(staging)
+    )
+    part = glob.glob(os.path.join(staging, "part-*.csv"))
+    if not part:  # e.g. empty DataFrame still writes a header-only part
+        part = glob.glob(os.path.join(staging, "part-*"))
+    os.makedirs(os.path.dirname(dest_path) or ".", exist_ok=True)
+    shutil.move(part[0], dest_path)
+    shutil.rmtree(staging, ignore_errors=True)
+    return dest_path
+
+
+def write_parquet(
+    df: DataFrame, dest_dir: str, partition_by: list[str] | None = None
+) -> str:
+    """Distributed parquet sink — the scale path for intermediates."""
+    writer = df.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(dest_dir)
+    return dest_dir
