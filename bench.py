@@ -1,0 +1,80 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints exactly ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Timing methodology: each query plan is executed to completion via a
+count-ish action that forces full materialization of the result
+(``df.toPandas`` would add driver-transfer noise; ``write.format("noop")``
+isn't in OSS — we use ``df.foreach(noop)``-free ``count`` on cheap results
+and ``collect`` for small aggregates). Session startup is excluded; each
+query is timed once after a warm-up of the input file footer reads.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Headline set: one per operator family. Names must exist in the registry.
+HEADLINE = [
+    "q01_pricing_summary",     # scan + groupBy-agg
+    "q03_region_revenue",      # broadcast star join
+    "q06_revenue_forecast",    # scan-heavy single agg
+    "q10_window_topk_per_group",  # window
+    "q20_order_lineitem_join",    # fact-fact shuffle join
+    "q21_sessionize",          # window chain
+    "q30_enrich_map",          # the Python-map core operator (mock)
+]
+
+
+def main() -> None:
+    from batch_processing_new_spark.registry import all_specs
+    from batch_processing_new_spark.session import get_spark
+
+    spark = get_spark(app_name="bench")
+    specs = all_specs()
+    # warm-up: touch every table footer so first-query timing isn't
+    # dominated by filesystem metadata
+    from batch_processing_new_spark.sources.readers import TABLES, load_table
+
+    for t in TABLES:
+        load_table(spark, SF_DIR, t).schema
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        if name not in specs:
+            continue
+        fn = specs[name].fn
+        t0 = time.perf_counter()
+        df = fn(spark, SF_DIR)
+        n = df.count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_query_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
