@@ -1,0 +1,51 @@
+"""Shared text/hash expression builders (JVM-side, codegen'd).
+
+The engine's portable 60-bit hash: first 15 hex chars of md5, parsed as
+an integer. Chosen because (a) md5 exists in both Spark and DuckDB 1.0
+(sha1/xxhash64 don't), (b) 60 bits fits a signed BIGINT in both, so
+MinHash/SimHash get exact SQL oracles. Collision odds at 60 bits are
+irrelevant for dedup fingerprints at any realistic corpus size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def hash60(col: Column) -> Column:
+    """Deterministic 60-bit hash of a string column (Spark side)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def hash60_sql(expr: str) -> str:
+    """The identical hash in DuckDB SQL."""
+    return f"('0x' || substr(md5({expr}), 1, 15))::BIGINT"
+
+
+def tokens(col: Column) -> Column:
+    """Whitespace tokenization of already-normalized text."""
+    return F.split(F.trim(col), " ")
+
+
+def distinct_tokens(col: Column) -> Column:
+    return F.array_distinct(tokens(col))
+
+
+def normalize_text(col: Column) -> Column:
+    """lower + trim + collapse runs of whitespace."""
+    return F.regexp_replace(F.lower(F.trim(col)), r"\s+", " ")
+
+
+def token_set_fingerprint(col: Column) -> Column:
+    """md5 of the sorted distinct-token set — the exact-dedup key.
+
+    Two documents that are permutations/repetitions of the same word set
+    share a fingerprint; byte-identical texts trivially do.
+    """
+    return F.md5(F.concat_ws(" ", F.array_sort(distinct_tokens(col))))
+
+
+TOKEN_SET_FP_SQL = (
+    "md5(array_to_string(list_sort(list_distinct(string_split(trim(text), ' '))), ' '))"
+)

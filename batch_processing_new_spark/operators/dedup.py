@@ -1,4 +1,386 @@
 """Deduplication: exact, n-gram Jaccard, MinHash+LSH, SimHash.
-(Filled in after the relational core is green.)"""
+
+North-Star surface for training-data pipelines (SURVEY.md §2B). All four
+families are pure DataFrame compositions — shuffles only on
+fingerprints/shingles/buckets, Python never touches the data path:
+
+- exact: token-set fingerprint -> groupBy  (one shuffle on the hash)
+- Jaccard: inverted shingle index -> self-join -> pair agg (the join is
+  on (block, token), so each posting list stays small; at 100 TB you
+  block on a cheap key and/or drop ultra-common shingles)
+- MinHash: explode tokens x H hash-ids -> min per (doc, hash) -> banded
+  LSH buckets -> candidate pairs -> exact-Jaccard verify
+- SimHash: per-token 60-bit hash -> bit-vote via explode(sequence(0,59))
+  -> sign-pack to one BIGINT per doc
+
+MinHash signatures and SimHash values use the md5-based ``hash60`` so
+DuckDB recomputes them exactly (full value-hash oracles); the LSH
+pair-finding is Spark-only with a recall invariant in tests
+(tests/test_dedup.py) against the exact-Jaccard ground truth.
+"""
 
 from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from batch_processing_new_spark.functions.text_funcs import (
+    TOKEN_SET_FP_SQL,
+    distinct_tokens,
+    hash60,
+    hash60_sql,
+    token_set_fingerprint,
+)
+from batch_processing_new_spark.registry import query
+from batch_processing_new_spark.sources.readers import load_table
+
+NUM_MINHASHES = 8
+LSH_BAND_SIZE = 2  # 4 bands of 2 -> catches Jaccard >~ 0.5 reliably
+
+
+# --------------------------------------------------------- exact dedup
+
+@query(
+    "q33_dedup_exact_groups",
+    oracle=f"""
+SELECT {TOKEN_SET_FP_SQL}  AS token_set_fp,
+       count(*)            AS n_docs,
+       min(doc_id)         AS keeper_id
+FROM documents
+GROUP BY 1
+ORDER BY token_set_fp
+""",
+)
+def q33_dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup, group view: hash-groupBy on the token-set fingerprint.
+
+    Scale: the only shuffle moves (fp, partial count, partial min) — full
+    map-side combine; the document text never shuffles.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.groupBy(token_set_fingerprint(F.col("text")).alias("token_set_fp"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("keeper_id"),
+        )
+        .orderBy("token_set_fp")
+    )
+
+
+@query(
+    "q34_dedup_exact_keep_first",
+    oracle=f"""
+SELECT doc_id, source
+FROM (
+    SELECT doc_id, source,
+           row_number() OVER (PARTITION BY {TOKEN_SET_FP_SQL}
+                              ORDER BY doc_id) AS rn
+    FROM documents
+)
+WHERE rn = 1
+ORDER BY doc_id
+""",
+)
+def q34_dedup_exact_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup, survivor view: deterministic keep-lowest-id.
+
+    ``dropDuplicates`` keeps an *arbitrary* row per key — fine for
+    idempotence, wrong for reproducible corpus builds — so the engine's
+    dedup is an explicit window rank (deterministic at any partitioning).
+    """
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy(token_set_fingerprint(F.col("text"))).orderBy("doc_id")
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("doc_id", "source")
+        .orderBy("doc_id")
+    )
+
+
+# --------------------------------------------- n-gram Jaccard near-dup
+
+@query(
+    "q35_jaccard_pairs",
+    oracle="""
+WITH tok AS (
+    SELECT doc_id, source,
+           unnest(list_distinct(string_split(trim(text), ' '))) AS t
+    FROM documents
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
+inter AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+    FROM tok a JOIN tok b ON a.source = b.source AND a.t = b.t
+                         AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       round(n_common * 1.0 / (sa.n + sb.n - n_common), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON id_a = sa.doc_id
+JOIN sizes sb ON id_b = sb.doc_id
+WHERE n_common * 1.0 / (sa.n + sb.n - n_common) >= 0.8
+ORDER BY id_a, id_b
+""",
+)
+def q35_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact token-set Jaccard >= 0.8 pairs within source blocks.
+
+    Inverted-index self-join: explode distinct tokens, join postings on
+    (source, token), count common tokens per pair, |A∪B| = |A|+|B|-common.
+    Blocking on ``source`` bounds each posting list — the scale lever
+    (without a block key, drop stop-shingles / use MinHash-LSH, q37).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", "source", F.explode(distinct_tokens(F.col("text"))).alias("t")
+    )
+    sizes = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a, b = tok.alias("a"), tok.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.t") == F.col("b.t"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.withColumnRenamed("doc_id", "id_a").withColumnRenamed("n", "n_a")
+    sb = sizes.withColumnRenamed("doc_id", "id_b").withColumnRenamed("n", "n_b")
+    jac = F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .where(jac >= 0.8)
+        .select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
+        .orderBy("id_a", "id_b")
+    )
+
+
+# ------------------------------------------------------------ MinHash
+
+def _minhash_signatures(docs: DataFrame, num_hashes: int = NUM_MINHASHES) -> DataFrame:
+    """(doc_id, hash_id, minhash): min over tokens of hash60(i || ':' || t).
+
+    One explode (tokens x hash-ids) + one partial-agg min — the shuffle
+    carries (doc, i, long), never text.
+    """
+    tok = docs.select(
+        "doc_id", F.explode(distinct_tokens(F.col("text"))).alias("t")
+    )
+    return (
+        tok.select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("hash_id"),
+            F.col("t"),
+        )
+        .select(
+            "doc_id",
+            "hash_id",
+            hash60(
+                F.concat(F.col("hash_id").cast("string"), F.lit(":"), F.col("t"))
+            ).alias("h"),
+        )
+        .groupBy("doc_id", "hash_id")
+        .agg(F.min("h").alias("minhash"))
+    )
+
+
+@query(
+    "q36_minhash_signatures",
+    oracle=f"""
+WITH tok AS (
+    SELECT doc_id,
+           unnest(list_distinct(string_split(trim(text), ' '))) AS t
+    FROM documents
+)
+SELECT doc_id, hash_id,
+       min({hash60_sql("hash_id::VARCHAR || ':' || t")}) AS minhash
+FROM tok, generate_series(0, {NUM_MINHASHES - 1}) g(hash_id)
+GROUP BY doc_id, hash_id
+ORDER BY doc_id, hash_id
+""",
+)
+def q36_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures with a full SQL oracle (md5-based hash60)."""
+    d = load_table(spark, sf_dir, "documents")
+    return _minhash_signatures(d).orderBy("doc_id", "hash_id")
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    num_hashes: int = NUM_MINHASHES,
+    band_size: int = LSH_BAND_SIZE,
+) -> DataFrame:
+    """Near-dup pairs via banded MinHash-LSH + exact-Jaccard verification.
+
+    Candidate generation: band signature = hash of ``band_size``
+    consecutive minhashes; docs sharing any band bucket become
+    candidates (standard banding: P[candidate] = 1-(1-j^r)^b). The
+    verify step computes exact Jaccard only on candidates.
+
+    Scale: candidates shuffle on (band_id, band_hash) — skew only if a
+    band bucket is hot, which AQE's skew-join splits; the verify join is
+    |candidates|-bounded, not |pairs|.
+    """
+    sig = _minhash_signatures(docs, num_hashes)
+    bands = (
+        sig.withColumn("band_id", (F.col("hash_id") / band_size).cast("int"))
+        .groupBy("doc_id", "band_id")
+        .agg(F.md5(F.concat_ws(",", F.sort_array(F.collect_list("minhash")))).alias("band_hash"))
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .distinct()
+    )
+    # exact-Jaccard verify on candidates only
+    toksets = docs.select(
+        "doc_id", distinct_tokens(F.col("text")).alias("toks")
+    )
+    ta = toksets.withColumnRenamed("doc_id", "id_a").withColumnRenamed("toks", "toks_a")
+    tb = toksets.withColumnRenamed("doc_id", "id_b").withColumnRenamed("toks", "toks_b")
+    inter = F.size(F.array_intersect("toks_a", "toks_b"))
+    union = F.size(F.array_union("toks_a", "toks_b"))
+    return (
+        candidates.join(ta, "id_a")
+        .join(tb, "id_b")
+        .withColumn("jaccard", F.round(inter / union, 6))
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+@query("q37_minhash_lsh_pairs")  # Spark-only: LSH banding isn't sanely SQL-oracle-able
+def q37_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded-LSH near-dup pairs at Jaccard >= 0.5 (recall vs the exact
+    ground truth is asserted in tests/test_dedup.py)."""
+    d = load_table(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(d, threshold=0.5).orderBy("id_a", "id_b")
+
+
+# ------------------------------------------------------------ SimHash
+
+SIMHASH_BITS = 60
+
+
+def simhash(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, simhash): sign of per-bit votes over token hashes.
+
+    Bit-vote via explode(sequence(0,59)): rows = docs x tokens x 60, all
+    JVM-side longs; one partial-agg groupBy packs the sign bits back
+    into a single BIGINT. No Python, no wide 60-column agg.
+    """
+    tok = docs.select(
+        "doc_id", F.explode(distinct_tokens(F.col(text_col))).alias("t")
+    ).withColumn("h", hash60(F.col("t")))
+    votes = (
+        tok.select(
+            "doc_id",
+            "h",
+            F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))).alias("b"),
+        )
+        .groupBy("doc_id", "b")
+        .agg(
+            # shift-by-column needs the SQL form (the classic-API
+            # F.shiftright only takes a literal shift amount)
+            F.sum(F.expr("CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END")).alias(
+                "vote"
+            )
+        )
+    )
+    return votes.groupBy("doc_id").agg(
+        F.sum(
+            F.expr(
+                "CASE WHEN vote > 0 THEN shiftleft(CAST(1 AS BIGINT), b) "
+                "ELSE CAST(0 AS BIGINT) END"
+            )
+        ).alias("simhash")
+    )
+
+
+@query(
+    "q38_simhash",
+    oracle=f"""
+WITH tok AS (
+    SELECT doc_id,
+           unnest(list_distinct(string_split(trim(text), ' '))) AS t
+    FROM documents
+),
+th AS (SELECT doc_id, {hash60_sql('t')} AS h FROM tok),
+votes AS (
+    SELECT doc_id, b,
+           sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+    FROM th, generate_series(0, {SIMHASH_BITS - 1}) g(b)
+    GROUP BY doc_id, b
+)
+SELECT doc_id,
+       CAST(sum(CASE WHEN vote > 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS simhash
+FROM votes
+GROUP BY doc_id
+ORDER BY doc_id
+""",
+)
+def q38_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """60-bit SimHash per document, exact SQL oracle."""
+    d = load_table(spark, sf_dir, "documents")
+    return simhash(d).orderBy("doc_id")
+
+
+def simhash_neardup_pairs(docs: DataFrame, max_hamming: int = 12) -> DataFrame:
+    """SimHash near-dup: pairs with Hamming distance <= max_hamming.
+
+    Candidate blocking on 4 x 15-bit chunks (pigeonhole: distance <= 12
+    over 60 bits cannot make all 4 chunks differ... actually it can;
+    chunking is a recall/cost dial like LSH banding — verified pairs are
+    exact, recall is asserted in tests)."""
+    sh = simhash(docs)
+    chunks = sh.select(
+        "doc_id",
+        "simhash",
+        F.explode(F.sequence(F.lit(0), F.lit(3))).alias("chunk_id"),
+    ).withColumn("chunk", F.expr("(simhash >> (chunk_id * 15)) & 32767"))
+    a, b = chunks.alias("a"), chunks.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.chunk_id") == F.col("b.chunk_id"))
+            & (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        cand.withColumn("hamming", hamming)
+        .where(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+@query("q39_simhash_neardup")  # Spark-only; invariants in tests/test_dedup.py
+def q39_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash-blocked near-dup pairs (Hamming <= 12 of 60 bits)."""
+    d = load_table(spark, sf_dir, "documents")
+    return simhash_neardup_pairs(d).orderBy("id_a", "id_b")

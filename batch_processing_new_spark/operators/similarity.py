@@ -1,4 +1,255 @@
-"""Similarity search over embeddings: brute-force cosine top-k + LSH.
-(Filled in after the relational core is green.)"""
+"""Similarity search over the embeddings table (array<float>, dim 64).
+
+North-Star surface (SURVEY.md §2B "similarity search"): brute-force
+cosine top-k as the exactness baseline, sign-LSH bucketed ANN as the
+scale path, and cosine near-dup pairs.
+
+Numeric parity design: DuckDB's ``list_cosine_similarity`` accumulates
+in FLOAT32 for FLOAT[] inputs, which can't be reproduced bit-exactly by
+Spark's double arithmetic — so the oracle computes the dot/norms in
+FLOAT64 via generate_series indexing, both sides round the cosine to 6
+decimals BEFORE ranking, and ties break on vec_id. That makes the
+ranking itself (not just the scores) engine-independent.
+
+Scale notes:
+- Brute force is a broadcast nested loop: queries broadcast, corpus
+  streams, per-partition top-k via window. Cost O(|Q| x |corpus|) —
+  exactly right when |Q| is small, and the recall oracle for ANN.
+- The ANN path buckets by sign-LSH (deterministic hash60-derived
+  hyperplanes); candidates shuffle on bucket only. At 100 TB you'd
+  persist bucketed embeddings (bucketBy) so queries probe without a
+  corpus re-scan.
+"""
 
 from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from batch_processing_new_spark.registry import query
+from batch_processing_new_spark.sources.readers import load_table
+
+DIM = 64
+TOPK = 10
+N_QUERIES = 5  # query set: vec_id < 5
+
+
+def _f64(col: str | Column) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.transform(c, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential float64 dot product via zip_with + aggregate."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
+
+
+# DuckDB float64 pairwise cosine over FLOAT[] columns a.embedding/b.embedding
+_COS_SQL = """
+    (SELECT sum(a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)
+     FROM generate_series(1, 64) g(i))
+    / (sqrt((SELECT sum(a.embedding[i]::DOUBLE * a.embedding[i]::DOUBLE)
+             FROM generate_series(1, 64) g(i)))
+       * sqrt((SELECT sum(b.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)
+               FROM generate_series(1, 64) g(i))))
+"""
+
+
+@query(
+    "q40_cosine_topk",
+    oracle=f"""
+WITH scored AS (
+    SELECT a.vec_id AS query_id,
+           b.vec_id AS neighbor_id,
+           round({_COS_SQL}, 6) AS cos_sim
+    FROM embeddings a, embeddings b
+    WHERE a.vec_id < {N_QUERIES} AND b.vec_id <> a.vec_id
+),
+ranked AS (
+    SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id
+    ) AS rank
+    FROM scored
+)
+SELECT query_id, neighbor_id, cos_sim, rank
+FROM ranked WHERE rank <= {TOPK}
+ORDER BY query_id, rank
+""",
+)
+def q40_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-{TOPK} for each query vector (vec_id < 5).
+
+    Plan shape: broadcast the tiny query set against the corpus scan,
+    rank with a per-query window — no corpus self-shuffle.
+    """
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), _f64("embedding").alias("qv")
+    )
+    c = e.select(F.col("vec_id").alias("neighbor_id"), _f64("embedding").alias("cv"))
+    scored = (
+        c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cos_sim", F.round(cosine(F.col("qv"), F.col("cv")), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= TOPK)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+        .orderBy("query_id", "rank")
+    )
+
+
+@query(
+    "q41_embedding_neardup",
+    oracle=f"""
+SELECT a.vec_id AS id_a,
+       b.vec_id AS id_b,
+       round({_COS_SQL}, 6) AS cos_sim
+FROM embeddings a
+JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE round({_COS_SQL}, 6) >= 0.3
+ORDER BY id_a, id_b
+""",
+)
+def q41_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs within label blocks (cos >= 0.3).
+
+    Blocking on ``label`` stands in for any cheap pre-cluster key (IVF
+    coarse cell, LSH bucket): the O(n^2) is confined to blocks. The
+    unblocked scale path is q42's sign-LSH.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    a = e.select(
+        F.col("vec_id").alias("id_a"), F.col("label"), _f64("embedding").alias("va")
+    )
+    b = e.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("label").alias("label_b"),
+        _f64("embedding").alias("vb"),
+    )
+    return (
+        a.join(b, (F.col("label") == F.col("label_b")) & (F.col("id_a") < F.col("id_b")))
+        .withColumn("cos_sim", F.round(cosine(F.col("va"), F.col("vb")), 6))
+        .where(F.col("cos_sim") >= 0.3)
+        .select("id_a", "id_b", "cos_sim")
+        .orderBy("id_a", "id_b")
+    )
+
+
+# ------------------------------------------------------- sign-LSH ANN
+
+N_PLANES = 12  # 12-bit signatures -> 4096 buckets
+N_BANDS = 4    # probe 4 bands of 3 bits: recall dial
+
+
+def _hyperplanes(n_planes: int = N_PLANES, dim: int = DIM) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes from md5 — no RNG state,
+    reproducible across sessions/executors (same reason hash60 exists)."""
+    import hashlib
+
+    planes = []
+    for p in range(n_planes):
+        row = []
+        for j in range(dim):
+            h = hashlib.md5(f"plane:{p}:{j}".encode()).hexdigest()
+            row.append((int(h[:8], 16) / 0x7FFFFFFF) - 1.0)  # ~U[-1, 1)
+        planes.append(row)
+    return planes
+
+
+def _signature(vec: Column, planes: list[list[float]]) -> Column:
+    """Sign-LSH signature: bit p = [v . w_p >= 0], packed to an int."""
+    bits = [
+        F.when(
+            F.aggregate(
+                F.zip_with(
+                    vec,
+                    F.array(*[F.lit(w) for w in plane]),
+                    lambda x, y: x * y,
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            >= 0,
+            F.lit(1 << p),
+        ).otherwise(F.lit(0))
+        for p, plane in enumerate(planes)
+    ]
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out
+
+
+def ann_lsh_topk(
+    emb: DataFrame,
+    n_queries: int = N_QUERIES,
+    k: int = TOPK,
+    n_planes: int = N_PLANES,
+    n_bands: int = N_BANDS,
+) -> DataFrame:
+    """Approximate top-k: sign-LSH band buckets -> exact cosine on
+    candidates only. Recall vs q40 asserted in tests/test_similarity.py."""
+    from pyspark.sql import Window
+
+    planes = _hyperplanes(n_planes)
+    band_bits = n_planes // n_bands
+    sig = emb.select(
+        "vec_id",
+        _f64("embedding").alias("v"),
+        _signature(_f64("embedding"), planes).alias("sig"),
+    )
+    banded = sig.select(
+        "vec_id",
+        "v",
+        F.explode(F.sequence(F.lit(0), F.lit(n_bands - 1))).alias("band_id"),
+        F.col("sig").alias("sig_full"),
+    ).withColumn(
+        "band",
+        F.expr(f"(sig_full >> (band_id * {band_bits})) & {(1 << band_bits) - 1}"),
+    )
+    q = banded.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        "band_id",
+        "band",
+    )
+    c = banded.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("v").alias("cv"), "band_id", "band"
+    )
+    cand = (
+        F.broadcast(q)  # query side is tiny; corpus side streams
+        .join(c, ["band_id", "band"])
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "qv", "neighbor_id", "cv")
+        .distinct()
+    )
+    scored = cand.withColumn("cos_sim", F.round(cosine(F.col("qv"), F.col("cv")), 6))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )
+
+
+@query("q42_ann_lsh_topk")  # Spark-only; recall invariant in tests
+def q42_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH approximate top-k for the q40 query set."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return ann_lsh_topk(e).orderBy("query_id", "rank")

@@ -1,4 +1,201 @@
-"""Structured Streaming queries (file-replay of events).
-(Filled in after the relational core is green.)"""
+"""Structured Streaming layer: the events table replayed as a file
+stream (SURVEY.md §2B streaming row; §7 step 8).
+
+Each streaming query runs with an ``availableNow`` trigger into a memory
+sink and returns the materialized result — deterministic and synchronous,
+so the driver harness can treat it like any batch query. Where the
+result is batch-expressible (tumbling windows == date_trunc) the query
+keeps a full DuckDB oracle; stateful ops get rows-only checks plus
+batch-equivalence tests in tests/test_streaming.py.
+
+Scale notes: the same code targets Kafka by swapping ``readStream``
+format; watermarks bound state; windowed aggs shuffle on (window, key)
+exactly like their batch date_trunc equivalents.
+"""
 
 from __future__ import annotations
+
+import itertools
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from batch_processing_new_spark.registry import query
+
+_SINK_COUNTER = itertools.count()
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.parquet as a file-source stream (nanos handled as in the
+    batch loader: read as long, convert to micro TIMESTAMP_NTZ)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # watermarks/windows require TIMESTAMP (not NTZ); pin the session TZ
+    # so the instant interpretation — and window rendering — is UTC
+    # regardless of the harness session's defaults
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    # the file source requires a directory; glob-filter to the one table
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return stream.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+
+
+def run_to_memory(stream_df: DataFrame, query_name_prefix: str = "sq") -> DataFrame:
+    """Drive a streaming plan to completion (availableNow) into a memory
+    sink; return the materialized table."""
+    name = f"{query_name_prefix}_{next(_SINK_COUNTER)}"
+    q = (
+        stream_df.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return stream_df.sparkSession.table(name)
+
+
+def run_append_to_memory(stream_df: DataFrame, query_name_prefix: str = "sa") -> DataFrame:
+    return _run_to_memory(stream_df, query_name_prefix, "append")
+
+
+def run_update_to_memory(stream_df: DataFrame, query_name_prefix: str = "su") -> DataFrame:
+    return _run_to_memory(stream_df, query_name_prefix, "update")
+
+
+def _run_to_memory(stream_df: DataFrame, prefix: str, mode: str) -> DataFrame:
+    name = f"{prefix}_{next(_SINK_COUNTER)}"
+    q = (
+        stream_df.writeStream.outputMode(mode)
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return stream_df.sparkSession.table(name)
+
+
+@query(
+    "q50_stream_tumbling_window",
+    oracle="""
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type,
+       count(*)                                              AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(30,8))) AS DOUBLE)     AS total_value
+FROM events
+GROUP BY 1, 2
+ORDER BY 1, 2
+""",
+)
+def q50_stream_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour windowed aggregation over the event stream.
+
+    The streaming result must equal the batch date_trunc aggregation —
+    that equivalence IS the oracle (watermark completeness at
+    availableNow: no late data is dropped because replay is in-order).
+    """
+    events = read_events_stream(spark, sf_dir)
+    agg = (
+        events.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(30,8)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+    )
+    res = run_to_memory(agg, "tumble")
+    return res.select(
+        F.date_format(F.col("window.start"), "yyyy-MM-dd HH:mm:ss").alias(
+            "window_start"
+        ),
+        "event_type",
+        "n_events",
+        "total_value",
+    ).orderBy("window_start", "event_type")
+
+
+@query(
+    "q51_stream_sliding_window",
+    oracle="""
+WITH slides AS (SELECT unnest([0, 30]) AS off_min),
+w AS (
+    SELECT strftime(date_trunc('hour', ts - to_minutes(off_min)) + to_minutes(off_min),
+                    '%Y-%m-%d %H:%M:%S') AS window_start,
+           value
+    FROM events, slides
+)
+SELECT window_start,
+       count(*)                                          AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(30,8))) AS DOUBLE) AS total_value
+FROM w
+GROUP BY 1
+ORDER BY 1
+""",
+)
+def q51_stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows (1 h length, 30 min slide): each event lands in 2
+    windows; the oracle replicates the window assignment arithmetic."""
+    events = read_events_stream(spark, sf_dir)
+    agg = (
+        events.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour", "30 minutes"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(30,8)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+    )
+    res = run_to_memory(agg, "slide")
+    return res.select(
+        F.date_format(F.col("window.start"), "yyyy-MM-dd HH:mm:ss").alias(
+            "window_start"
+        ),
+        "n_events",
+        "total_value",
+    ).orderBy("window_start")
+
+
+@query("q52_stream_session_window")  # Spark-only; batch equivalence in tests
+def q52_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (30-min gap) per user via F.session_window —
+    the streaming twin of batch q21_sessionize (equivalence asserted in
+    tests/test_streaming.py)."""
+    events = read_events_stream(spark, sf_dir)
+    agg = (
+        events.withWatermark("ts", "10 minutes")
+        .groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    res = run_to_memory(agg, "sess")
+    return (
+        res.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.sum("n_events").alias("n_events"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@query("q53_stream_dedupe")  # Spark-only; invariant in tests
+def q53_stream_dedupe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful streaming dedup: first event per (user_id, event_type)
+    within the watermark (dropDuplicatesWithinWatermark)."""
+    events = read_events_stream(spark, sf_dir)
+    deduped = (
+        events.withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+        .select("user_id", "event_type", "event_id")
+    )
+    res = run_append_to_memory(deduped, "dedup")
+    return res.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_first_events")
+    ).orderBy("user_id")

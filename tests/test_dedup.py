@@ -1,0 +1,95 @@
+"""Invariants for dedup operators that have no SQL oracle
+(SURVEY.md §5.3): LSH recall vs exact-Jaccard ground truth, SimHash
+properties, dedup idempotence."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from batch_processing_new_spark.operators.dedup import (
+    minhash_lsh_pairs,
+    simhash,
+    simhash_neardup_pairs,
+)
+from batch_processing_new_spark.sources.readers import load_table
+from tests.conftest import SF_CORRECT
+
+
+def _exact_jaccard_pairs(spark, docs, threshold):
+    """Global exact token-set Jaccard ground truth via inverted index."""
+    from batch_processing_new_spark.functions.text_funcs import distinct_tokens
+
+    tok = docs.select("doc_id", F.explode(distinct_tokens(F.col("text"))).alias("t"))
+    sizes = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a, b = tok.alias("a"), tok.alias("b")
+    inter = (
+        a.join(b, (F.col("a.t") == F.col("b.t")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    sa = sizes.withColumnRenamed("doc_id", "id_a").withColumnRenamed("n", "n_a")
+    sb = sizes.withColumnRenamed("doc_id", "id_b").withColumnRenamed("n", "n_b")
+    jac = F.col("c") / (F.col("n_a") + F.col("n_b") - F.col("c"))
+    return (
+        inter.join(sa, "id_a").join(sb, "id_b")
+        .where(jac >= threshold)
+        .select("id_a", "id_b")
+    )
+
+
+def test_minhash_lsh_recall(spark):
+    """LSH candidates must find >= 90% of true Jaccard >= 0.8 pairs, and
+    every returned pair must truly exceed the 0.5 verify threshold
+    (precision = 1.0 by construction: candidates are exact-verified)."""
+    docs = load_table(spark, SF_CORRECT, "documents")
+    truth = {
+        (r.id_a, r.id_b) for r in _exact_jaccard_pairs(spark, docs, 0.8).collect()
+    }
+    assert truth, "fixture should contain high-Jaccard pairs"
+    found = {
+        (r.id_a, r.id_b)
+        for r in minhash_lsh_pairs(docs, threshold=0.5).collect()
+    }
+    recall = len(truth & found) / len(truth)
+    assert recall >= 0.9, f"LSH recall {recall:.2f} on {len(truth)} true pairs"
+
+
+def test_simhash_similar_docs_have_close_hashes(spark):
+    """Pairs with Jaccard >= 0.9 should have small Hamming distance; the
+    mean over near-dup pairs must be far below the ~30 random baseline."""
+    docs = load_table(spark, SF_CORRECT, "documents")
+    sh = {r.doc_id: r.simhash for r in simhash(docs).collect()}
+    near = _exact_jaccard_pairs(spark, docs, 0.9).collect()
+    assert near
+    dists = [bin(sh[r.id_a] ^ sh[r.id_b]).count("1") for r in near]
+    assert sum(dists) / len(dists) < 15, f"mean hamming {sum(dists)/len(dists)}"
+
+
+def test_simhash_neardup_pairs_are_verified(spark):
+    docs = load_table(spark, SF_CORRECT, "documents")
+    pairs = simhash_neardup_pairs(docs, max_hamming=12).collect()
+    assert all(r.hamming <= 12 for r in pairs)
+    assert all(r.id_a < r.id_b for r in pairs)
+
+
+def test_dedup_idempotence(spark):
+    """dedup(dedup(X)) == dedup(X) (SURVEY.md §5.3 property check)."""
+    from batch_processing_new_spark.registry import all_specs
+
+    fn = all_specs()["q34_dedup_exact_keep_first"].fn
+    once = fn(spark, SF_CORRECT)
+    ids_once = {r.doc_id for r in once.collect()}
+    # survivors re-deduped: every survivor has a unique fingerprint, so
+    # re-running keeps all of them
+    docs = load_table(spark, SF_CORRECT, "documents")
+    survivors = docs.join(once.select("doc_id"), "doc_id", "left_semi")
+    from batch_processing_new_spark.functions.text_funcs import token_set_fingerprint
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(token_set_fingerprint(F.col("text"))).orderBy("doc_id")
+    twice = (
+        survivors.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("doc_id")
+    )
+    assert {r.doc_id for r in twice.collect()} == ids_once

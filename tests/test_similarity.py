@@ -1,0 +1,44 @@
+"""Recall invariants for approximate similarity search
+(SURVEY.md §5.3: LSH top-k recall vs the exact-cosine baseline)."""
+
+from __future__ import annotations
+
+from batch_processing_new_spark.operators.similarity import ann_lsh_topk
+from batch_processing_new_spark.registry import all_specs
+from batch_processing_new_spark.sources.readers import load_table
+from tests.conftest import SF_CORRECT
+
+
+def test_ann_recall_vs_exact(spark):
+    """Sign-LSH top-10 must recover >= 60% of the exact top-10 per query
+    on average (weak clusters in the fixture make this a real bar: the
+    random-candidate baseline is ~ k/n = 2%)."""
+    exact = all_specs()["q40_cosine_topk"].fn(spark, SF_CORRECT).collect()
+    truth: dict[int, set[int]] = {}
+    for r in exact:
+        truth.setdefault(r.query_id, set()).add(r.neighbor_id)
+
+    e = load_table(spark, SF_CORRECT, "embeddings")
+    approx = ann_lsh_topk(e).collect()
+    got: dict[int, set[int]] = {}
+    for r in approx:
+        got.setdefault(r.query_id, set()).add(r.neighbor_id)
+
+    recalls = [
+        len(truth[q] & got.get(q, set())) / len(truth[q]) for q in truth
+    ]
+    mean_recall = sum(recalls) / len(recalls)
+    assert mean_recall >= 0.6, f"ANN mean recall {mean_recall:.2f} ({recalls})"
+
+
+def test_ann_scores_match_exact_for_common_neighbors(spark):
+    """Where ANN and exact agree on a neighbor, the cosine must be
+    identical (the ANN verify step computes the same exact cosine)."""
+    exact = {
+        (r.query_id, r.neighbor_id): r.cos_sim
+        for r in all_specs()["q40_cosine_topk"].fn(spark, SF_CORRECT).collect()
+    }
+    e = load_table(spark, SF_CORRECT, "embeddings")
+    for r in ann_lsh_topk(e).collect():
+        if (r.query_id, r.neighbor_id) in exact:
+            assert r.cos_sim == exact[(r.query_id, r.neighbor_id)]

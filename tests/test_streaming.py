@@ -1,0 +1,76 @@
+"""Streaming invariants (SURVEY.md §5.3): windowed streaming aggs equal
+their batch equivalents; stateful ops converge to batch truth."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from batch_processing_new_spark.registry import all_specs
+from batch_processing_new_spark.sources.readers import load_table
+from batch_processing_new_spark.streaming.stream_queries import (
+    read_events_stream,
+    run_update_to_memory,
+)
+from batch_processing_new_spark.streaming.stateful import running_user_stats
+from tests.conftest import SF_CORRECT
+
+
+def test_session_window_equals_batch_sessionize(spark):
+    """q52 (streaming session_window, 30-min gap) must agree with
+    q21 (batch lag/cumsum sessionization) on sessions and counts."""
+    stream = {
+        r.user_id: (r.n_sessions, r.n_events)
+        for r in all_specs()["q52_stream_session_window"].fn(spark, SF_CORRECT).collect()
+    }
+    batch = {
+        r.user_id: (r.n_sessions, r.n_events)
+        for r in all_specs()["q21_sessionize"].fn(spark, SF_CORRECT).collect()
+    }
+    assert stream == batch
+
+
+def test_stream_dedupe_counts(spark):
+    """dropDuplicatesWithinWatermark keeps exactly one row per
+    (user_id, event_type) — equal to the batch distinct count (the whole
+    replay fits one watermark interval)."""
+    res = {
+        r.user_id: r.n_first_events
+        for r in all_specs()["q53_stream_dedupe"].fn(spark, SF_CORRECT).collect()
+    }
+    e = load_table(spark, SF_CORRECT, "events")
+    batch = {
+        r.user_id: r.n
+        for r in e.groupBy("user_id")
+        .agg(F.countDistinct("event_type").alias("n"))
+        .collect()
+    }
+    assert res == batch
+
+
+def test_stateful_running_stats_converge_to_batch(spark):
+    """applyInPandasWithState: the LAST update per user must equal the
+    batch groupBy aggregate."""
+    stream = read_events_stream(spark, SF_CORRECT)
+    updates = run_update_to_memory(running_user_stats(stream), "stateful")
+    # last update per user == max n_events row (counts are monotone)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    final = (
+        updates.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("user_id", "n_events", "total_value", "max_event_id")
+    )
+    got = {r.user_id: (r.n_events, round(r.total_value, 4), r.max_event_id) for r in final.collect()}
+    e = load_table(spark, SF_CORRECT, "events")
+    exp = {
+        r.user_id: (r.n, round(r.tv, 4), r.mx)
+        for r in e.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("value").alias("tv"),
+            F.max("event_id").alias("mx"),
+        )
+        .collect()
+    }
+    assert got == exp
