@@ -1,0 +1,128 @@
+"""Verify recipe runner (see .claude/skills/verify/SKILL.md).
+
+Replicates the driver's gate: vanilla SparkSession, module loaded by
+path, smoke `entry()`, then every `queries()` entry vs its
+`oracle_sql()` DuckDB twin at sf=0.01, canonicalized and compared.
+
+Usage: python tests/run_verify.py [name ...]   # default: all queries
+"""
+
+from __future__ import annotations
+
+import importlib.util
+import math
+import sys
+import time
+
+import duckdb
+
+SF_DIR = "/root/testdata/sf0.01"
+TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings"
+).split()
+
+
+def canon_rows(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i].lower())
+
+    def cell(v):
+        if v is None or v != v:
+            return "NULL"
+        if isinstance(v, float):
+            return f"{v:.9g}"
+        if isinstance(v, (list, tuple)):
+            return "[" + ",".join(cell(x) for x in v) + "]"
+        if hasattr(v, "isoformat"):
+            return v.isoformat().replace("T", " ")
+        return str(v)
+
+    return sorted("|".join(cell(r[i]) for i in order) for r in rows)
+
+
+def main() -> int:
+    from pyspark.sql import SparkSession
+
+    spec = importlib.util.spec_from_file_location(
+        "__spark_entry__", "/root/repo/__spark_entry__.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    n = mod.entry(spark).count()
+    print(f"SMOKE entry(): {n} rows {'OK' if n >= 0 else 'FAILED'}")
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+
+    queries = mod.queries()
+    oracles = mod.oracle_sql()
+    only = set(sys.argv[1:])
+    failed = []
+    for name, fn in sorted(queries.items()):
+        if only and name not in only:
+            continue
+        t0 = time.perf_counter()
+        try:
+            sdf = fn(spark, SF_DIR)
+            scols = sdf.columns
+            srows = [tuple(r) for r in sdf.collect()]
+        except Exception as exc:  # noqa: BLE001
+            print(f"FAILED {name}: spark error {type(exc).__name__}: {exc}")
+            failed.append(name)
+            continue
+        dt = time.perf_counter() - t0
+        if name not in oracles:
+            print(f"ok     {name}: rows-only {len(srows)} rows ({dt:.1f}s)")
+            continue
+        try:
+            rel = con.sql(oracles[name])
+            dcols = rel.columns
+            drows = rel.fetchall()
+        except Exception as exc:  # noqa: BLE001
+            print(f"FAILED {name}: oracle error {type(exc).__name__}: {exc}")
+            failed.append(name)
+            continue
+        if len(srows) != len(drows):
+            print(
+                f"FAILED {name}: rowcount spark={len(srows)} duck={len(drows)}"
+            )
+            failed.append(name)
+            continue
+        if sorted(c.lower() for c in scols) != sorted(c.lower() for c in dcols):
+            print(f"FAILED {name}: cols spark={scols} duck={dcols}")
+            failed.append(name)
+            continue
+        a, b = canon_rows(scols, srows), canon_rows(dcols, drows)
+        if a != b:
+            diff = next(
+                (i, x, y) for i, (x, y) in enumerate(zip(a, b)) if x != y
+            )
+            print(f"FAILED {name}: values differ at sorted-row {diff[0]}:")
+            print(f"  spark: {diff[1][:200]}")
+            print(f"  duck : {diff[2][:200]}")
+            failed.append(name)
+            continue
+        print(f"ok     {name}: {len(srows)} rows hash-match ({dt:.1f}s)")
+
+    print(
+        f"\n{len(failed)} FAILED of {len(only) or len(queries)}"
+        + (f": {failed}" if failed else " — ALL OK")
+    )
+    return 1 if failed else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
