@@ -1,0 +1,350 @@
+"""Extended relational coverage: subqueries (EXISTS / scalar), as-of and
+range (banded time) joins, exact percentiles, sketch aggregates, and
+statistical aggregates.
+
+SURVEY.md §2B breadth beyond the first relational core. The as-of and
+range joins are the two "operators Spark lacks" called out by the build
+brief: both are implemented as compositions of built-in DataFrame ops
+(no Python in the data path) with the scalable plan shape described in
+each docstring — the same shapes Flink/Kappa pipelines use for temporal
+joins.
+
+Float determinism follows operators/relational.py: money sums through
+DECIMAL(30,8); predicates that depend on an aggregate compare in exact
+decimal arithmetic so the row set is engine-independent.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from batch_processing_new_spark.operators.relational import (
+    DEC,
+    _dsum_sql,
+    dsum,
+)
+from batch_processing_new_spark.registry import query
+from batch_processing_new_spark.sources.readers import load_table
+
+
+# ------------------------------------------------- correlated EXISTS
+
+@query(
+    "q27_exists_subquery",
+    oracle="""
+SELECT o_orderpriority,
+       count(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1997-04-01 00:00:00'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+)
+def q27_exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS (TPC-H Q4 shape) as a left-semi join.
+
+    Scale: the semi join shuffles both sides on l_orderkey/o_orderkey but
+    the probe side carries only (orderkey, orderdate, priority) — the
+    correlated predicate rides inside the join condition, and semi-join
+    short-circuits on first match instead of multiplying rows.
+    """
+    o = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= "1997-01-01")
+        & (F.col("o_orderdate") < "1997-04-01")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    matched = o.join(
+        li,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (F.col("l_shipdate") > F.col("o_orderdate")),
+        "left_semi",
+    )
+    return (
+        matched.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+# ------------------------------------------------- scalar subquery
+
+@query(
+    "q28_scalar_subquery",
+    oracle=f"""
+WITH pq AS (
+    SELECT l_partkey,
+           sum(CAST(l_quantity AS DECIMAL(30,8))) AS sum_qty,
+           count(*)                               AS cnt
+    FROM lineitem GROUP BY l_partkey
+)
+SELECT round({_dsum_sql('l_extendedprice')} / 7.0, 4) AS avg_yearly
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+JOIN pq   ON pq.l_partkey = lineitem.l_partkey
+WHERE p_brand = 'Brand#13'
+  AND CAST(l_quantity AS DECIMAL(30,8)) * 2 * cnt < sum_qty
+""",
+)
+def q28_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery (TPC-H Q17 shape): rows below half their
+    part's average quantity.
+
+    The per-part average is decorrelated into a groupBy + equi-join — the
+    standard rewrite, one extra shuffle on l_partkey. The threshold
+    predicate compares in exact decimal (qty*2*cnt < sum) so no float
+    rounding can flip a row in or out of the result between engines.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").where(F.col("p_brand") == "Brand#13")
+    pq = li.groupBy("l_partkey").agg(
+        F.sum(F.col("l_quantity").cast(DEC)).alias("sum_qty"),
+        F.count(F.lit(1)).alias("cnt"),
+    ).withColumnRenamed("l_partkey", "pq_partkey")
+    return (
+        li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .join(pq, F.col("pq_partkey") == F.col("l_partkey"))
+        .where(F.col("l_quantity").cast(DEC) * 2 * F.col("cnt") < F.col("sum_qty"))
+        .agg(F.round(dsum("l_extendedprice") / 7.0, 4).alias("avg_yearly"))
+    )
+
+
+# ------------------------------------------------------- as-of join
+
+@query(
+    "q29_asof_join",
+    oracle="""
+WITH p AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+           FROM events WHERE event_type = 'purchase'),
+     v AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+           FROM events WHERE event_type = 'view')
+SELECT p.event_id                                        AS purchase_id,
+       p.user_id                                         AS user_id,
+       strftime(p.ts, '%Y-%m-%d %H:%M:%S')               AS purchase_ts,
+       v.event_id                                        AS view_id,
+       strftime(v.ts, '%Y-%m-%d %H:%M:%S')               AS view_ts
+FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts
+ORDER BY purchase_id
+""",
+)
+def q29_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase paired with the latest view at-or-before
+    it for the same user (DuckDB has native ASOF JOIN; Spark does not).
+
+    Implementation is the scalable union trick — NOT a per-key loop and
+    NOT an inequality join (which Spark would plan as a broadcast
+    nested-loop): union both streams, one window sort per user, and
+    ``last(view, ignorenulls)`` carries the most recent view forward to
+    each purchase row. One shuffle on user_id, sorted once; at 100 TB
+    this is a single range-partitioned sort-merge pass, the same shape
+    Flink uses for temporal joins. Equal timestamps order views before
+    purchases, matching ASOF's >= semantics.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type"
+    )
+    tagged = ev.where(F.col("event_type").isin("view", "purchase")).withColumn(
+        "is_purchase", (F.col("event_type") == "purchase").cast("int")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("is_purchase").asc(), F.col("event_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    view_id = F.when(F.col("is_purchase") == 0, F.col("event_id"))
+    view_ts = F.when(F.col("is_purchase") == 0, F.col("ts"))
+    carried = tagged.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "is_purchase",
+        F.last(view_id, ignorenulls=True).over(w).alias("view_id"),
+        F.last(view_ts, ignorenulls=True).over(w).alias("view_ts"),
+    )
+    return (
+        carried.where(F.col("is_purchase") == 1)
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
+            "view_id",
+            F.date_format("view_ts", "yyyy-MM-dd HH:mm:ss").alias("view_ts"),
+        )
+        .orderBy("purchase_id")
+    )
+
+
+# ------------------------------------------------ banded range join
+
+RANGE_WINDOW_SQL = "INTERVAL 1 HOUR"
+BUCKET_US = 3_600_000_000  # 1 hour in microseconds == the range width
+
+
+@query(
+    "q43_range_join",
+    oracle="""
+WITH p AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+           FROM events WHERE event_type = 'purchase'),
+     v AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+           FROM events WHERE event_type = 'view')
+SELECT p.event_id        AS purchase_id,
+       p.user_id         AS user_id,
+       count(v.event_id) AS n_views_1h
+FROM p LEFT JOIN v
+  ON v.user_id = p.user_id
+ AND v.ts >  p.ts - INTERVAL 1 HOUR
+ AND v.ts <= p.ts
+GROUP BY p.event_id, p.user_id
+ORDER BY purchase_id
+""",
+)
+def q43_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (interval) join: views within the hour before each purchase.
+
+    A naive inequality join degenerates to nested-loop at scale. The
+    scalable shape is the banded join: bucket time into range-width
+    buckets, explode each view into its own and the NEXT bucket (the only
+    two buckets whose purchases can see it), equi-join on
+    (user_id, bucket) — a plain shuffle hash join — then apply the exact
+    range predicate. Each view lands in exactly one matching bucket per
+    purchase, so no dedup is needed. Left join keeps zero-view purchases.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type"
+    )
+    bucket = (F.unix_micros(F.col("ts").cast("timestamp")) / BUCKET_US).cast("long")
+    p = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("p_ts"),
+        bucket.alias("bucket"),
+    )
+    v = (
+        ev.where(F.col("event_type") == "view")
+        .select(
+            F.col("event_id").alias("view_id"),
+            F.col("user_id").alias("v_user_id"),
+            F.col("ts").alias("v_ts"),
+            F.explode(F.array(bucket, bucket + 1)).alias("bucket"),
+        )
+    )
+    joined = p.join(
+        v,
+        (F.col("user_id") == F.col("v_user_id"))
+        & (p["bucket"] == v["bucket"])
+        & (F.col("v_ts") > F.col("p_ts") - F.expr(RANGE_WINDOW_SQL))
+        & (F.col("v_ts") <= F.col("p_ts")),
+        "left",
+    )
+    return (
+        joined.groupBy("purchase_id", "user_id")
+        .agg(F.count("view_id").alias("n_views_1h"))
+        .orderBy("purchase_id")
+    )
+
+
+# ----------------------------------------------------- percentiles
+
+@query(
+    "q44_percentiles",
+    oracle="""
+SELECT event_type,
+       round(quantile_cont(value, 0.50), 6) AS p50,
+       round(quantile_cont(value, 0.90), 6) AS p90,
+       round(quantile_cont(value, 0.99), 6) AS p99
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+""",
+)
+def q44_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (``percentile`` ==
+    DuckDB ``quantile_cont``: both linear-interpolate at p*(n-1)).
+
+    Scale: exact percentile shuffles the full value column per group —
+    correct but heavy at 100 TB; q47 carries the sketch alternative
+    (approx_percentile, bounded memory, mergeable partials).
+    """
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.round(F.expr("percentile(value, 0.50D)"), 6).alias("p50"),
+            F.round(F.expr("percentile(value, 0.90D)"), 6).alias("p90"),
+            F.round(F.expr("percentile(value, 0.99D)"), 6).alias("p99"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ------------------------------------------------ sketch aggregates
+
+@query("q47_sketch_aggs")  # Spark-only: sketch estimates are engine-specific;
+# tests/test_relational_ext.py bounds them against the exact values
+def q47_sketch_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch aggregates: HyperLogLog++ distinct counts and KLL-style
+    approximate percentiles next to their exact twins.
+
+    These are the 100 TB versions of q07/q44: bounded-memory, mergeable
+    partials, one map-side pass. Estimates are engine-specific so there
+    is no SQL oracle; the test asserts approx_users within 5% of exact
+    and approx_p50 within the p25..p75 band.
+    """
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+            F.countDistinct("user_id").alias("exact_users"),
+            F.expr("approx_percentile(value, 0.5D, 10000)").alias("approx_p50"),
+            F.expr("percentile(value, 0.5D)").alias("exact_p50"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# -------------------------------------------- statistical aggregates
+
+@query(
+    "q48_stats_agg",
+    oracle="""
+SELECT l_returnflag,
+       round(stddev_samp(l_quantity), 4)                  AS sd_qty,
+       round(var_samp(l_quantity), 4)                     AS var_qty,
+       round(corr(l_quantity, l_extendedprice), 6)        AS corr_qty_price,
+       round(covar_samp(l_quantity, l_discount), 6)       AS covar_qty_disc,
+       round(skewness(l_quantity), 3)                     AS skew_qty,
+       round(kurtosis(l_quantity), 3)                     AS kurt_qty
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+""",
+)
+def q48_stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates: stddev/variance/corr/covar/skew/kurtosis.
+
+    Both engines use numerically-stable streaming moment updates
+    (Welford-style); third/fourth moments drift ~1e-6 between the two
+    update orders, so skew/kurtosis round to 3 decimals.
+    Scale: single-pass partial aggregation, constant state per group.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.stddev_samp("l_quantity"), 4).alias("sd_qty"),
+            F.round(F.var_samp("l_quantity"), 4).alias("var_qty"),
+            F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias(
+                "corr_qty_price"
+            ),
+            F.round(F.covar_samp("l_quantity", "l_discount"), 6).alias(
+                "covar_qty_disc"
+            ),
+            F.round(F.skewness("l_quantity"), 3).alias("skew_qty"),
+            F.round(F.kurtosis("l_quantity"), 3).alias("kurt_qty"),
+        )
+        .orderBy("l_returnflag")
+    )

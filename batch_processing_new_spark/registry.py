@@ -38,6 +38,7 @@ _REGISTRY: dict[str, QuerySpec] = {}
 # Modules whose import registers queries.
 _QUERY_MODULES = [
     "batch_processing_new_spark.operators.relational",
+    "batch_processing_new_spark.operators.relational_ext",
     "batch_processing_new_spark.operators.text_analysis",
     "batch_processing_new_spark.operators.dedup",
     "batch_processing_new_spark.operators.similarity",
