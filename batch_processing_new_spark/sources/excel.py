@@ -1,0 +1,280 @@
+"""Excel (.xlsx) source and sink with no third-party dependency.
+
+The reference declares Excel I/O via its dependency manifest
+(reference requirements.txt:47 ``openpyxl``, :23 ``et-xmlfile`` — see
+SURVEY.md §1.3); openpyxl is not available in this image, and an xlsx
+workbook is just a zip of ECMA-376 SpreadsheetML XML parts, so the
+format is implemented directly on ``zipfile`` + ``xml.etree``.
+
+Read path is distributed and scale-shaped: ``spark.read.format
+("binaryFile")`` lands one row per workbook (many-workbook corpora are
+the realistic 100 TB shape — thousands of files, not one giant sheet),
+and parsing runs executor-side in ``mapInPandas`` over Arrow batches.
+The write path is a driver-side small-result edge format, same category
+as the single-file CSV sink (sinks/writers.py): Excel is a delivery
+format, not a storage format — at scale you write parquet and export
+the final small result to xlsx.
+
+Supported cell types on read: inline strings, shared strings, formula
+string results, numbers, booleans — enough for workbooks produced by
+openpyxl/Excel/pandas. Write emits inline strings and raw numbers (no
+sharedStrings table needed for correctness; consumers accept both).
+"""
+
+from __future__ import annotations
+
+import io
+import re
+import zipfile
+from collections.abc import Iterator
+from xml.etree import ElementTree
+from xml.sax.saxutils import escape
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+
+_MAIN_NS = "http://schemas.openxmlformats.org/spreadsheetml/2006/main"
+_CELL_REF = re.compile(r"([A-Z]+)(\d+)")
+
+
+# ------------------------------------------------------------- write
+
+_CONTENT_TYPES = (
+    '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+    '<Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">'
+    '<Default Extension="rels" ContentType="application/vnd.openxmlformats-package.relationships+xml"/>'
+    '<Default Extension="xml" ContentType="application/xml"/>'
+    '<Override PartName="/xl/workbook.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/>'
+    '<Override PartName="/xl/worksheets/sheet1.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.worksheet+xml"/>'
+    "</Types>"
+)
+_ROOT_RELS = (
+    '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+    '<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">'
+    '<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/officeDocument" Target="xl/workbook.xml"/>'
+    "</Relationships>"
+)
+_WORKBOOK = (
+    '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+    f'<workbook xmlns="{_MAIN_NS}" '
+    'xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">'
+    '<sheets><sheet name="Sheet1" sheetId="1" r:id="rId1"/></sheets></workbook>'
+)
+_WORKBOOK_RELS = (
+    '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+    '<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">'
+    '<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet1.xml"/>'
+    "</Relationships>"
+)
+
+
+def _col_letter(idx: int) -> str:
+    """0-based column index -> A1-style letters."""
+    out = ""
+    idx += 1
+    while idx:
+        idx, rem = divmod(idx - 1, 26)
+        out = chr(ord("A") + rem) + out
+    return out
+
+
+def _cell_xml(ref: str, value) -> str:
+    if value is None or (isinstance(value, float) and value != value):
+        return f'<c r="{ref}"/>'
+    if isinstance(value, bool):
+        return f'<c r="{ref}" t="b"><v>{int(value)}</v></c>'
+    if isinstance(value, (int, float)):
+        return f'<c r="{ref}"><v>{value!r}</v></c>'
+    return f'<c r="{ref}" t="inlineStr"><is><t xml:space="preserve">{escape(str(value))}</t></is></c>'
+
+
+def workbook_bytes(header: list[str], rows: list[tuple]) -> bytes:
+    """Serialize header + rows into a single-sheet xlsx workbook."""
+    parts = ["<sheetData>"]
+    for rnum, row in enumerate([tuple(header), *rows], start=1):
+        cells = "".join(
+            _cell_xml(f"{_col_letter(c)}{rnum}", v) for c, v in enumerate(row)
+        )
+        parts.append(f'<row r="{rnum}">{cells}</row>')
+    parts.append("</sheetData>")
+    sheet = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        f'<worksheet xmlns="{_MAIN_NS}">' + "".join(parts) + "</worksheet>"
+    )
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as z:
+        z.writestr("[Content_Types].xml", _CONTENT_TYPES)
+        z.writestr("_rels/.rels", _ROOT_RELS)
+        z.writestr("xl/workbook.xml", _WORKBOOK)
+        z.writestr("xl/_rels/workbook.xml.rels", _WORKBOOK_RELS)
+        z.writestr("xl/worksheets/sheet1.xml", sheet)
+    return buf.getvalue()
+
+
+def write_xlsx(df: DataFrame, path: str, max_rows: int = 1_048_575) -> str:
+    """Driver-side xlsx sink for small final results (sheet row limit is
+    2^20; refuse anything bigger rather than silently truncate)."""
+    rows = [tuple(r) for r in df.collect()]
+    if len(rows) > max_rows:
+        raise ValueError(
+            f"xlsx sink is for small results: {len(rows)} rows > {max_rows}; "
+            "write parquet/csv instead"
+        )
+    payload = workbook_bytes(list(df.columns), rows)
+    with open(path, "wb") as f:
+        f.write(payload)
+    return path
+
+
+# -------------------------------------------------------------- read
+
+def _parse_sheet(
+    data: bytes,
+) -> tuple[list[str], list[list]]:
+    """Parse the first worksheet of an xlsx blob -> (header, rows)."""
+    with zipfile.ZipFile(io.BytesIO(data)) as z:
+        names = z.namelist()
+        shared: list[str] = []
+        if "xl/sharedStrings.xml" in names:
+            root = ElementTree.fromstring(z.read("xl/sharedStrings.xml"))
+            for si in root:
+                shared.append("".join(t.text or "" for t in si.iter(f"{{{_MAIN_NS}}}t")))
+        sheet_name = next(
+            n for n in sorted(names) if n.startswith("xl/worksheets/sheet")
+        )
+        root = ElementTree.fromstring(z.read(sheet_name))
+
+    rows: list[list] = []
+    for row_el in root.iter(f"{{{_MAIN_NS}}}row"):
+        cells: dict[int, object] = {}
+        for c in row_el.iter(f"{{{_MAIN_NS}}}c"):
+            ref = c.get("r", "")
+            m = _CELL_REF.match(ref)
+            if not m:
+                continue
+            col = 0
+            for ch in m.group(1):
+                col = col * 26 + (ord(ch) - ord("A") + 1)
+            col -= 1
+            ctype = c.get("t", "n")
+            value: object = None
+            if ctype == "inlineStr":
+                value = "".join(
+                    t.text or "" for t in c.iter(f"{{{_MAIN_NS}}}t")
+                )
+            else:
+                v = c.find(f"{{{_MAIN_NS}}}v")
+                if v is not None and v.text is not None:
+                    if ctype == "s":
+                        value = shared[int(v.text)]
+                    elif ctype == "str":
+                        value = v.text
+                    elif ctype == "b":
+                        value = v.text == "1"
+                    else:
+                        value = v.text  # numeric: keep lexical form
+            cells[col] = value
+        width = max(cells) + 1 if cells else 0
+        rows.append([cells.get(i) for i in range(width)])
+
+    if not rows:
+        return [], []
+    header = [str(h) if h is not None else f"_c{i}" for i, h in enumerate(rows[0])]
+    width = len(header)
+    body = [r[:width] + [None] * (width - len(r)) for r in rows[1:]]
+    return header, body
+
+
+def read_xlsx(
+    spark: SparkSession, path: str, columns: list[str]
+) -> DataFrame:
+    """Distributed xlsx read: one binaryFile row per workbook, parsed
+    executor-side. ``columns`` declares the expected header (order
+    defines the output schema; all columns land as strings — cast
+    downstream, exactly like schema-on-read CSV).
+
+    Scale: workbooks are independent files, so parallelism = number of
+    files; a single huge workbook cannot be split (zip + XML are not
+    splittable formats) — the same limitation every Excel reader has.
+    """
+    from batch_processing_new_spark.shipping import ensure_package_on_executors
+
+    ensure_package_on_executors(spark)
+    binary = spark.read.format("binaryFile").load(path).select("content")
+    out_schema = ", ".join(f"`{c}` string" for c in columns)
+
+    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            frames = []
+            for blob in pdf["content"]:
+                header, body = _parse_sheet(bytes(blob))
+                missing = [c for c in columns if c not in header]
+                if missing:
+                    raise ValueError(f"workbook missing columns {missing}")
+                idx = [header.index(c) for c in columns]
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            c: [
+                                None if r[i] is None else str(r[i])
+                                for r in body
+                            ]
+                            for c, i in zip(columns, idx)
+                        }
+                    )
+                )
+            if frames:
+                yield pd.concat(frames, ignore_index=True)
+
+    return binary.mapInPandas(parse, schema=out_schema)
+
+
+# ------------------------------------------------------------ query
+
+from batch_processing_new_spark.registry import query  # noqa: E402
+from batch_processing_new_spark.sources.readers import load_table  # noqa: E402
+
+
+@query(
+    "q49_excel_roundtrip",
+    oracle="""
+SELECT c_mktsegment,
+       count(*)                                                  AS n_customers,
+       CAST(sum(CAST(c_acctbal AS DECIMAL(30,8))) AS DOUBLE)     AS total_acctbal
+FROM customer
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+""",
+)
+def q49_excel_roundtrip(spark, sf_dir: str):
+    """customer -> xlsx sink -> distributed xlsx scan -> cast -> agg.
+
+    The oracle aggregates the parquet directly, so a hash-match proves
+    the workbook writer and the executor-side reader are lossless
+    (float cells round-trip via repr -> cast). Exercises the declared
+    Excel surface end to end (reference requirements.txt:47).
+    """
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    c = load_table(spark, sf_dir, "customer")
+    path = os.path.join(
+        tempfile.mkdtemp(prefix="xlsx_roundtrip_"), "customer.xlsx"
+    )
+    write_xlsx(c, path)
+    back = read_xlsx(spark, path, columns=list(c.columns))
+    return (
+        back.select(
+            "c_mktsegment", F.col("c_acctbal").cast("double").alias("c_acctbal")
+        )
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum(F.col("c_acctbal").cast("decimal(30,8)"))
+            .cast("double")
+            .alias("total_acctbal"),
+        )
+        .orderBy("c_mktsegment")
+    )
