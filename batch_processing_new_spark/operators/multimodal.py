@@ -152,3 +152,183 @@ def q46_multimodal_filter_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ----------------------------------------- resize / frames / features
+
+TARGET_BOX = 224  # fake-resize target (the ubiquitous vision-model input)
+FRAME_STRIDE = 4  # keep every 4th frame
+
+RESIZE_SCHEMA = (
+    "doc_id bigint, width int, height int, out_w int, out_h int"
+)
+FRAME_SCHEMA = "doc_id bigint, frame_idx int, frame_key string"
+FEATURE_DIM = 8
+FEATURE_SCHEMA = "doc_id bigint, feature array<double>"
+
+
+def resize_media(decoded: DataFrame) -> DataFrame:
+    """Fake resize: fit (width, height) into a TARGET_BOX square keeping
+    aspect ratio, integer arithmetic only (so the oracle recomputes it
+    bit-exactly). A real codec would also emit resized bytes; the
+    Spark-side shape — metadata in, metadata out, mapInPandas batch —
+    is identical.
+    """
+    from batch_processing_new_spark.shipping import ensure_package_on_executors
+
+    ensure_package_on_executors(decoded.sparkSession)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            g = pdf[["width", "height"]].max(axis=1)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": pdf["width"],
+                    "height": pdf["height"],
+                    "out_w": (pdf["width"] * TARGET_BOX) // g,
+                    "out_h": (pdf["height"] * TARGET_BOX) // g,
+                }
+            )
+
+    return decoded.select("doc_id", "width", "height").mapInPandas(
+        run, schema=RESIZE_SCHEMA
+    )
+
+
+def sample_frames(decoded: DataFrame, stride: int = FRAME_STRIDE) -> DataFrame:
+    """Fake frame sampling: one output row per kept frame (indexes
+    0, stride, 2*stride, ... < n_frames), each tagged with a
+    deterministic frame key (md5 of doc_id:frame_idx — what a real
+    pipeline would replace with the frame's content hash).
+
+    Cardinality-changing mapInPandas: the batch that comes in is not the
+    batch that goes out — the plumbing a real video sampler needs.
+    """
+    from batch_processing_new_spark.shipping import ensure_package_on_executors
+
+    ensure_package_on_executors(decoded.sparkSession)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            ids, idxs, keys = [], [], []
+            for doc_id, n_frames in zip(pdf["doc_id"], pdf["n_frames"]):
+                for k in range(0, int(n_frames), stride):
+                    ids.append(doc_id)
+                    idxs.append(k)
+                    keys.append(
+                        hashlib.md5(f"{doc_id}:{k}".encode()).hexdigest()
+                    )
+            yield pd.DataFrame(
+                {"doc_id": ids, "frame_idx": idxs, "frame_key": keys}
+            )
+
+    return decoded.select("doc_id", "n_frames").mapInPandas(
+        run, schema=FRAME_SCHEMA
+    )
+
+
+def extract_features(decoded: DataFrame, dim: int = FEATURE_DIM) -> DataFrame:
+    """Fake feature extraction: an 8-d vector derived from md5 of
+    (doc_id, slot, n_bytes) — deterministic, SQL-recomputable, and
+    shaped exactly like a real embedding UDF (array<double> out,
+    Arrow-batched in)."""
+    from batch_processing_new_spark.shipping import ensure_package_on_executors
+
+    ensure_package_on_executors(decoded.sparkSession)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        def feat(doc_id: int, n_bytes: int) -> list[float]:
+            out = []
+            for j in range(dim):
+                h = hashlib.md5(f"{doc_id}:{j}:{n_bytes}".encode()).hexdigest()
+                out.append(round(int(h[:8], 16) / 0xFFFFFFFF, 6))
+            return out
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "feature": [
+                        feat(d, n)
+                        for d, n in zip(pdf["doc_id"], pdf["n_bytes"])
+                    ],
+                }
+            )
+
+    return decoded.select("doc_id", "n_bytes").mapInPandas(
+        run, schema=FEATURE_SCHEMA
+    )
+
+
+_N_BYTES_SQL = "octet_length(encode(text))"
+_WIDTH_SQL = f"64 + ({_N_BYTES_SQL} % 512)"
+_HEIGHT_SQL = f"64 + (({_N_BYTES_SQL} * 7) % 512)"
+_N_FRAMES_SQL = f"CAST(ceil({_N_BYTES_SQL} / 256.0) AS INT)"
+
+
+@query(
+    "q54_multimodal_resize",
+    oracle=f"""
+WITH m AS (
+    SELECT doc_id, {_WIDTH_SQL} AS width, {_HEIGHT_SQL} AS height
+    FROM documents
+)
+SELECT doc_id, width, height,
+       CAST((width  * {TARGET_BOX}) // greatest(width, height) AS INT) AS out_w,
+       CAST((height * {TARGET_BOX}) // greatest(width, height) AS INT) AS out_h
+FROM m
+ORDER BY doc_id
+""",
+)
+def q54_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """decode -> resize, both Pandas-UDF stages, fully oracle-checked."""
+    d = load_table(spark, sf_dir, "documents")
+    return resize_media(decode_media(with_media_payload(d))).orderBy("doc_id")
+
+
+@query(
+    "q55_frame_sample",
+    oracle=f"""
+WITH m AS (
+    SELECT doc_id, {_N_FRAMES_SQL} AS n_frames FROM documents
+),
+f AS (
+    SELECT doc_id, unnest(range(0, n_frames, {FRAME_STRIDE})) AS f FROM m
+)
+SELECT doc_id,
+       CAST(f AS INT)                            AS frame_idx,
+       md5(doc_id::VARCHAR || ':' || f::VARCHAR) AS frame_key
+FROM f
+ORDER BY doc_id, frame_idx
+""",
+)
+def q55_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """decode -> stride frame sampling (cardinality-changing Python map)."""
+    d = load_table(spark, sf_dir, "documents")
+    return sample_frames(decode_media(with_media_payload(d))).orderBy(
+        "doc_id", "frame_idx"
+    )
+
+
+@query(
+    "q56_media_features",
+    oracle=f"""
+WITH m AS (
+    SELECT doc_id, {_N_BYTES_SQL} AS n_bytes FROM documents
+)
+SELECT doc_id,
+       [round(('0x' || substr(md5(doc_id::VARCHAR || ':' || j::VARCHAR || ':' || n_bytes::VARCHAR), 1, 8))::BIGINT / 4294967295.0, 6)
+        FOR j IN generate_series(0, {FEATURE_DIM - 1})] AS feature
+FROM m
+ORDER BY doc_id
+""",
+)
+def q56_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """decode -> fake embedding extraction (array<double> per item)."""
+    d = load_table(spark, sf_dir, "documents")
+    return extract_features(decode_media(with_media_payload(d))).orderBy("doc_id")
