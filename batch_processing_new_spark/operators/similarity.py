@@ -253,3 +253,135 @@ def q42_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sign-LSH approximate top-k for the q40 query set."""
     e = load_table(spark, sf_dir, "embeddings")
     return ann_lsh_topk(e).orderBy("query_id", "rank")
+
+
+# ------------------------------------------------------------ IVF ANN
+
+IVF_CELLS = 16   # coarse quantizer cells (K)
+IVF_NPROBE = 4   # cells probed per query: the recall/cost dial
+
+
+def _dist2_to(centroid: list[float], vec: Column) -> Column:
+    """Squared L2 distance to a constant centroid, JVM-side."""
+    return F.aggregate(
+        F.zip_with(
+            vec,
+            F.array(*[F.lit(float(x)) for x in centroid]),
+            lambda a, b: (a - b) * (a - b),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _nearest_cells(vec: Column, centroids: list[list[float]], n: int) -> Column:
+    """Array of the n nearest centroid ids (struct array_sort: Spark
+    orders struct arrays field-by-field, so (dist, cid) sorts by dist)."""
+    scored = F.array(
+        *[
+            F.struct(
+                F.round(_dist2_to(c, vec), 9).alias("d"), F.lit(i).alias("cid")
+            )
+            for i, c in enumerate(centroids)
+        ]
+    )
+    ranked = F.slice(F.array_sort(scored), 1, n)
+    return F.transform(ranked, lambda s: s["cid"])
+
+
+def train_ivf_centroids(
+    emb: DataFrame, k: int = IVF_CELLS, lloyd_iters: int = 1
+) -> list[list[float]]:
+    """Coarse quantizer: deterministic seeds (the k lowest vec_ids) plus
+    ``lloyd_iters`` distributed k-means steps.
+
+    Each step is two DataFrame passes — assign (argmin over broadcast
+    centroids, whole-stage codegen) and re-center (posexplode ->
+    groupBy(cell, pos) -> avg) — the classic Spark k-means shape: only
+    k x dim floats ever return to the driver. Means are rounded so cell
+    assignment is reproducible across partitionings.
+    """
+    seeds = (
+        emb.orderBy("vec_id")
+        .limit(k)
+        .select(_f64("embedding").alias("v"))
+        .collect()
+    )
+    centroids = [list(r.v) for r in seeds]
+    for _ in range(lloyd_iters):
+        assigned = emb.select(
+            _f64("embedding").alias("v"),
+            _nearest_cells(_f64("embedding"), centroids, 1)[0].alias("cell"),
+        )
+        means = (
+            assigned.select("cell", F.posexplode("v").alias("pos", "x"))
+            .groupBy("cell", "pos")
+            .agg(F.round(F.avg("x"), 6).alias("m"))
+            .groupBy("cell")
+            .agg(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("pos"), F.col("m")))
+                    ),
+                    lambda s: s["m"],
+                ).alias("centroid")
+            )
+            .collect()
+        )
+        new = {r.cell: list(r.centroid) for r in means}
+        centroids = [new.get(i, centroids[i]) for i in range(k)]
+    return centroids
+
+
+def ann_ivf_topk(
+    emb: DataFrame,
+    n_queries: int = N_QUERIES,
+    k: int = TOPK,
+    cells: int = IVF_CELLS,
+    nprobe: int = IVF_NPROBE,
+) -> DataFrame:
+    """IVF approximate top-k: corpus bucketed by nearest centroid,
+    queries probe their ``nprobe`` nearest cells, exact cosine ranks the
+    candidates.
+
+    Scale: at 100 TB the assignment is computed once at ingest and the
+    corpus persisted bucketed/partitioned by cell (partition pruning
+    turns a probe into an nprobe/cells fraction scan); here the
+    assignment is inline. Candidates shuffle on cell only.
+    """
+    from pyspark.sql import Window
+
+    centroids = train_ivf_centroids(emb, cells)
+    corpus = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        _f64("embedding").alias("cv"),
+        _nearest_cells(_f64("embedding"), centroids, 1)[0].alias("cell"),
+    )
+    queries = emb.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        _f64("embedding").alias("qv"),
+        F.explode(
+            _nearest_cells(_f64("embedding"), centroids, nprobe)
+        ).alias("cell"),
+    )
+    cand = F.broadcast(queries).join(corpus, "cell").where(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    scored = cand.withColumn(
+        "cos_sim", F.round(cosine(F.col("qv"), F.col("cv")), 6)
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )
+
+
+@query("q57_ann_ivf_topk")  # Spark-only; recall vs q40 in tests/test_similarity.py
+def q57_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-bucketed approximate top-k for the q40 query set."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return ann_ivf_topk(e).orderBy("query_id", "rank")

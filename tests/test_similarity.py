@@ -42,3 +42,40 @@ def test_ann_scores_match_exact_for_common_neighbors(spark):
     for r in ann_lsh_topk(e).collect():
         if (r.query_id, r.neighbor_id) in exact:
             assert r.cos_sim == exact[(r.query_id, r.neighbor_id)]
+
+
+def test_ivf_recall_vs_exact(spark):
+    """IVF with nprobe=4 of 16 cells must recover >= 60% of the exact
+    top-10 on average (random-candidate baseline ~2%); common neighbors
+    must carry identical exact-cosine scores."""
+    from batch_processing_new_spark.operators.similarity import ann_ivf_topk
+
+    exact_rows = all_specs()["q40_cosine_topk"].fn(spark, SF_CORRECT).collect()
+    truth: dict[int, set[int]] = {}
+    scores: dict[tuple[int, int], float] = {}
+    for r in exact_rows:
+        truth.setdefault(r.query_id, set()).add(r.neighbor_id)
+        scores[(r.query_id, r.neighbor_id)] = r.cos_sim
+
+    e = load_table(spark, SF_CORRECT, "embeddings")
+    approx = ann_ivf_topk(e).collect()
+    got: dict[int, set[int]] = {}
+    for r in approx:
+        got.setdefault(r.query_id, set()).add(r.neighbor_id)
+        if (r.query_id, r.neighbor_id) in scores:
+            assert r.cos_sim == scores[(r.query_id, r.neighbor_id)]
+
+    recalls = [len(truth[q] & got.get(q, set())) / len(truth[q]) for q in truth]
+    mean_recall = sum(recalls) / len(recalls)
+    assert mean_recall >= 0.6, f"IVF mean recall {mean_recall:.2f} ({recalls})"
+
+
+def test_ivf_returns_k_rows_per_query(spark):
+    from batch_processing_new_spark.operators.similarity import ann_ivf_topk
+
+    e = load_table(spark, SF_CORRECT, "embeddings")
+    per_q: dict[int, int] = {}
+    for r in ann_ivf_topk(e).collect():
+        per_q[r.query_id] = per_q.get(r.query_id, 0) + 1
+    assert set(per_q) == set(range(5))
+    assert all(v == 10 for v in per_q.values()), per_q
