@@ -171,3 +171,172 @@ def q26_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         token_set_fingerprint(F.col("text")).alias("token_set_fp"),
         hash60(norm).alias("fp60"),
     ).orderBy("doc_id")
+
+
+@query(
+    "q58_bigrams",
+    oracle="""
+WITH t AS (
+    SELECT string_split(trim(text), ' ') AS toks FROM documents
+),
+bg AS (
+    SELECT unnest([toks[i] || ' ' || toks[i+1] FOR i IN range(1, len(toks))]) AS bigram
+    FROM t
+),
+counted AS (
+    SELECT bigram, count(*) AS n FROM bg GROUP BY bigram
+),
+ranked AS (
+    SELECT bigram, n,
+           row_number() OVER (ORDER BY n DESC, bigram) AS rank
+    FROM counted
+)
+SELECT bigram, n, rank FROM ranked WHERE rank <= 50 ORDER BY rank
+""",
+)
+def q58_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 corpus bigrams. n-gram construction is a zip of the token
+    array with its own tail — pure JVM array ops, then one count shuffle
+    carrying (bigram, partial count).
+    """
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    n = F.size(toks)
+    bigrams = F.zip_with(
+        F.slice(toks, 1, n - 1),
+        F.slice(toks, 2, n - 1),
+        lambda x, y: F.concat_ws(" ", x, y),
+    )
+    w = Window.orderBy(F.col("n").desc(), F.col("bigram"))
+    return (
+        d.select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 50)
+        .orderBy("rank")
+    )
+
+
+@query(
+    "q59_tfidf",
+    oracle="""
+WITH tok AS (
+    SELECT doc_id, unnest(string_split(trim(text), ' ')) AS term FROM documents
+),
+tf AS (
+    SELECT doc_id, term, count(*) AS cnt FROM tok GROUP BY doc_id, term
+),
+dl AS (SELECT doc_id, sum(cnt) AS doc_len FROM tf GROUP BY doc_id),
+df AS (SELECT term, count(*) AS doc_freq FROM tf GROUP BY term),
+n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+    SELECT tf.doc_id, tf.term,
+           round((tf.cnt * 1.0 / dl.doc_len)
+                 * ln((n.n_docs + 1.0) / (df.doc_freq + 1.0)), 6) AS tfidf
+    FROM tf JOIN dl USING (doc_id) JOIN df USING (term) CROSS JOIN n
+),
+ranked AS (
+    SELECT doc_id, term, tfidf,
+           row_number() OVER (PARTITION BY doc_id
+                              ORDER BY tfidf DESC, term) AS rank
+    FROM scored
+)
+SELECT doc_id, term, tfidf, rank FROM ranked WHERE rank <= 3
+ORDER BY doc_id, rank
+""",
+)
+def q59_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Smoothed TF-IDF, top-3 terms per document.
+
+    Plan shape: one explode + (doc, term) count, document frequency as a
+    second agg on the same intermediate, N as a broadcast scalar. The
+    score is rounded BEFORE ranking so the ranking itself is
+    engine-independent (libm log differs in the last ulp).
+    Scale: shuffles carry (term, count) pairs, never text; df for
+    ultra-common terms is the only skew point — cap with a stop-list at
+    real scale.
+    """
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    tf = (
+        d.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    dl = tf.groupBy("doc_id").agg(F.sum("cnt").alias("doc_len"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("doc_freq"))
+    n_docs = d.count()  # scalar; literal-folded into the expression
+    scored = (
+        tf.join(dl, "doc_id")
+        .join(dfreq, "term")
+        .withColumn(
+            "tfidf",
+            F.round(
+                (F.col("cnt") / F.col("doc_len"))
+                * F.log((n_docs + 1.0) / (F.col("doc_freq") + 1.0)),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+        .select("doc_id", "term", "tfidf", "rank")
+        .orderBy("doc_id", "rank")
+    )
+
+
+CHUNK_TOKENS = 32
+
+
+@query(
+    "q60_chunking",
+    oracle=f"""
+WITH t AS (
+    SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents
+),
+c AS (
+    SELECT doc_id,
+           unnest(range(0, CAST(ceil(len(toks) / {CHUNK_TOKENS}.0) AS BIGINT))) AS chunk_id,
+           toks
+    FROM t
+)
+SELECT doc_id,
+       CAST(chunk_id AS INT) AS chunk_id,
+       array_to_string(list_slice(toks, chunk_id * {CHUNK_TOKENS} + 1,
+                                  (chunk_id + 1) * {CHUNK_TOKENS}), ' ') AS chunk_text,
+       len(list_slice(toks, chunk_id * {CHUNK_TOKENS} + 1,
+                      (chunk_id + 1) * {CHUNK_TOKENS}))                  AS n_tokens
+FROM c
+ORDER BY doc_id, chunk_id
+""",
+)
+def q60_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size token chunking — the training-data op that turns
+    documents into model-sized pieces (here {CHUNK_TOKENS} tokens,
+    non-overlapping). One explode of chunk indexes + array slice, all
+    JVM-side; the text shuffles only if a downstream op asks it to.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    n_chunks = F.ceil(F.size(toks) / F.lit(float(CHUNK_TOKENS))).cast("long")
+    with_toks = d.select("doc_id", toks.alias("toks"), n_chunks.alias("nc"))
+    c = with_toks.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.col("nc") - 1)).alias("chunk_id"),
+        "toks",
+    )
+    piece = F.slice(
+        F.col("toks"), F.col("chunk_id") * CHUNK_TOKENS + 1, CHUNK_TOKENS
+    )
+    return c.select(
+        "doc_id",
+        F.col("chunk_id").cast("int").alias("chunk_id"),
+        F.concat_ws(" ", piece).alias("chunk_text"),
+        F.size(piece).alias("n_tokens"),
+    ).orderBy("doc_id", "chunk_id")
