@@ -348,3 +348,48 @@ def q48_stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+# ------------------------------------------- reproducible sampling
+
+SAMPLE_RATES = {"en": 50, "es": 20, "de": 20, "fr": 10, "zh": 5}  # percent
+
+
+@query(
+    "q61_hash_sample",
+    oracle=f"""
+WITH rated AS (
+    SELECT doc_id, lang,
+           CASE lang {' '.join(f"WHEN '{k}' THEN {v}" for k, v in SAMPLE_RATES.items())}
+                ELSE 0 END AS rate
+    FROM documents
+)
+SELECT doc_id, lang
+FROM rated
+WHERE ('0x' || substr(md5('sample:' || doc_id::VARCHAR), 1, 15))::BIGINT % 100 < rate
+ORDER BY doc_id
+""",
+)
+def q61_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified reproducible sampling: per-language rates decided by a
+    key hash, not an RNG.
+
+    ``df.sample``/``sampleBy`` draw per-partition random numbers — the
+    selected set changes with partitioning, which is unacceptable for
+    training-corpus lineage. Hash-gating on the stable key gives the
+    same sample at any parallelism, on any engine (hence the exact SQL
+    oracle), and composes with incremental re-runs: new rows don't
+    reshuffle old membership.
+    """
+    from batch_processing_new_spark.functions.text_funcs import hash60
+
+    d = load_table(spark, sf_dir, "documents")
+    rate = F.create_map(
+        *[x for k, v in SAMPLE_RATES.items() for x in (F.lit(k), F.lit(v))]
+    )[F.col("lang")]
+    gate = hash60(F.concat(F.lit("sample:"), F.col("doc_id").cast("string"))) % 100
+    return (
+        d.where(gate < F.coalesce(rate, F.lit(0)))
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    )

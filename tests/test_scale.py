@@ -1,0 +1,69 @@
+"""Plan-shape tests for the scale utilities: salted joins preserve
+results; bucketed tables join without a shuffle."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_salted_join_equals_plain_join(spark):
+    from batch_processing_new_spark.operators.scale import salted_join
+    from batch_processing_new_spark.sources.readers import load_table
+
+    li = load_table(spark, SF, "lineitem").select("l_orderkey", "l_quantity")
+    o = (
+        load_table(spark, SF, "orders")
+        .select(F.col("o_orderkey").alias("l_orderkey"), "o_totalprice")
+    )
+    plain = (
+        li.join(o, "l_orderkey")
+        .groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("l_quantity").alias("q"))
+    )
+    salted = (
+        salted_join(li, o, "l_orderkey", n_salts=4)
+        .groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("l_quantity").alias("q"))
+    )
+    a = {(r.l_orderkey): (r.n, r.q) for r in plain.collect()}
+    b = {(r.l_orderkey): (r.n, r.q) for r in salted.collect()}
+    assert a == b
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    from batch_processing_new_spark.operators.scale import write_bucketed
+    from batch_processing_new_spark.sources.readers import load_table
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        li = load_table(spark, SF, "lineitem").select("l_orderkey", "l_quantity")
+        o = load_table(spark, SF, "orders").select("o_orderkey", "o_totalprice")
+        write_bucketed(li, "b_lineitem", "l_orderkey", n_buckets=4)
+        write_bucketed(
+            o.withColumnRenamed("o_orderkey", "l_orderkey"),
+            "b_orders",
+            "l_orderkey",
+            n_buckets=4,
+        )
+        joined = spark.table("b_lineitem").join(spark.table("b_orders"), "l_orderkey")
+        plan = _plan(joined)
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, plan  # bucketing removed the shuffle
+        # and the join is still correct
+        n = joined.count()
+        assert n == li.count()  # every lineitem has its order
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        spark.conf.set(
+            "spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)
+        )
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
+        spark.sql("DROP TABLE IF EXISTS b_orders")

@@ -74,3 +74,45 @@ def test_stateful_running_stats_converge_to_batch(spark):
         .collect()
     }
     assert got == exp
+
+
+def test_foreachbatch_microbatch_enrichment(spark, tmp_path):
+    """Streaming enrichment: events replayed as a file stream, each
+    micro-batch run through the batch enrich operator via foreachBatch —
+    the composition SURVEY.md §7 step 8 calls for. Every event must be
+    enriched exactly once with the deterministic mock response."""
+    from batch_processing_new_spark.operators.enrich import (
+        EnrichConfig,
+        build_prompt,
+        enrich,
+        mock_response,
+    )
+    from batch_processing_new_spark.streaming.stream_queries import (
+        read_events_stream,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    out_dir = str(tmp_path / "enriched")
+    cfg = EnrichConfig(system_prompt="Classify", transport="mock")
+
+    def handle_batch(batch_df, batch_id: int) -> None:
+        enriched = enrich(
+            batch_df.select("event_id", "event_type"), "event_type", cfg
+        )
+        enriched.write.mode("append").parquet(out_dir)
+
+    stream = read_events_stream(spark, sf)
+    q = (
+        stream.writeStream.foreachBatch(handle_batch)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.awaitTermination()
+
+    got = spark.read.parquet(out_dir)
+    n_events = spark.read.parquet(f"{sf}/events.parquet").count()
+    assert got.count() == n_events
+    sample = got.limit(20).collect()
+    for r in sample:
+        assert r.Response == mock_response(build_prompt("Classify", r.event_type))
