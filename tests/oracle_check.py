@@ -17,6 +17,8 @@ def normalize(pdf: pd.DataFrame) -> pd.DataFrame:
     pdf = pdf.reindex(sorted(pdf.columns), axis=1)
     # canonicalize cell values for ordering/comparison
     def canon(v):
+        if hasattr(v, "tolist") and not hasattr(v, "isoformat"):
+            v = v.tolist()  # numpy array/scalar from toPandas
         if v is None or (isinstance(v, float) and math.isnan(v)):
             return None
         if hasattr(v, "isoformat"):
