@@ -39,6 +39,7 @@ _REGISTRY: dict[str, QuerySpec] = {}
 _QUERY_MODULES = [
     "batch_processing_new_spark.operators.relational",
     "batch_processing_new_spark.operators.relational_ext",
+    "batch_processing_new_spark.operators.grouped_map",
     "batch_processing_new_spark.operators.text_analysis",
     "batch_processing_new_spark.operators.dedup",
     "batch_processing_new_spark.operators.similarity",
