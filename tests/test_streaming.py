@@ -116,3 +116,79 @@ def test_foreachbatch_microbatch_enrichment(spark, tmp_path):
     sample = got.limit(20).collect()
     for r in sample:
         assert r.Response == mock_response(build_prompt("Classify", r.event_type))
+
+
+
+def test_watermark_drops_late_data(spark, tmp_path):
+    """Late-data semantics in append mode: a watermark finalizes a window
+    one micro-batch after the stream's max event time passes window_end +
+    delay; an event arriving after that must not revise the emitted
+    result. Three single-file micro-batches: on-time data (max 12:00),
+    a filler batch (12:30) that lets the 11:50 watermark take effect,
+    then a 2.5-hour-late event for the already-finalized 10:00 window."""
+    import os
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    src = tmp_path / "stream_src"
+    src.mkdir()
+
+    def write_file(name: str, ids, tss, vals, mtime: int) -> None:
+        df = pd.DataFrame(
+            {
+                "event_id": ids,
+                # pandas defaults to ns parquet timestamps, which Spark's
+                # vectorized reader rejects - write micro precision
+                "ts": pd.to_datetime(tss).astype("datetime64[us]"),
+                "value": vals,
+            }
+        )
+        path = src / name
+        df.to_parquet(path)
+        # the file source orders micro-batches by modification time
+        os.utime(path, (mtime, mtime))
+
+    write_file(
+        "part-000.parquet",
+        [1, 2, 3],
+        ["2024-01-01 10:01:00", "2024-01-01 10:02:00", "2024-01-01 12:00:00"],
+        [1.0, 2.0, 4.0],
+        1_700_000_000,
+    )
+    write_file(
+        "part-001.parquet", [5], ["2024-01-01 12:30:00"], [8.0], 1_700_000_100
+    )
+    write_file(
+        "part-002.parquet", [4], ["2024-01-01 10:03:00"], [100.0], 1_700_000_200
+    )
+
+    schema = spark.read.parquet(str(src / "part-000.parquet")).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src))
+    )
+    agg = (
+        stream.withColumn("ts", F.col("ts").cast("timestamp"))  # NTZ -> instant
+        .withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour"))
+        .agg(F.sum("value").alias("total"))
+    )
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("late_test")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.awaitTermination()
+    rows = {
+        r["window"].start.strftime("%H:%M"): r.total
+        for r in spark.table("late_test").collect()
+    }
+    # 10:00 window finalized at 3.0 BEFORE the late event arrived; the
+    # late value=100 was dropped. 12:00/12:30 windows stay open (the
+    # final 12:20 watermark never passes their ends) so emit nothing.
+    assert rows == {"10:00": 3.0}, rows
