@@ -393,3 +393,78 @@ def q61_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "lang")
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------- null semantics / higher-order
+
+@query(
+    "q64_null_funcs",
+    oracle="""
+SELECT c_custkey,
+       coalesce(nullif(c_mktsegment, 'BUILDING'), 'OTHER') AS segment_or_other,
+       CASE WHEN c_acctbal < 0 THEN NULL ELSE round(c_acctbal, 2) END AS pos_bal,
+       ifnull(CASE WHEN c_acctbal < 0 THEN NULL ELSE round(c_acctbal, 2) END, 0.0)
+                                                          AS pos_bal_or_zero,
+       (c_acctbal IS NULL)                                AS bal_is_null,
+       greatest(round(c_acctbal, 2), 0.0)                 AS bal_floor0
+FROM customer
+ORDER BY c_custkey
+""",
+)
+def q64_null_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL semantics: nullif/coalesce/ifnull/greatest and three-valued
+    logic — the functions every cleanup pipeline leans on."""
+    c = load_table(spark, sf_dir, "customer")
+    pos_bal = F.when(F.col("c_acctbal") < 0, F.lit(None)).otherwise(
+        F.round(F.col("c_acctbal"), 2)
+    )
+    return c.select(
+        "c_custkey",
+        F.coalesce(
+            F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")), F.lit("OTHER")
+        ).alias("segment_or_other"),
+        pos_bal.alias("pos_bal"),
+        F.ifnull(pos_bal, F.lit(0.0)).alias("pos_bal_or_zero"),
+        F.col("c_acctbal").isNull().alias("bal_is_null"),
+        F.greatest(F.round(F.col("c_acctbal"), 2), F.lit(0.0)).alias("bal_floor0"),
+    ).orderBy("c_custkey")
+
+
+@query(
+    "q65_higher_order_funcs",
+    oracle="""
+WITH t AS (
+    SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents
+)
+SELECT doc_id,
+       len(list_filter(toks, x -> length(x) > 4))                    AS n_long,
+       list_transform(toks[1:3], x -> upper(x))                      AS first3_upper,
+       list_reduce(list_transform(toks, x -> length(x)),
+                   (a, b) -> a + b)                                  AS total_chars,
+       array_to_string(list_reverse_sort(list_distinct(toks))[1:2], ',') AS top2_rev
+FROM t
+ORDER BY doc_id
+""",
+)
+def q65_higher_order_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array higher-order functions (transform/filter/aggregate/slice/
+    sort) — all JVM lambda expressions, zero Python."""
+    d = load_table(spark, sf_dir, "documents")
+    from batch_processing_new_spark.functions.text_funcs import tokens
+
+    toks = tokens(F.col("text"))
+    return d.select(
+        "doc_id",
+        F.size(F.filter(toks, lambda x: F.length(x) > 4)).alias("n_long"),
+        F.transform(F.slice(toks, 1, 3), lambda x: F.upper(x)).alias(
+            "first3_upper"
+        ),
+        F.aggregate(
+            F.transform(toks, lambda x: F.length(x).cast("long")),
+            F.lit(0).cast("long"),
+            lambda a, b: a + b,
+        ).alias("total_chars"),
+        F.concat_ws(
+            ",", F.slice(F.reverse(F.array_sort(F.array_distinct(toks))), 1, 2)
+        ).alias("top2_rev"),
+    ).orderBy("doc_id")

@@ -67,3 +67,31 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
         )
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
         spark.sql("DROP TABLE IF EXISTS b_orders")
+
+
+def test_partitioned_write_prunes_partitions(spark, tmp_path):
+    """Hive-partitioned parquet + a partition-key filter must show
+    partition pruning in the scan (PartitionFilters), reading only the
+    matching directory — the mechanism that turns a 100 TB scan into a
+    single-partition read."""
+    from batch_processing_new_spark.sinks.writers import write_parquet
+    from batch_processing_new_spark.sources.readers import load_table
+
+    ev = load_table(spark, SF, "events")
+    dest = str(tmp_path / "events_by_type")
+    write_parquet(ev, dest, partition_by=["event_type"])
+
+    back = spark.read.parquet(dest).where(F.col("event_type") == "purchase")
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert "purchase" in plan  # the filter reached the partition pruner
+    expected = ev.where(F.col("event_type") == "purchase").count()
+    assert back.count() == expected
+
+    import glob
+    import os
+
+    read_dirs = glob.glob(os.path.join(dest, "event_type=*"))
+    assert len(read_dirs) == 5  # all partitions exist on disk; the scan's
+    # PartitionFilters (asserted above) restrict reading to event_type=purchase
+    # (inputFiles() reflects the unpruned file index, so don't assert on it)
