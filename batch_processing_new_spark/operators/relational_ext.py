@@ -468,3 +468,51 @@ def q65_higher_order_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ",", F.slice(F.reverse(F.array_sort(F.array_distinct(toks))), 1, 2)
         ).alias("top2_rev"),
     ).orderBy("doc_id")
+
+
+# ----------------------------------------------- RANGE window frames
+
+@query(
+    "q66_window_range_frame",
+    oracle="""
+SELECT event_id,
+       user_id,
+       CAST(sum(CAST(value AS DECIMAL(30,8))) OVER (
+           PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP)
+           RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW
+       ) AS DOUBLE)                                  AS rolling_1h_value,
+       count(*) OVER (
+           PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP)
+           RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW
+       )                                             AS rolling_1h_events
+FROM events
+ORDER BY event_id
+""",
+)
+def q66_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-based RANGE window frame: per-user rolling 1-hour sum/count.
+
+    Spark's rangeBetween needs a numeric ordering column, so the frame
+    runs over epoch seconds — semantically identical to DuckDB's
+    INTERVAL RANGE frame. One shuffle+sort per user partition; at scale
+    this is the standard sliding-metric shape (same sort serves many
+    frame widths).
+    """
+    e = load_table(spark, sf_dir, "events")
+    epoch_s = F.unix_micros(F.col("ts").cast("timestamp")) / 1_000_000.0
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(epoch_s)
+        .rangeBetween(-3600, 0)
+    )
+    return (
+        e.select(
+            "event_id",
+            "user_id",
+            F.sum(F.col("value").cast(DEC)).over(w).cast("double").alias(
+                "rolling_1h_value"
+            ),
+            F.count(F.lit(1)).over(w).alias("rolling_1h_events"),
+        )
+        .orderBy("event_id")
+    )

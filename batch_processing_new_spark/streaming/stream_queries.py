@@ -199,3 +199,50 @@ def q53_stream_dedupe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("n_first_events")
     ).orderBy("user_id")
+
+
+@query("q67_stream_stream_join")  # Spark-only; batch equivalence in tests
+def q67_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join: purchases joined to views of the same
+    user within the preceding hour — the streaming twin of the batch
+    banded range join (q43).
+
+    Both sides are watermarked so Spark can bound the join state: a
+    buffered view can be evicted once the watermark passes its ts + 1h
+    (the join condition's reach). Output counts views per purchase;
+    batch equivalence is asserted in tests/test_streaming.py.
+    """
+    events = read_events_stream(spark, sf_dir).withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    purchases = (
+        events.where(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "10 minutes")
+    )
+    views = (
+        events.where(F.col("event_type") == "view")
+        .select(
+            F.col("event_id").alias("view_id"),
+            F.col("user_id").alias("v_user"),
+            F.col("ts").alias("v_ts"),
+        )
+        .withWatermark("v_ts", "10 minutes")
+    )
+    joined = purchases.join(
+        views,
+        (F.col("p_user") == F.col("v_user"))
+        & (F.col("v_ts") > F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("v_ts") <= F.col("p_ts")),
+        "inner",
+    )
+    res = run_append_to_memory(joined, "ssj")
+    return (
+        res.groupBy("purchase_id")
+        .agg(F.count(F.lit(1)).alias("n_views_1h"))
+        .orderBy("purchase_id")
+    )

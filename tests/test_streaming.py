@@ -192,3 +192,24 @@ def test_watermark_drops_late_data(spark, tmp_path):
     # late value=100 was dropped. 12:00/12:30 windows stay open (the
     # final 12:20 watermark never passes their ends) so emit nothing.
     assert rows == {"10:00": 3.0}, rows
+
+
+def test_stream_stream_join_equals_batch_range_join(spark):
+    """q67 (stream-stream join, inner) must agree with q43 (batch banded
+    range join) on every purchase that has >= 1 view in the hour."""
+    from batch_processing_new_spark.operators.relational_ext import q43_range_join
+    from batch_processing_new_spark.streaming.stream_queries import (
+        q67_stream_stream_join,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    batch = {
+        r.purchase_id: r.n_views_1h
+        for r in q43_range_join(spark, sf).collect()
+        if r.n_views_1h > 0  # inner join omits zero-view purchases
+    }
+    stream = {
+        r.purchase_id: r.n_views_1h
+        for r in q67_stream_stream_join(spark, sf).collect()
+    }
+    assert stream == batch
