@@ -384,3 +384,90 @@ def q39_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash-blocked near-dup pairs (Hamming <= 12 of 60 bits)."""
     d = load_table(spark, sf_dir, "documents")
     return simhash_neardup_pairs(d).orderBy("id_a", "id_b")
+
+
+# ---------------------------------------- duplicate-cluster resolution
+
+def connected_components(
+    pairs: DataFrame, max_iterations: int = 20
+) -> DataFrame:
+    """Resolve pairwise near-dup matches into clusters: every doc gets
+    the minimum doc_id reachable through any chain of pairs
+    (connected components by iterative min-label propagation).
+
+    Pure DataFrame loop — each iteration is one join + one min-agg: a
+    node adopts the smallest label among itself and its neighbors'
+    labels; converged when no label changes. For the hash/LSH pair
+    graphs dedup produces (many tiny components, diameter rarely > a
+    few hops) this converges in O(component diameter) passes, each a
+    single shuffle on doc_id — the simple two-table cousin of the
+    large-star/small-star algorithm used for web-scale graphs.
+
+    Returns (doc_id, cluster_id) for every doc that appears in a pair;
+    singletons are absent (callers union them back as their own id).
+    """
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .unionByName(
+            pairs.select(
+                F.col("id_b").alias("src"), F.col("id_a").alias("dst")
+            )
+        )
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.groupBy("src")
+        .agg(F.least(F.min("dst"), F.first("src")).alias("cluster_id"))
+        .select(F.col("src").alias("doc_id"), "cluster_id")
+    )
+    for _ in range(max_iterations):
+        # neighbor labels: for each node, the labels of everyone it touches
+        neighbor = (
+            edges.join(
+                labels.withColumnRenamed("doc_id", "dst"), "dst"
+            )
+            .groupBy("src")
+            .agg(F.min("cluster_id").alias("n_label"))
+            .select(F.col("src").alias("doc_id"), "n_label")
+        )
+        new_labels = (
+            labels.join(neighbor, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("cluster_id"), F.coalesce("n_label", "cluster_id")
+                ).alias("cluster_id"),
+            )
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .where(F.col("n.cluster_id") != F.col("o.cluster_id"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels
+
+
+@query("q69_dedup_clusters")  # Spark-only; transitive-closure check in tests
+def q69_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs (exact Jaccard >= 0.8 within source blocks, q35)
+    resolved into clusters, one keeper per cluster: the final step of a
+    corpus dedup — emit cluster membership + size so the corpus build
+    keeps exactly one representative."""
+    d = load_table(spark, sf_dir, "documents")
+    pairs = q35_jaccard_pairs(spark, sf_dir)
+    comps = connected_components(pairs.select("id_a", "id_b"))
+    return (
+        comps.groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.min("doc_id").alias("keeper_id"),
+        )
+        .orderBy("cluster_id")
+    )

@@ -516,3 +516,40 @@ def q66_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+# -------------------------------------------- window offset functions
+
+@query(
+    "q68_window_offsets",
+    oracle="""
+SELECT event_id,
+       user_id,
+       lag(event_id)  OVER w                         AS prev_event_id,
+       lead(event_id) OVER w                         AS next_event_id,
+       first_value(event_id) OVER w                  AS first_event_id,
+       ntile(4)       OVER w                         AS session_quartile,
+       round(percent_rank() OVER w, 6)               AS pct_rank,
+       round(cume_dist()    OVER w, 6)               AS cume
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
+ORDER BY event_id
+""",
+)
+def q68_window_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window offset/distribution functions: lag/lead/first_value/ntile/
+    percent_rank/cume_dist — one sort per user partition serves all six."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").cast("timestamp"), F.col("event_id")
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        F.lag("event_id").over(w).alias("prev_event_id"),
+        F.lead("event_id").over(w).alias("next_event_id"),
+        F.first("event_id").over(w).alias("first_event_id"),
+        F.ntile(4).over(w).alias("session_quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    ).orderBy("event_id")

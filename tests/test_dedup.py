@@ -93,3 +93,43 @@ def test_dedup_idempotence(spark):
         .select("doc_id")
     )
     assert {r.doc_id for r in twice.collect()} == ids_once
+
+
+def test_connected_components_equals_union_find(spark):
+    """Distributed min-label propagation must produce exactly the
+    transitive closure a driver-side union-find computes on the same
+    pairs."""
+    from batch_processing_new_spark.operators.dedup import (
+        connected_components,
+        q35_jaccard_pairs,
+    )
+
+    pairs = [
+        (r.id_a, r.id_b)
+        for r in q35_jaccard_pairs(spark, SF_CORRECT).collect()
+    ]
+    assert pairs, "fixture should produce near-dup pairs"
+
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expected = {x: find(x) for x in parent}
+
+    from pyspark.sql import functions as F
+
+    pairs_df = spark.createDataFrame(pairs, "id_a bigint, id_b bigint")
+    got = {
+        r.doc_id: r.cluster_id
+        for r in connected_components(pairs_df).collect()
+    }
+    assert got == expected
