@@ -420,6 +420,9 @@ def connected_components(
         edges.groupBy("src")
         .agg(F.least(F.min("dst"), F.first("src")).alias("cluster_id"))
         .select(F.col("src").alias("doc_id"), "cluster_id")
+        # truncate lineage each pass: without this, iteration k re-executes
+        # all k-1 previous joins (and the pair-generation plan) from scratch
+        .localCheckpoint(eager=True)
     )
     for _ in range(max_iterations):
         # neighbor labels: for each node, the labels of everyone it touches
@@ -440,6 +443,7 @@ def connected_components(
                 ).alias("cluster_id"),
             )
         )
+        new_labels = new_labels.localCheckpoint(eager=True)
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "doc_id")
