@@ -278,3 +278,48 @@ def q49_excel_roundtrip(spark, sf_dir: str):
         )
         .orderBy("c_mktsegment")
     )
+
+
+@query(
+    "q70_jsonl_roundtrip",
+    oracle="""
+SELECT event_type,
+       count(*)                                              AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(30,8))) AS DOUBLE)     AS total_value
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+""",
+)
+def q70_jsonl_roundtrip(spark, sf_dir: str):
+    """events -> distributed JSONL sink -> schema'd JSONL scan -> agg.
+
+    Same lossless-roundtrip proof as the Excel query (q49) for the JSON
+    lines format; numeric fidelity survives the text encoding because
+    Spark serializes doubles round-trippably.
+    """
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from batch_processing_new_spark.sources.readers import read_jsonl
+
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    path = os.path.join(tempfile.mkdtemp(prefix="jsonl_roundtrip_"), "events")
+    e.write.mode("overwrite").json(path)
+    back = read_jsonl(
+        spark, path, schema="event_id bigint, event_type string, value double"
+    )
+    return (
+        back.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(30,8)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        .orderBy("event_type")
+    )

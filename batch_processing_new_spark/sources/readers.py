@@ -53,7 +53,7 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
 def read_csv(
     spark: SparkSession,
     path: str,
-    schema: T.StructType | None = None,
+    schema: T.StructType | str | None = None,
     header: bool = True,
 ) -> DataFrame:
     """CSV source (reference test.py:170 ``pd.read_csv``), distributed.
@@ -107,3 +107,18 @@ def with_order_row_id(
 
     w = Window.orderBy(*[F.col(c) for c in order_cols])
     return df.withColumn(col_name, F.row_number().over(w) - F.lit(1))
+
+
+def read_jsonl(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | str | None = None,
+) -> DataFrame:
+    """JSON-lines source. Explicit schema skips the inference pass (at
+    100 TB always pass one — inference reads the data twice); PERMISSIVE
+    mode lands malformed lines as nulls instead of failing the job,
+    mirroring read_csv's tolerance."""
+    reader = spark.read.option("mode", "PERMISSIVE")
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)

@@ -70,3 +70,32 @@ def test_distributed_multi_file_read(spark, tmp_path):
     rows = sorted((int(r.id), r.txt) for r in df.collect())
     assert len(rows) == 12
     assert rows[0] == (0, "doc0_0") and rows[-1] == (23, "doc2_3")
+
+
+def test_permissive_csv_tolerates_malformed_rows(spark, tmp_path):
+    """Schema-on-read tolerance parity with pandas (reference
+    test.py:170): ragged/malformed CSV rows must not fail the scan in
+    PERMISSIVE mode."""
+    from batch_processing_new_spark.sources.readers import read_csv
+
+    p = tmp_path / "ragged.csv"
+    p.write_text("id,text,amount\n1,ok,2.5\n2,missing-amount\n3,extra,7.5,boom\n4,fine,1.0\n")
+    df = read_csv(spark, str(p), schema="id int, text string, amount double")
+    rows = {r.id: (r.text, r.amount) for r in df.collect()}
+    assert len(rows) == 4           # no row aborts the job
+    assert rows[1] == ("ok", 2.5)
+    assert rows[2][1] is None       # short row -> null-padded
+    assert rows[4] == ("fine", 1.0)
+
+
+def test_permissive_jsonl_tolerates_malformed_lines(spark, tmp_path):
+    from batch_processing_new_spark.sources.readers import read_jsonl
+
+    p = tmp_path / "ragged.jsonl"
+    p.write_text(
+        '{"id": 1, "v": 2.5}\nNOT JSON AT ALL\n{"id": 3, "v": 7.5}\n'
+    )
+    df = read_jsonl(spark, str(p), schema="id int, v double")
+    rows = [(r.id, r.v) for r in df.collect()]
+    assert (1, 2.5) in rows and (3, 7.5) in rows
+    assert len(rows) == 3  # corrupt line lands as a null row, not a crash
