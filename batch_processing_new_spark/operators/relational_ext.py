@@ -553,3 +553,93 @@ def q68_window_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
         F.round(F.cume_dist().over(w), 6).alias("cume"),
     ).orderBy("event_id")
+
+
+# -------------------------------------------- time-series gap filling
+
+@query(
+    "q71_gapfill_timeseries",
+    oracle=f"""
+WITH months AS (
+    SELECT unnest(generate_series(TIMESTAMP '1995-01-01',
+                                  TIMESTAMP '2001-08-01',
+                                  INTERVAL 1 MONTH)) AS month
+),
+rev AS (
+    SELECT date_trunc('month', o_orderdate) AS month,
+           {_dsum_sql('o_totalprice')}      AS revenue,
+           count(*)                         AS n_orders
+    FROM orders
+    WHERE o_orderstatus = 'F'
+    GROUP BY 1
+)
+SELECT strftime(months.month, '%Y-%m-%d') AS month,
+       coalesce(rev.revenue, 0.0)         AS revenue,
+       coalesce(rev.n_orders, 0)          AS n_orders
+FROM months LEFT JOIN rev ON months.month = rev.month
+ORDER BY month
+""",
+)
+def q71_gapfill_timeseries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled monthly revenue: a generated calendar spine left-joined
+    to the aggregate, missing months as zeros — the standard dense
+    time-series shape dashboards need.
+
+    The spine comes from one `sequence()` literal exploded JVM-side (no
+    recursive CTE needed); it broadcasts against the aggregate.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    spine = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.lit("1995-01-01").cast("timestamp"),
+                F.lit("2001-08-01").cast("timestamp"),
+                F.expr("INTERVAL 1 MONTH"),
+            )
+        ).alias("m")
+    )
+    rev = (
+        o.where(F.col("o_orderstatus") == "F")
+        .groupBy(F.date_trunc("month", "o_orderdate").alias("m"))
+        .agg(
+            dsum("o_totalprice").alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+    return (
+        spine.join(rev, "m", "left")
+        .select(
+            F.date_format("m", "yyyy-MM-dd").alias("month"),
+            F.coalesce("revenue", F.lit(0.0)).alias("revenue"),
+            F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+        )
+        .orderBy("month")
+    )
+
+
+# ------------------------------------------------- bag-semantics set ops
+
+@query(
+    "q72_bag_set_ops",
+    oracle="""
+WITH a AS (SELECT l_orderkey FROM lineitem WHERE l_linenumber <= 2),
+     b AS (SELECT l_orderkey FROM lineitem WHERE l_linenumber = 1)
+SELECT l_orderkey, count(*) AS n
+FROM (SELECT * FROM a EXCEPT ALL SELECT * FROM b)
+GROUP BY l_orderkey
+ORDER BY l_orderkey
+""",
+)
+def q72_bag_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL (bag semantics): multiplicity-aware difference — the
+    set-op family's remaining member next to q13/q14/q15's
+    distinct-semantics union/intersect/except."""
+    li = load_table(spark, sf_dir, "lineitem")
+    a = li.where(F.col("l_linenumber") <= 2).select("l_orderkey")
+    b = li.where(F.col("l_linenumber") == 1).select("l_orderkey")
+    return (
+        a.exceptAll(b)
+        .groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("l_orderkey")
+    )
