@@ -643,3 +643,96 @@ def q72_bag_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy("l_orderkey")
     )
+
+
+# --------------------------------------------------- upsert-latest merge
+
+@query(
+    "q73_upsert_latest",
+    oracle="""
+WITH base AS (
+    SELECT o_orderkey, o_orderstatus, o_totalprice, 0 AS _version
+    FROM orders
+),
+updates AS (
+    SELECT o_orderkey, 'X' AS o_orderstatus,
+           round(o_totalprice * 1.1, 4) AS o_totalprice, 1 AS _version
+    FROM orders WHERE o_orderkey % 10 = 0
+),
+unioned AS (SELECT * FROM base UNION ALL SELECT * FROM updates),
+ranked AS (
+    SELECT *, row_number() OVER (PARTITION BY o_orderkey
+                                 ORDER BY _version DESC) AS rn
+    FROM unioned
+)
+SELECT o_orderkey, o_orderstatus, round(o_totalprice, 4) AS o_totalprice
+FROM ranked WHERE rn = 1
+ORDER BY o_orderkey
+""",
+)
+def q73_upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Upsert/merge without a table format: union base + updates, keep
+    the highest-version row per key (window dedupe).
+
+    This is the engine's CDC/merge primitive on plain parquet — the
+    same shape Delta/Iceberg MERGE compiles to internally. One shuffle
+    on the key; at scale write the result partitioned by a stable key
+    range so the next merge prunes unchanged partitions.
+    """
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    base = o.withColumn("_version", F.lit(0))
+    updates = (
+        o.where(F.col("o_orderkey") % 10 == 0)
+        .select(
+            "o_orderkey",
+            F.lit("X").alias("o_orderstatus"),
+            F.round(F.col("o_totalprice") * 1.1, 4).alias("o_totalprice"),
+        )
+        .withColumn("_version", F.lit(1))
+    )
+    w = Window.partitionBy("o_orderkey").orderBy(F.col("_version").desc())
+    return (
+        base.unionByName(updates)
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "o_orderkey",
+            "o_orderstatus",
+            F.round("o_totalprice", 4).alias("o_totalprice"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+# -------------------------------------------------------------- unpivot
+
+@query(
+    "q74_unpivot",
+    oracle="""
+SELECT l_orderkey, l_linenumber, metric, round(value, 4) AS value
+FROM (
+    SELECT l_orderkey, l_linenumber, l_extendedprice, l_discount, l_tax
+    FROM lineitem WHERE l_orderkey <= 100
+)
+UNPIVOT (value FOR metric IN (l_extendedprice, l_discount, l_tax))
+ORDER BY l_orderkey, l_linenumber, metric
+""",
+)
+def q74_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (wide -> long): the inverse of q19's pivot, via the
+    native DataFrame.unpivot (stack), no shuffle at all."""
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_orderkey") <= 100)
+    return (
+        li.unpivot(
+            ["l_orderkey", "l_linenumber"],
+            ["l_extendedprice", "l_discount", "l_tax"],
+            "metric",
+            "value",
+        )
+        .withColumn("value", F.round("value", 4))
+        .orderBy("l_orderkey", "l_linenumber", "metric")
+    )
