@@ -736,3 +736,101 @@ def q74_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("value", F.round("value", 4))
         .orderBy("l_orderkey", "l_linenumber", "metric")
     )
+
+
+# --------------------------------------------------- map-typed columns
+
+@query(
+    "q75_map_funcs",
+    oracle="""
+WITH m AS (
+    SELECT event_id,
+           MAP(['k', 'user', 'type_len'],
+               [CAST(json_extract_string(props, '$.k') AS BIGINT),
+                user_id,
+                CAST(length(event_type) AS BIGINT)]) AS props_map
+    FROM events WHERE event_id < 100
+)
+SELECT event_id,
+       array_to_string(map_keys(props_map), ',')                    AS key_csv,
+       CAST(len(map_keys(props_map)) AS INT)                        AS n_keys,
+       props_map['k'][1]                                            AS k_value,
+       CAST((SELECT sum(v) FROM unnest(map_values(props_map)) t(v)) AS BIGINT)
+                                                                    AS value_sum
+FROM m
+ORDER BY event_id
+""",
+)
+def q75_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType column surface: construct, keys/values, lookup, and a
+    values-reduction — all JVM map expressions over the parsed props."""
+    e = load_table(spark, sf_dir, "events").where(F.col("event_id") < 100)
+    k = F.from_json(F.col("props"), "k BIGINT").getField("k")
+    m = F.create_map(
+        F.lit("k"), k,
+        F.lit("user"), F.col("user_id"),
+        F.lit("type_len"), F.length("event_type").cast("bigint"),
+    )
+    return (
+        e.select("event_id", m.alias("m"))
+        .select(
+            "event_id",
+            F.concat_ws(",", F.map_keys("m")).alias("key_csv"),
+            F.size(F.map_keys("m")).alias("n_keys"),
+            F.col("m")[F.lit("k")].alias("k_value"),
+            F.aggregate(
+                F.map_values("m"), F.lit(0).cast("bigint"), lambda a, x: a + x
+            ).alias("value_sum"),
+        )
+        .orderBy("event_id")
+    )
+
+
+# -------------------------------------------------- fuzzy string match
+
+@query(
+    "q76_fuzzy_match",
+    oracle="""
+WITH d AS (
+    SELECT doc_id, source, substr(trim(text), 1, 30) AS head
+    FROM documents WHERE doc_id < 100
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       levenshtein(a.head, b.head) AS edit_dist
+FROM d a JOIN d b ON a.source = b.source AND a.doc_id < b.doc_id
+WHERE levenshtein(a.head, b.head) <= 20
+ORDER BY id_a, id_b
+""",
+)
+def q76_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance fuzzy matching within source blocks (levenshtein on
+    a 30-char prefix, distance <= 20) — the record-linkage primitive. Blocking bounds
+    the O(n^2); at scale block on a cheap canopy key (prefix hash,
+    sorted-neighborhood window) exactly as the dedup family does.
+    """
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < 100)
+        .select(
+            "doc_id", "source", F.substring(F.trim("text"), 1, 30).alias("head")
+        )
+    )
+    a = d.select(
+        F.col("doc_id").alias("id_a"), "source", F.col("head").alias("head_a")
+    )
+    b = d.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("source").alias("source_b"),
+        F.col("head").alias("head_b"),
+    )
+    return (
+        a.join(
+            b,
+            (F.col("source") == F.col("source_b"))
+            & (F.col("id_a") < F.col("id_b")),
+        )
+        .withColumn("edit_dist", F.levenshtein("head_a", "head_b"))
+        .where(F.col("edit_dist") <= 20)
+        .select("id_a", "id_b", "edit_dist")
+        .orderBy("id_a", "id_b")
+    )
