@@ -834,3 +834,64 @@ def q76_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id_a", "id_b", "edit_dist")
         .orderBy("id_a", "id_b")
     )
+
+
+# ------------------------------------------------------------ histogram
+
+N_BINS = 20
+
+
+@query(
+    "q77_histogram",
+    oracle=f"""
+WITH stats AS (
+    SELECT min(o_totalprice) AS lo, max(o_totalprice) AS hi FROM orders
+),
+binned AS (
+    SELECT least(CAST(floor((o_totalprice - lo) / ((hi - lo) / {N_BINS}.0)) AS INT),
+                 {N_BINS - 1}) AS bin,
+           lo, hi
+    FROM orders, stats
+)
+SELECT bin,
+       round(lo + bin * ((hi - lo) / {N_BINS}.0), 4)       AS bin_lo,
+       round(lo + (bin + 1) * ((hi - lo) / {N_BINS}.0), 4) AS bin_hi,
+       count(*)                                            AS n
+FROM binned
+GROUP BY bin, lo, hi
+ORDER BY bin
+""",
+)
+def q77_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram of order totals: min/max in one pass, bin
+    assignment in a second — the two-pass profile every numeric
+    column gets in data exploration.
+
+    The min/max aggregate is a broadcast scalar (crossJoin of a 1-row
+    DF); binning is pure arithmetic, so the second pass is a map-side
+    groupBy on at most N_BINS keys.
+    """
+    o = load_table(spark, sf_dir, "orders").select("o_totalprice")
+    stats = o.agg(
+        F.min("o_totalprice").alias("lo"), F.max("o_totalprice").alias("hi")
+    )
+    w = (F.col("hi") - F.col("lo")) / float(N_BINS)
+    binned = o.crossJoin(F.broadcast(stats)).select(
+        F.least(
+            F.floor((F.col("o_totalprice") - F.col("lo")) / w).cast("int"),
+            F.lit(N_BINS - 1),
+        ).alias("bin"),
+        "lo",
+        "hi",
+    )
+    return (
+        binned.groupBy("bin", "lo", "hi")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "bin",
+            F.round(F.col("lo") + F.col("bin") * w, 4).alias("bin_lo"),
+            F.round(F.col("lo") + (F.col("bin") + 1) * w, 4).alias("bin_hi"),
+            "n",
+        )
+        .orderBy("bin")
+    )
