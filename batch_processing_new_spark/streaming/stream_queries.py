@@ -246,3 +246,32 @@ def q67_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_views_1h"))
         .orderBy("purchase_id")
     )
+
+
+@query("q78_stateful_running_stats")  # Spark-only; batch equivalence in tests
+def q78_stateful_running_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState): per-user
+    running count/sum/max carried across micro-batches; the final state
+    must equal the batch groupBy (tests/test_streaming.py).
+
+    This is the extension point for operators Structured Streaming
+    lacks natively — state is explicit, Arrow-batched, and bounded per
+    key (three scalars here).
+    """
+    from batch_processing_new_spark.streaming.stateful import running_user_stats
+
+    events = read_events_stream(spark, sf_dir).withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    res = run_update_to_memory(running_user_stats(events), "stateful")
+    # update mode emits one row per user per micro-batch: keep the final
+    # state per user (max n_events is the last emission)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    return (
+        res.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("user_id", "n_events", "total_value", "max_event_id")
+        .orderBy("user_id")
+    )
