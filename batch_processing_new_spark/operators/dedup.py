@@ -167,15 +167,22 @@ def q35_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ------------------------------------------------------------ MinHash
 
-def _minhash_signatures(docs: DataFrame, num_hashes: int = NUM_MINHASHES) -> DataFrame:
-    """(doc_id, hash_id, minhash): min over tokens of hash60(i || ':' || t).
+def _minhash_signatures(
+    docs: DataFrame,
+    num_hashes: int = NUM_MINHASHES,
+    elements: Column | None = None,
+) -> DataFrame:
+    """(doc_id, hash_id, minhash): min over elements of hash60(i||':'||e).
 
-    One explode (tokens x hash-ids) + one partial-agg min — the shuffle
-    carries (doc, i, long), never text.
+    ``elements`` defaults to distinct unigram tokens (q36's oracle pins
+    that variant); candidate generation passes shingles — see
+    functions.text_funcs.shingles for why unigrams degenerate.
+    One explode (elements x hash-ids) + one partial-agg min — the
+    shuffle carries (doc, i, long), never text.
     """
-    tok = docs.select(
-        "doc_id", F.explode(distinct_tokens(F.col("text"))).alias("t")
-    )
+    if elements is None:
+        elements = distinct_tokens(F.col("text"))
+    tok = docs.select("doc_id", F.explode(elements).alias("t"))
     return (
         tok.select(
             "doc_id",
@@ -221,7 +228,8 @@ def minhash_lsh_pairs(
     num_hashes: int = NUM_MINHASHES,
     band_size: int = LSH_BAND_SIZE,
 ) -> DataFrame:
-    """Near-dup pairs via banded MinHash-LSH + exact-Jaccard verification.
+    """Near-dup pairs via shingle MinHash-LSH + exact shingle-Jaccard
+    verification (Broder w-shingling; 3-token shingles).
 
     Candidate generation: band signature = hash of ``band_size``
     consecutive minhashes; docs sharing any band bucket become
@@ -232,7 +240,9 @@ def minhash_lsh_pairs(
     band bucket is hot, which AQE's skew-join splits; the verify join is
     |candidates|-bounded, not |pairs|.
     """
-    sig = _minhash_signatures(docs, num_hashes)
+    from batch_processing_new_spark.functions.text_funcs import shingles
+
+    sig = _minhash_signatures(docs, num_hashes, elements=shingles(F.col("text")))
     bands = (
         sig.withColumn("band_id", (F.col("hash_id") / band_size).cast("int"))
         .groupBy("doc_id", "band_id")
@@ -249,9 +259,10 @@ def minhash_lsh_pairs(
         .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
         .distinct()
     )
-    # exact-Jaccard verify on candidates only
+    # exact shingle-Jaccard verify on candidates only (same element set
+    # the signatures hashed — Broder w-shingling end to end)
     toksets = docs.select(
-        "doc_id", distinct_tokens(F.col("text")).alias("toks")
+        "doc_id", shingles(F.col("text")).alias("toks")
     )
     ta = toksets.withColumnRenamed("doc_id", "id_a").withColumnRenamed("toks", "toks_a")
     tb = toksets.withColumnRenamed("doc_id", "id_b").withColumnRenamed("toks", "toks_b")
@@ -268,8 +279,8 @@ def minhash_lsh_pairs(
 
 @query("q37_minhash_lsh_pairs")  # Spark-only: LSH banding isn't sanely SQL-oracle-able
 def q37_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Banded-LSH near-dup pairs at Jaccard >= 0.5 (recall vs the exact
-    ground truth is asserted in tests/test_dedup.py)."""
+    """Banded-LSH near-dup pairs at shingle-Jaccard >= 0.5 (recall vs
+    the exact shingle-Jaccard ground truth asserted in tests)."""
     d = load_table(spark, sf_dir, "documents")
     return minhash_lsh_pairs(d, threshold=0.5).orderBy("id_a", "id_b")
 

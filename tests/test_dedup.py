@@ -15,11 +15,17 @@ from batch_processing_new_spark.sources.readers import load_table
 from tests.conftest import SF_CORRECT
 
 
-def _exact_jaccard_pairs(spark, docs, threshold):
-    """Global exact token-set Jaccard ground truth via inverted index."""
-    from batch_processing_new_spark.functions.text_funcs import distinct_tokens
+def _exact_jaccard_pairs(spark, docs, threshold, use_shingles=False):
+    """Global exact Jaccard ground truth via inverted index, over
+    distinct unigram tokens or (for the LSH tests, matching the
+    operator's element set) 3-token shingles."""
+    from batch_processing_new_spark.functions.text_funcs import (
+        distinct_tokens,
+        shingles,
+    )
 
-    tok = docs.select("doc_id", F.explode(distinct_tokens(F.col("text"))).alias("t"))
+    elems = shingles(F.col("text")) if use_shingles else distinct_tokens(F.col("text"))
+    tok = docs.select("doc_id", F.explode(elems).alias("t"))
     sizes = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a, b = tok.alias("a"), tok.alias("b")
     inter = (
@@ -40,10 +46,14 @@ def _exact_jaccard_pairs(spark, docs, threshold):
 def test_minhash_lsh_recall(spark):
     """LSH candidates must find >= 90% of true Jaccard >= 0.8 pairs, and
     every returned pair must truly exceed the 0.5 verify threshold
-    (precision = 1.0 by construction: candidates are exact-verified)."""
+    (precision = 1.0 by construction: candidates are exact-verified).
+    Ground truth is shingle-Jaccard — the operator's own metric; unigram
+    Jaccard is degenerate on this small-vocabulary fixture (most doc
+    pairs share >= 80% of tokens)."""
     docs = load_table(spark, SF_CORRECT, "documents")
     truth = {
-        (r.id_a, r.id_b) for r in _exact_jaccard_pairs(spark, docs, 0.8).collect()
+        (r.id_a, r.id_b)
+        for r in _exact_jaccard_pairs(spark, docs, 0.8, use_shingles=True).collect()
     }
     assert truth, "fixture should contain high-Jaccard pairs"
     found = {
