@@ -222,6 +222,54 @@ def q36_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _minhash_signatures(d).orderBy("doc_id", "hash_id")
 
 
+MERSENNE31 = (1 << 31) - 1  # universal-hash modulus
+
+
+def _universal_params(num_hashes: int) -> list[tuple[int, int]]:
+    """Deterministic (a, b) pairs for h_i(x) = (a*x + b) mod p — derived
+    from md5 so they're stable across sessions, like _hyperplanes."""
+    import hashlib
+
+    out = []
+    for i in range(num_hashes):
+        ha = hashlib.md5(f"mh:a:{i}".encode()).hexdigest()
+        hb = hashlib.md5(f"mh:b:{i}".encode()).hexdigest()
+        a = (int(ha[:8], 16) % (MERSENNE31 - 1)) + 1  # a != 0
+        b = int(hb[:8], 16) % MERSENNE31
+        out.append((a, b))
+    return out
+
+
+def _minhash_signatures_universal(
+    docs: DataFrame, elements: Column, num_hashes: int
+) -> DataFrame:
+    """(doc_id, hash_id, minhash) via universal hashing: ONE md5 per
+    element (hash60), then num_hashes affine mixes mod 2^31-1 — 8x fewer
+    md5 evaluations than the md5-per-(i, element) scheme the
+    oracle-checked q36 pins. a*h fits signed 64-bit since both factors
+    are < 2^31. The quality requirement is only pairwise independence,
+    which affine-mod-prime provides.
+    """
+    params = _universal_params(num_hashes)
+    base = docs.select("doc_id", F.explode(elements).alias("e")).select(
+        "doc_id", (hash60(F.col("e")) % MERSENNE31).alias("h")
+    )
+    mixes = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("hash_id"),
+                ((F.lit(a) * F.col("h") + F.lit(b)) % MERSENNE31).alias("v"),
+            )
+            for i, (a, b) in enumerate(params)
+        ]
+    )
+    return (
+        base.select("doc_id", F.explode(mixes).alias("m"))
+        .groupBy("doc_id", F.col("m.hash_id").alias("hash_id"))
+        .agg(F.min("m.v").alias("minhash"))
+    )
+
+
 def minhash_lsh_pairs(
     docs: DataFrame,
     threshold: float = 0.5,
@@ -242,7 +290,9 @@ def minhash_lsh_pairs(
     """
     from batch_processing_new_spark.functions.text_funcs import shingles
 
-    sig = _minhash_signatures(docs, num_hashes, elements=shingles(F.col("text")))
+    sig = _minhash_signatures_universal(
+        docs, shingles(F.col("text")), num_hashes
+    )
     bands = (
         sig.withColumn("band_id", (F.col("hash_id") / band_size).cast("int"))
         .groupBy("doc_id", "band_id")
