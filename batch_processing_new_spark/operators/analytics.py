@@ -1,0 +1,364 @@
+"""Behavioral / data-quality analytics: funnel, retention cohorts,
+robust outliers, corpus token frequencies, duplicate-n-gram quality,
+PII scrubbing.
+
+North-Star surface (SURVEY.md §2B: aggregation/window/text families) —
+the reporting queries a team runs over enrichment output and the
+hygiene passes a training-data pipeline runs over a raw corpus. All
+JVM-side built-ins (no Python in the hot path); every query carries an
+exact DuckDB oracle.
+
+Scale notes: the funnel and retention queries shuffle on ``user_id``
+twice (per-user reduction, then fact re-join); both stages share that
+key so AQE coalesces into co-partitioned exchanges. The corpus queries
+(q82/q83) explode tokens/n-grams — at 100 TB the explode output is the
+dominant shuffle, so partial aggregation (map-side combine, free with
+``groupBy().count()``) is what keeps them tractable; nothing here
+collects to the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from batch_processing_new_spark.functions.text_funcs import tokens
+from batch_processing_new_spark.registry import query
+from batch_processing_new_spark.sources.readers import load_table
+
+
+# ------------------------------------------------------- funnel
+
+@query(
+    "q79_funnel",
+    oracle="""
+WITH e AS (
+    SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events
+),
+v AS (
+    SELECT user_id, min(ts) AS view_ts
+    FROM e WHERE event_type = 'view' GROUP BY user_id
+),
+c AS (
+    SELECT e.user_id, min(e.ts) AS click_ts
+    FROM e JOIN v ON e.user_id = v.user_id
+    WHERE e.event_type = 'click' AND e.ts > v.view_ts
+    GROUP BY e.user_id
+),
+p AS (
+    SELECT e.user_id, min(e.ts) AS purchase_ts
+    FROM e JOIN c ON e.user_id = c.user_id
+    WHERE e.event_type = 'purchase' AND e.ts > c.click_ts
+    GROUP BY e.user_id
+)
+SELECT stage, n_users FROM (
+    SELECT '1_view' AS stage, count(*) AS n_users FROM v
+    UNION ALL
+    SELECT '2_click_after_view', count(*) FROM c
+    UNION ALL
+    SELECT '3_purchase_after_click', count(*) FROM p
+) ORDER BY stage
+""",
+)
+def q79_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel view -> click -> purchase.
+
+    Each stage requires an event strictly after the user's first event
+    of the previous stage (not mere per-type existence). Reference has
+    no analytics surface (SURVEY.md §2B evidence: BASELINE.json North
+    Star); this is the canonical event-analytics query over the
+    ``events`` fixture. Three shuffles, all keyed on ``user_id`` —
+    co-partitioned, so AQE reuses the exchange layout.
+    """
+    e = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    v = (
+        e.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("view_ts"))
+    )
+    c = (
+        e.where(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .where(F.col("ts") > F.col("view_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("click_ts"))
+    )
+    p = (
+        e.where(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .where(F.col("ts") > F.col("click_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("purchase_ts"))
+    )
+
+    def stage(df: DataFrame, label: str) -> DataFrame:
+        return df.agg(F.count("*").alias("n_users")).select(
+            F.lit(label).alias("stage"), "n_users"
+        )
+
+    return (
+        stage(v, "1_view")
+        .unionByName(stage(c, "2_click_after_view"))
+        .unionByName(stage(p, "3_purchase_after_click"))
+        .orderBy("stage")
+    )
+
+
+# ------------------------------------------------- retention cohorts
+
+@query(
+    "q80_retention",
+    oracle="""
+WITH e AS (
+    SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d FROM events
+),
+cohort AS (
+    SELECT user_id, min(d) AS first_d FROM e GROUP BY user_id
+)
+SELECT
+    CAST(date_trunc('week', cohort.first_d) AS TIMESTAMP)  AS cohort_week,
+    CAST(date_diff('day', date_trunc('week', cohort.first_d),
+                   date_trunc('week', e.d)) / 7 AS INTEGER) AS week_offset,
+    count(DISTINCT e.user_id)                              AS n_active
+FROM e JOIN cohort ON e.user_id = cohort.user_id
+GROUP BY 1, 2
+ORDER BY cohort_week, week_offset
+""",
+)
+def q80_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention: users grouped by first-activity week,
+    counted distinct in each subsequent week.
+
+    Spark and DuckDB both start ISO weeks on Monday, so
+    ``date_trunc('week', …)`` is portable. Two shuffles on ``user_id``
+    (cohort reduction + fact re-join), then one on the small
+    (cohort_week, week_offset) grid.
+    """
+    e = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", F.col("ts").cast("date").alias("d"))
+    )
+    cohort = e.groupBy("user_id").agg(F.min("d").alias("first_d"))
+    return (
+        e.join(cohort, "user_id")
+        .select(
+            F.date_trunc("week", "first_d").alias("cohort_week"),
+            (
+                F.datediff(
+                    F.date_trunc("week", "d"), F.date_trunc("week", "first_d")
+                )
+                / 7
+            )
+            .cast("int")
+            .alias("week_offset"),
+            "user_id",
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count_distinct("user_id").alias("n_active"))
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
+# ------------------------------------------------- robust outliers
+
+@query(
+    "q81_outliers_mad",
+    oracle="""
+WITH med AS (
+    SELECT event_type, median(value) AS med
+    FROM events GROUP BY event_type
+),
+mad AS (
+    SELECT e.event_type, median(abs(e.value - med.med)) AS mad
+    FROM events e JOIN med ON e.event_type = med.event_type
+    GROUP BY e.event_type
+)
+SELECT e.event_type,
+       count(*)                                                   AS n_total,
+       sum(CASE WHEN abs(e.value - med.med) > 3 * 1.4826 * mad.mad
+                THEN 1 ELSE 0 END)                                AS n_outliers
+FROM events e
+JOIN med ON e.event_type = med.event_type
+JOIN mad ON e.event_type = mad.event_type
+GROUP BY e.event_type
+ORDER BY e.event_type
+""",
+)
+def q81_outliers_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection: |x - median| > 3 * 1.4826 * MAD per
+    group (the scaled-MAD rule; 1.4826 makes MAD consistent with sigma
+    under normality).
+
+    Median/MAD instead of mean/stddev because heavy-tailed metrics
+    (latency, spend) break z-scores. Exact ``median`` on both engines;
+    the output is integer counts, so float interpolation differences
+    can't surface in the hash. The per-group medians are a tiny
+    broadcastable table at any scale — only the fact re-joins shuffle.
+    """
+    e = load_table(spark, sf_dir, "events").select("event_type", "value")
+    med = e.groupBy("event_type").agg(F.median("value").alias("med"))
+    mad = (
+        e.join(F.broadcast(med), "event_type")
+        .groupBy("event_type")
+        .agg(F.median(F.abs(F.col("value") - F.col("med"))).alias("mad"))
+    )
+    return (
+        e.join(F.broadcast(med), "event_type")
+        .join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_total"),
+            F.sum(
+                F.when(
+                    F.abs(F.col("value") - F.col("med"))
+                    > 3 * 1.4826 * F.col("mad"),
+                    1,
+                ).otherwise(0)
+            ).alias("n_outliers"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ------------------------------------------- corpus token frequencies
+
+@query(
+    "q82_top_tokens",
+    oracle="""
+WITH tok AS (
+    SELECT unnest(string_split(trim(text), ' ')) AS token FROM documents
+),
+counted AS (
+    SELECT token, count(*) AS n
+    FROM tok GROUP BY token
+)
+SELECT token, n, rnk FROM (
+    SELECT token, n,
+           row_number() OVER (ORDER BY n DESC, token) AS rnk
+    FROM counted
+) WHERE rnk <= 20
+ORDER BY rnk
+""",
+)
+def q82_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact global top-20 token frequencies (tie-broken on token).
+
+    The explode is the scale cost; ``groupBy().count()`` gets map-side
+    partial aggregation for free, so the shuffle carries one row per
+    distinct token per partition, not one per token instance. The final
+    top-k is a single-partition window over the (tiny) distinct-token
+    aggregate — at 100 TB swap for ``orderBy(...).limit(k)`` which
+    Spark executes as a distributed TakeOrdered.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    counted = (
+        d.select(F.explode(tokens(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("n"))
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy(F.col("n").desc(), "token")
+    return (
+        counted.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 20)
+        .orderBy("rnk")
+    )
+
+
+# --------------------------------------- duplicate-n-gram quality
+
+_NGRAM_N = 5
+
+
+@query(
+    "q83_dup_ngram_fraction",
+    oracle=f"""
+WITH g AS (
+    SELECT doc_id,
+           unnest(list_transform(
+               range(len(string_split(trim(text), ' ')) - {_NGRAM_N - 1}),
+               i -> array_to_string(
+                        list_slice(string_split(trim(text), ' '),
+                                   i + 1, i + {_NGRAM_N}), ' ')
+           )) AS gram
+    FROM documents
+),
+per_gram AS (
+    SELECT doc_id, gram, count(*) AS cnt
+    FROM g GROUP BY doc_id, gram
+)
+SELECT doc_id,
+       sum(cnt)                                            AS n_grams,
+       round(sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) * 1.0
+             / sum(cnt), 6)                                AS dup_fraction
+FROM per_gram
+GROUP BY doc_id
+ORDER BY doc_id
+""",
+)
+def q83_dup_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signal: the fraction of a
+    document's 5-gram instances that belong to a gram occurring
+    more than once within that document (high fraction = boilerplate /
+    degenerate repetition; used as a corpus filter).
+
+    All-JVM: sequence + transform build the gram list without Python,
+    and the per-(doc, gram) count groups on a key prefixed by doc_id, so
+    the shuffle is skew-free even when one document is pathological.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - _NGRAM_N),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, _NGRAM_N)),
+    )
+    per_gram = (
+        d.select("doc_id", F.explode(grams).alias("gram"))
+        .groupBy("doc_id", "gram")
+        .agg(F.count("*").alias("cnt"))
+    )
+    return (
+        per_gram.groupBy("doc_id")
+        .agg(
+            F.sum("cnt").alias("n_grams"),
+            F.round(
+                F.sum(F.when(F.col("cnt") > 1, F.col("cnt")).otherwise(0))
+                / F.sum("cnt"),
+                6,
+            ).alias("dup_fraction"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# --------------------------------------------------- PII scrubbing
+
+@query(
+    "q84_pii_scrub",
+    oracle="""
+SELECT c_custkey,
+       regexp_replace(c_name, '[0-9]+', '<NUM>', 'g')  AS scrubbed,
+       len(regexp_extract_all(c_name, '[0-9]+'))       AS n_redacted
+FROM customer
+ORDER BY c_custkey
+""",
+)
+def q84_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing pass: redact digit runs, report per-row redaction
+    counts.
+
+    The fixture's PII-shaped surface is the numeric id embedded in
+    ``c_name``; real deployments extend the pattern set (emails, phones,
+    SSNs) — the operator shape (global regexp_replace + extract_all
+    count, pure JVM codegen, no shuffle at all) is what matters at
+    100 TB: it's a map-only pass that pipelines with the scan.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.regexp_replace("c_name", "[0-9]+", "<NUM>").alias("scrubbed"),
+        F.size(F.regexp_extract_all("c_name", F.lit("[0-9]+"), 0)).alias(
+            "n_redacted"
+        ),
+    ).orderBy("c_custkey")

@@ -42,10 +42,12 @@ _QUERY_MODULES = [
     "batch_processing_new_spark.operators.grouped_map",
     "batch_processing_new_spark.operators.text_analysis",
     "batch_processing_new_spark.operators.dedup",
+    "batch_processing_new_spark.operators.analytics",
     "batch_processing_new_spark.operators.similarity",
     "batch_processing_new_spark.operators.enrich_queries",
     "batch_processing_new_spark.operators.multimodal",
     "batch_processing_new_spark.sources.excel",
+    "batch_processing_new_spark.sources.kafka_shim",
     "batch_processing_new_spark.streaming.stream_queries",
 ]
 

@@ -213,3 +213,58 @@ def test_stream_stream_join_equals_batch_range_join(spark):
         for r in q67_stream_stream_join(spark, sf).collect()
     }
     assert stream == batch
+
+
+def test_kafka_shim_stream_equals_batch(spark, tmp_path):
+    """Kafka-wire topology end-to-end: producer serialize -> parquet
+    'broker' -> readStream with the wire schema -> parse -> windowed
+    count must equal the same aggregate computed batch-side. Also pins
+    the wire contract (exact Kafka source column set) and keyed
+    partitioning (every key maps to one partition)."""
+    from batch_processing_new_spark.sources.kafka_shim import (
+        KAFKA_WIRE_COLUMNS,
+        events_as_kafka,
+        parse_events,
+        read_kafka_shaped_stream,
+        write_kafka_shaped,
+    )
+    from batch_processing_new_spark.streaming.stream_queries import run_to_memory
+
+    broker = str(tmp_path / "broker")
+    wire = events_as_kafka(spark, SF_CORRECT)
+    assert wire.columns == KAFKA_WIRE_COLUMNS
+    write_kafka_shaped(wire, broker)
+
+    # keyed partitioning: one partition per key
+    multi = (
+        spark.read.parquet(broker)
+        .groupBy("key")
+        .agg(F.countDistinct("partition").alias("np"))
+        .where(F.col("np") > 1)
+        .count()
+    )
+    assert multi == 0
+
+    stream = parse_events(read_kafka_shaped_stream(spark, broker))
+    windowed = (
+        stream.withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"))
+    )
+    got = {
+        (r.w.start, r.event_type): r.n for r in run_to_memory(windowed).collect()
+    }
+
+    e = load_table(spark, SF_CORRECT, "events")
+    want = {
+        (r.d, r.event_type): r.n
+        for r in e.select(
+            F.date_trunc("day", F.col("ts").cast("timestamp")).alias("d"),
+            "event_type",
+        )
+        .groupBy("d", "event_type")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert got == want
