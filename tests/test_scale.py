@@ -95,3 +95,68 @@ def test_partitioned_write_prunes_partitions(spark, tmp_path):
     assert len(read_dirs) == 5  # all partitions exist on disk; the scan's
     # PartitionFilters (asserted above) restrict reading to event_type=purchase
     # (inputFiles() reflects the unpruned file index, so don't assert on it)
+
+
+def test_runtime_bloom_filter_prunes_shuffle_join(spark):
+    """Spark's runtime bloom-filter injection (AQE, Spark 3.3+): a
+    selective filter on one side of a shuffle join plants a
+    bloom_filter_agg / might_contain pre-filter on the other side, so
+    the big side drops non-joinable rows BEFORE the shuffle — at 100 TB
+    this is the difference between shuffling the whole fact table and
+    shuffling the ~matching slice. Thresholds are lowered to force
+    injection at test scale; results must be identical either way."""
+    from tests.conftest import SF_CORRECT
+    from batch_processing_new_spark.sources.readers import load_table
+
+    conf = spark.conf
+    saved = {
+        k: conf.get(k)
+        for k in (
+            "spark.sql.optimizer.runtime.bloomFilter.enabled",
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+        conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "1GB"
+        )
+        conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter."
+            "applicationSideScanSizeThreshold",
+            "0",
+        )
+        # force a shuffle join: broadcast would bypass bloom injection
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+
+        o = load_table(spark, SF_CORRECT, "orders").where(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        li = load_table(spark, SF_CORRECT, "lineitem")
+        joined = li.join(o, li.l_orderkey == o.o_orderkey).groupBy(
+            "o_orderpriority"
+        ).agg(F.count("*").alias("n"))
+
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in plan, plan[:2000]
+        with_bloom = {(r.o_orderpriority, r.n) for r in joined.collect()}
+    finally:
+        for k, v in saved.items():
+            conf.set(k, v)
+
+    baseline = {
+        (r.o_orderpriority, r.n)
+        for r in load_table(spark, SF_CORRECT, "lineitem")
+        .join(
+            load_table(spark, SF_CORRECT, "orders").where(
+                F.col("o_orderpriority") == "1-URGENT"
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert with_bloom == baseline
