@@ -200,9 +200,20 @@ def ann_lsh_topk(
     k: int = TOPK,
     n_planes: int = N_PLANES,
     n_bands: int = N_BANDS,
+    multiprobe: int = 1,
 ) -> DataFrame:
     """Approximate top-k: sign-LSH band buckets -> exact cosine on
-    candidates only. Recall vs q40 asserted in tests/test_similarity.py."""
+    candidates only. Recall vs q40 asserted in tests/test_similarity.py.
+
+    ``multiprobe=1`` also probes every bucket at Hamming distance 1 from
+    the query's band value (Lv et al., multi-probe LSH): near-misses on
+    one sign bit are the dominant false-negative mode, and probing them
+    multiplies only the QUERY side by (1 + band_bits) — the corpus is
+    neither re-hashed nor re-shuffled, so wider probing stays cheap at
+    any corpus size (measured sweep in TUNING.md: recall 0.67 -> ~0.99
+    at the default dials on structureless random vectors, the
+    LSH-pessimal case).
+    """
     from pyspark.sql import Window
 
     planes = _hyperplanes(n_planes)
@@ -221,11 +232,25 @@ def ann_lsh_topk(
         "band",
         F.expr(f"(sig_full >> (band_id * {band_bits})) & {(1 << band_bits) - 1}"),
     )
-    q = banded.where(F.col("vec_id") < n_queries).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("v").alias("qv"),
-        "band_id",
-        "band",
+    probes = F.array(
+        F.col("band"),
+        *(
+            [
+                F.expr(f"band ^ {1 << i}")
+                for i in range(band_bits)
+            ]
+            if multiprobe >= 1
+            else []
+        ),
+    )
+    q = (
+        banded.where(F.col("vec_id") < n_queries)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("v").alias("qv"),
+            "band_id",
+            F.explode(probes).alias("band"),
+        )
     )
     c = banded.select(
         F.col("vec_id").alias("neighbor_id"), F.col("v").alias("cv"), "band_id", "band"

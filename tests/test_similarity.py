@@ -28,7 +28,8 @@ def test_ann_recall_vs_exact(spark):
         len(truth[q] & got.get(q, set())) / len(truth[q]) for q in truth
     ]
     mean_recall = sum(recalls) / len(recalls)
-    assert mean_recall >= 0.6, f"ANN mean recall {mean_recall:.2f} ({recalls})"
+    # multiprobe=1 default: sweep-measured 0.975 at sf0.01 (TUNING.md)
+    assert mean_recall >= 0.9, f"ANN mean recall {mean_recall:.2f} ({recalls})"
 
 
 def test_ann_scores_match_exact_for_common_neighbors(spark):
