@@ -49,6 +49,7 @@ _QUERY_MODULES = [
     "batch_processing_new_spark.sources.excel",
     "batch_processing_new_spark.sources.kafka_shim",
     "batch_processing_new_spark.streaming.stream_queries",
+    "batch_processing_new_spark.streaming.incremental",
 ]
 
 _loaded = False

@@ -1,0 +1,135 @@
+"""Delta-less incremental materialized-view maintenance.
+
+Pattern: a streaming ``foreachBatch`` merges each micro-batch's partial
+aggregate into a versioned parquet snapshot — the additive-merge MV
+pattern for engines without a transactional table format. Each batch:
+
+    state(v)  +  partial_agg(batch)  --re-aggregate-->  state(v+1)
+
+Snapshots are immutable directories ``v=<batch_id>``; readers pick the
+max version (atomic because a version directory appears only after its
+write completes — parquet's _SUCCESS-gated rename). This is what
+``MERGE INTO`` compiles to on Delta/Iceberg; spelled out here so the
+engine doesn't depend on a table-format jar.
+
+Scale notes: the merge re-aggregates state ∪ partial, shuffling on the
+group key. State size is bounded by key cardinality, not event volume —
+the whole point of maintaining the MV incrementally. At 100 TB,
+partition the snapshot by a key bucket and rewrite only buckets touched
+by the batch (partial-agg keys -> dynamic partition overwrite); the
+versioning and additive-merge logic is unchanged.
+
+Only ALGEBRAIC aggregates (count/sum/min/max and anything derivable:
+avg = sum/count) merge this way; holistic ones (median, distinct) need
+sketches (HLL for distinct — see q47) or full recompute.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from batch_processing_new_spark.operators.relational import DEC
+from batch_processing_new_spark.registry import query
+
+
+def latest_snapshot(spark: SparkSession, state_path: str) -> DataFrame | None:
+    """The max-version snapshot under ``state_path``, or None."""
+    if not os.path.isdir(state_path):
+        return None
+    versions = [
+        int(d.split("=", 1)[1])
+        for d in os.listdir(state_path)
+        if d.startswith("v=")
+    ]
+    if not versions:
+        return None
+    return spark.read.parquet(f"{state_path}/v={max(versions)}")
+
+
+def merge_user_stats_batch(
+    batch_df: DataFrame, batch_id: int, state_path: str
+) -> None:
+    """foreachBatch hook: additive merge of one micro-batch into the
+    per-user stats MV (n_events, total_value as exact decimal)."""
+    spark = batch_df.sparkSession
+    partial = batch_df.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast(DEC)).alias("total_value_dec"),
+    )
+    cur = latest_snapshot(spark, state_path)
+    merged = (
+        partial
+        if cur is None
+        else cur.unionByName(partial)
+        .groupBy("user_id")
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            F.sum("total_value_dec").alias("total_value_dec"),
+        )
+    )
+    merged.write.mode("overwrite").parquet(f"{state_path}/v={batch_id}")
+
+
+def run_incremental_user_stats(
+    spark: SparkSession, events_dir: str, state_path: str
+) -> DataFrame:
+    """Stream ``events_dir`` (one micro-batch per file) through the MV
+    merge; return the final snapshot."""
+    schema = spark.read.parquet(events_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(events_dir)
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            lambda df, bid: merge_user_stats_batch(df, bid, state_path)
+        )
+        .option(
+            "checkpointLocation", os.path.join(state_path, "_checkpoint")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    final = latest_snapshot(spark, state_path)
+    assert final is not None
+    return final
+
+
+@query(
+    "q86_incremental_user_stats",
+    oracle="""
+SELECT user_id,
+       count(*)                                          AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(30,8))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY user_id
+ORDER BY user_id
+""",
+)
+def q86_incremental_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally-maintained per-user stats MV: events split into
+    4 files, replayed one micro-batch each, additive-merged into a
+    versioned snapshot — the final snapshot must equal the one-shot
+    batch aggregate (the oracle)."""
+    from batch_processing_new_spark.sources.readers import load_table
+
+    work = tempfile.mkdtemp(prefix="mv_")
+    events_dir = os.path.join(work, "events")
+    # land the stream input as 4 files = 4 micro-batches
+    load_table(spark, sf_dir, "events").select(
+        "user_id", "value"
+    ).repartition(4).write.mode("overwrite").parquet(events_dir)
+    final = run_incremental_user_stats(
+        spark, events_dir, os.path.join(work, "state")
+    )
+    return final.select(
+        "user_id",
+        "n_events",
+        F.col("total_value_dec").cast("double").alias("total_value"),
+    ).orderBy("user_id")

@@ -268,3 +268,47 @@ def test_kafka_shim_stream_equals_batch(spark, tmp_path):
         .collect()
     }
     assert got == want
+
+
+def test_incremental_mv_merges_across_batches(spark, tmp_path):
+    """The MV must be built by MULTIPLE additive merges (one per file
+    micro-batch), and every intermediate snapshot must itself be a
+    correct aggregate of the batches seen so far."""
+    import os
+
+    from batch_processing_new_spark.streaming.incremental import (
+        run_incremental_user_stats,
+    )
+
+    events_dir = str(tmp_path / "events")
+    state = str(tmp_path / "state")
+    load_table(spark, SF_CORRECT, "events").select(
+        "user_id", "value"
+    ).repartition(4).write.parquet(events_dir)
+
+    final = run_incremental_user_stats(spark, events_dir, state)
+
+    versions = sorted(
+        int(d.split("=")[1]) for d in os.listdir(state) if d.startswith("v=")
+    )
+    assert len(versions) == 4, versions  # one merge per micro-batch
+
+    # monotone growth: each snapshot's total event count is a running sum
+    counts = [
+        spark.read.parquet(f"{state}/v={v}")
+        .agg(F.sum("n_events").alias("s"))
+        .collect()[0]
+        .s
+        for v in versions
+    ]
+    assert counts == sorted(counts) and counts[-1] > counts[0]
+
+    want = {
+        (r.user_id, r.n)
+        for r in load_table(spark, SF_CORRECT, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    got = {(r.user_id, r.n_events) for r in final.collect()}
+    assert got == want
