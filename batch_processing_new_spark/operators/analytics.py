@@ -362,3 +362,139 @@ def q84_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_redacted"
         ),
     ).orderBy("c_custkey")
+
+
+# ------------------------------------------------- column profiling
+
+_PROFILE_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+@query(
+    "q87_profile",
+    oracle="\nUNION ALL\n".join(
+        f"""
+SELECT '{c}'                                               AS col_name,
+       count(*)                                            AS n,
+       count(*) - count({c})                               AS n_nulls,
+       count(DISTINCT {c})                                 AS n_distinct,
+       round(min({c}), 6)                                  AS min_v,
+       round(max({c}), 6)                                  AS max_v,
+       round(CAST(sum(CAST({c} AS DECIMAL(30,8))) AS DOUBLE)
+             / count({c}), 6)                              AS mean_v
+FROM lineitem"""
+        for c in _PROFILE_COLS
+    )
+    + "\nORDER BY col_name",
+)
+def q87_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table profiling: per-column count/nulls/distincts/min/max/mean in
+    ONE scan (all per-column aggregates computed side by side, then
+    unpivoted driver-side from the single result row).
+
+    The profiling shape every ingest pipeline runs first; at 100 TB the
+    one-scan property is the difference between a profile and a week.
+    ``count(DISTINCT)`` over many columns multiplies with Spark's
+    expand-based distinct — for wide tables swap in
+    ``approx_count_distinct`` (q47's sketch) per column.
+    """
+    from batch_processing_new_spark.operators.relational import DEC
+
+    li = load_table(spark, sf_dir, "lineitem")
+    aggs = []
+    for c in _PROFILE_COLS:
+        aggs += [
+            F.count(F.lit(1)).alias(f"{c}__n"),
+            (F.count(F.lit(1)) - F.count(c)).alias(f"{c}__n_nulls"),
+            F.count_distinct(F.col(c)).alias(f"{c}__n_distinct"),
+            F.round(F.min(c), 6).alias(f"{c}__min_v"),
+            F.round(F.max(c), 6).alias(f"{c}__max_v"),
+            F.round(
+                F.sum(F.col(c).cast(DEC)).cast("double") / F.count(c), 6
+            ).alias(f"{c}__mean_v"),
+        ]
+    wide = li.agg(*aggs)
+    metric_cols = ["n", "n_nulls", "n_distinct", "min_v", "max_v", "mean_v"]
+    stack_args = ", ".join(
+        "'{c}', {fields}".format(
+            c=c, fields=", ".join(f"`{c}__{m}`" for m in metric_cols)
+        )
+        for c in _PROFILE_COLS
+    )
+    return wide.selectExpr(
+        f"stack({len(_PROFILE_COLS)}, {stack_args}) AS "
+        f"(col_name, {', '.join(metric_cols)})"
+    ).orderBy("col_name")
+
+
+# ------------------------------------------------------- SCD2 build
+
+@query(
+    "q88_scd2",
+    oracle="""
+SELECT user_id,
+       value                                            AS attr_value,
+       CAST(ts AS TIMESTAMP)                            AS valid_from,
+       lead(CAST(ts AS TIMESTAMP)) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id)  AS valid_to,
+       CASE WHEN lead(ts) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+            THEN 1 ELSE 0 END                           AS is_current
+FROM events
+ORDER BY user_id, valid_from, attr_value
+""",
+)
+def q88_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type 2: a change stream (each event =
+    a new attribute value for its user) becomes validity intervals
+    [valid_from, valid_to) via window lead, open interval = current.
+
+    One shuffle on the dimension key; tie-broken on event_id so interval
+    edges are deterministic under equal timestamps. At scale this is the
+    standard CDC-to-warehouse compaction — pairs with q73's keep-latest
+    merge (SCD1).
+    """
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        e.select(
+            "user_id",
+            F.col("value").alias("attr_value"),
+            F.col("ts").alias("valid_from"),
+            F.lead("ts").over(w).alias("valid_to"),
+            F.when(F.lead("ts").over(w).isNull(), 1)
+            .otherwise(0)
+            .alias("is_current"),
+        )
+        .orderBy("user_id", "valid_from", "attr_value")
+    )
+
+
+# ------------------------------------------- length-weighted sampling
+
+@query(
+    "q89_weighted_sample",
+    oracle="""
+SELECT doc_id, n_chars
+FROM documents
+WHERE ('0x' || substr(md5('wsample:' || doc_id::VARCHAR), 1, 15))::BIGINT % 1000
+      < least(n_chars, 1000)
+ORDER BY doc_id
+""",
+)
+def q89_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Size-weighted reproducible sampling: P[keep] = min(n_chars, 1000)
+    / 1000 — longer documents proportionally more likely, decided by the
+    same portable hash gate as q61 (partitioning-independent, stable
+    under re-runs; the training-mix sampler for byte-budgeted corpora).
+    """
+    from batch_processing_new_spark.functions.text_funcs import hash60
+
+    d = load_table(spark, sf_dir, "documents")
+    gate = hash60(F.concat(F.lit("wsample:"), F.col("doc_id").cast("string"))) % 1000
+    return (
+        d.where(gate < F.least(F.col("n_chars"), F.lit(1000)))
+        .select("doc_id", "n_chars")
+        .orderBy("doc_id")
+    )
