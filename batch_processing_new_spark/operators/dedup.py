@@ -103,9 +103,9 @@ def q34_dedup_exact_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------- n-gram Jaccard near-dup
 
-@query(
-    "q35_jaccard_pairs",
-    oracle="""
+# q35's oracle body (no ORDER BY) — reused by q90's recursive-closure
+# oracle, which clusters these exact pairs.
+_Q35_PAIRS_SQL = """
 WITH tok AS (
     SELECT doc_id, source,
            unnest(list_distinct(string_split(trim(text), ' '))) AS t
@@ -124,8 +124,12 @@ FROM inter
 JOIN sizes sa ON id_a = sa.doc_id
 JOIN sizes sb ON id_b = sb.doc_id
 WHERE n_common * 1.0 / (sa.n + sb.n - n_common) >= 0.8
-ORDER BY id_a, id_b
-""",
+"""
+
+
+@query(
+    "q35_jaccard_pairs",
+    oracle=_Q35_PAIRS_SQL + "ORDER BY id_a, id_b",
 )
 def q35_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact token-set Jaccard >= 0.8 pairs within source blocks.
@@ -535,4 +539,61 @@ def q69_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("doc_id").alias("keeper_id"),
         )
         .orderBy("cluster_id")
+    )
+
+
+# ----------------------------------------------------- dedup apply
+
+def dedup_apply(docs: DataFrame, pairs: DataFrame) -> DataFrame:
+    """The end product of the dedup pipeline: the cleaned corpus.
+
+    Near-dup pairs -> connected components -> keep the min-doc_id
+    representative per cluster, drop the rest (anti-join). Composes with
+    any pair generator (exact Jaccard q35, MinHash-LSH q37, SimHash
+    q39). The anti-join shuffles only the (small) loser set against the
+    corpus — broadcast it at any realistic dup rate.
+    """
+    comps = connected_components(pairs.select("id_a", "id_b"))
+    losers = comps.where(F.col("doc_id") != F.col("cluster_id")).select("doc_id")
+    return docs.join(F.broadcast(losers), "doc_id", "left_anti")
+
+
+@query(
+    "q90_dedup_apply",
+    oracle=f"""
+WITH RECURSIVE pairs AS ({_Q35_PAIRS_SQL}),
+sym AS (
+    SELECT id_a AS a, id_b AS b FROM pairs
+    UNION
+    SELECT id_b, id_a FROM pairs
+),
+reach(a, b) AS (
+    SELECT a, b FROM sym
+    UNION
+    SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+),
+labels AS (
+    SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+    FROM reach GROUP BY a
+)
+SELECT d.doc_id, d.source, d.n_chars
+FROM documents d
+WHERE d.doc_id NOT IN (
+    SELECT doc_id FROM labels WHERE doc_id <> cluster_id
+)
+ORDER BY d.doc_id
+""",
+)
+def q90_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cleaned corpus after near-dup removal (exact Jaccard >= 0.8
+    pairs, q35). The oracle resolves the same pair graph with a
+    recursive-CTE transitive closure — so the Spark min-label-
+    propagation clustering is value-checked end to end, not rows-only.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    pairs = q35_jaccard_pairs(spark, sf_dir)
+    return (
+        dedup_apply(d, pairs)
+        .select("doc_id", "source", "n_chars")
+        .orderBy("doc_id")
     )

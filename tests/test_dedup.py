@@ -143,3 +143,43 @@ def test_connected_components_equals_union_find(spark):
         for r in connected_components(pairs_df).collect()
     }
     assert got == expected
+
+
+def test_dedup_apply_idempotent_and_pairfree(spark):
+    """The cleaned corpus (q90) must contain no remaining near-dup pair
+    (one representative per connected component), and re-applying the
+    dedup must be a no-op (idempotence)."""
+    from batch_processing_new_spark.operators.dedup import (
+        dedup_apply,
+        q35_jaccard_pairs,
+        q90_dedup_apply,
+    )
+    from batch_processing_new_spark.functions.text_funcs import distinct_tokens
+
+    d = load_table(spark, SF_CORRECT, "documents")
+    cleaned_ids = {
+        r.doc_id for r in q90_dedup_apply(spark, SF_CORRECT).collect()
+    }
+    assert len(cleaned_ids) < d.count()  # it removed something
+
+    cleaned = d.where(F.col("doc_id").isin(cleaned_ids))
+    tok = cleaned.select(
+        "doc_id", "source", F.explode(distinct_tokens(F.col("text"))).alias("t")
+    )
+    sizes = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a, b = tok.alias("a"), tok.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.t") == F.col("b.t"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.withColumnRenamed("doc_id", "id_a").withColumnRenamed("n", "n_a")
+    sb = sizes.withColumnRenamed("doc_id", "id_b").withColumnRenamed("n", "n_b")
+    jac = F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+    remaining = inter.join(sa, "id_a").join(sb, "id_b").where(jac >= 0.8).count()
+    assert remaining == 0
