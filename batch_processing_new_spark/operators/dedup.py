@@ -258,19 +258,18 @@ def _minhash_signatures_universal(
     base = docs.select("doc_id", F.explode(elements).alias("e")).select(
         "doc_id", (hash60(F.col("e")) % MERSENNE31).alias("h")
     )
-    mixes = F.array(
-        *[
-            F.struct(
-                F.lit(i).alias("hash_id"),
-                ((F.lit(a) * F.col("h") + F.lit(b)) % MERSENNE31).alias("v"),
-            )
-            for i, (a, b) in enumerate(params)
-        ]
-    )
-    return (
-        base.select("doc_id", F.explode(mixes).alias("m"))
-        .groupBy("doc_id", F.col("m.hash_id").alias("hash_id"))
-        .agg(F.min("m.v").alias("minhash"))
+    # one min-agg per hash function side by side (NO hash_id explode —
+    # the k-fold row blowup was the dominant cost), then unpivot the
+    # k-wide row to (hash_id, minhash) AFTER aggregation: stack runs on
+    # one row per doc, not one per (doc, element, hash).
+    aggs = [
+        F.min((F.lit(a) * F.col("h") + F.lit(b)) % MERSENNE31).alias(f"m{i}")
+        for i, (a, b) in enumerate(params)
+    ]
+    wide = base.groupBy("doc_id").agg(*aggs)
+    stack_args = ", ".join(f"{i}, m{i}" for i in range(num_hashes))
+    return wide.selectExpr(
+        "doc_id", f"stack({num_hashes}, {stack_args}) AS (hash_id, minhash)"
     )
 
 
@@ -292,15 +291,21 @@ def minhash_lsh_pairs(
     band bucket is hot, which AQE's skew-join splits; the verify join is
     |candidates|-bounded, not |pairs|.
     """
-    from batch_processing_new_spark.functions.text_funcs import shingles
+    from batch_processing_new_spark.functions.text_funcs import shingles_of, tokens
 
+    # tokens projected to a column FIRST: embedding the split inside the
+    # shingle lambda re-tokenizes per shingle (see shingles_of)
+    toked = docs.select("doc_id", tokens(F.col("text")).alias("_toks"))
     sig = _minhash_signatures_universal(
-        docs, shingles(F.col("text")), num_hashes
+        toked, shingles_of(F.col("_toks")), num_hashes
     )
     bands = (
         sig.withColumn("band_id", (F.col("hash_id") / band_size).cast("int"))
         .groupBy("doc_id", "band_id")
         .agg(F.md5(F.concat_ws(",", F.sort_array(F.collect_list("minhash")))).alias("band_hash"))
+        # tiny (docs x bands); materialize so the self-join + verify
+        # don't re-run the signature pipeline per branch
+        .localCheckpoint(eager=False)
     )
     a, b = bands.alias("a"), bands.alias("b")
     candidates = (
@@ -315,8 +320,8 @@ def minhash_lsh_pairs(
     )
     # exact shingle-Jaccard verify on candidates only (same element set
     # the signatures hashed — Broder w-shingling end to end)
-    toksets = docs.select(
-        "doc_id", shingles(F.col("text")).alias("toks")
+    toksets = toked.select(
+        "doc_id", shingles_of(F.col("_toks")).alias("toks")
     )
     ta = toksets.withColumnRenamed("doc_id", "id_a").withColumnRenamed("toks", "toks_a")
     tb = toksets.withColumnRenamed("doc_id", "id_b").withColumnRenamed("toks", "toks_b")

@@ -133,3 +133,82 @@ def q86_incremental_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         F.col("total_value_dec").cast("double").alias("total_value"),
     ).orderBy("user_id")
+
+
+# ------------------------------------------- mergeable-sketch MV
+
+def merge_distinct_users_batch(
+    batch_df: DataFrame, batch_id: int, state_path: str
+) -> None:
+    """foreachBatch hook for a DISTINCT-count MV: per-event_type
+    Datasketches HLL sketches (binary, mergeable) instead of raw user
+    sets.
+
+    count(DISTINCT) is holistic — it can't be maintained by adding
+    partials — but its sketch is algebraic: ``hll_union`` of the state
+    sketch and the batch sketch is EXACTLY the sketch of the union
+    (merge-invariance, asserted in tests). State per group is ~KBs
+    regardless of user cardinality; this is the only way a distinct MV
+    survives 100 TB.
+    """
+    spark = batch_df.sparkSession
+    state_dir = f"{state_path}/hll"
+    partial = batch_df.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id").alias("sketch")
+    )
+    cur = latest_snapshot(spark, state_dir)
+    merged = (
+        partial
+        if cur is None
+        else cur.unionByName(partial)
+        .groupBy("event_type")
+        .agg(F.hll_union_agg("sketch").alias("sketch"))
+    )
+    merged.write.mode("overwrite").parquet(f"{state_dir}/v={batch_id}")
+
+
+def run_incremental_distinct_users(
+    spark: SparkSession, events_dir: str, state_path: str
+) -> DataFrame:
+    """Stream ``events_dir`` through the HLL merge; return the final
+    (event_type, n_users_est) estimate."""
+    schema = spark.read.parquet(events_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(events_dir)
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            lambda df, bid: merge_distinct_users_batch(df, bid, state_path)
+        )
+        .option(
+            "checkpointLocation", os.path.join(state_path, "_hll_checkpoint")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    final = latest_snapshot(spark, f"{state_path}/hll")
+    assert final is not None
+    return final.select(
+        "event_type",
+        F.hll_sketch_estimate("sketch").alias("n_users_est"),
+    )
+
+
+@query("q92_hll_distinct_mv")  # sketch estimates have no DuckDB twin: rows-only
+def q92_hll_distinct_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally-maintained distinct-users-per-event-type MV via
+    mergeable HLL sketches; merge-invariance and accuracy vs the exact
+    distinct count are asserted in tests/test_streaming.py."""
+    from batch_processing_new_spark.sources.readers import load_table
+
+    work = tempfile.mkdtemp(prefix="hllmv_")
+    events_dir = os.path.join(work, "events")
+    load_table(spark, sf_dir, "events").select(
+        "event_type", "user_id"
+    ).repartition(4).write.mode("overwrite").parquet(events_dir)
+    return run_incremental_distinct_users(
+        spark, events_dir, os.path.join(work, "state")
+    ).orderBy("event_type")

@@ -69,7 +69,17 @@ def main() -> int:
 
     queries = mod.queries()
     oracles = mod.oracle_sql()
-    only = set(sys.argv[1:])
+    # args select queries by exact name OR unique prefix ("q91" ->
+    # "q91_max_concurrency"); an arg matching nothing is an ERROR — a
+    # filter that silently selects zero queries reports a vacuous
+    # "ALL OK" (this bit us: short names verified nothing).
+    only: set[str] = set()
+    for arg in sys.argv[1:]:
+        hits = [n for n in queries if n == arg or n.startswith(arg)]
+        if not hits:
+            print(f"ERROR: no query matches {arg!r}")
+            return 2
+        only.update(hits)
     failed = []
     for name, fn in sorted(queries.items()):
         if only and name not in only:

@@ -312,3 +312,41 @@ def test_incremental_mv_merges_across_batches(spark, tmp_path):
     }
     got = {(r.user_id, r.n_events) for r in final.collect()}
     assert got == want
+
+
+def test_hll_mv_merge_invariance_and_accuracy(spark, tmp_path):
+    """The incrementally-merged HLL MV must (a) be EXACTLY equal to the
+    one-shot sketch over all data (merge-invariance: union of partial
+    sketches == sketch of the union) and (b) estimate within 5% of the
+    exact distinct count."""
+    from batch_processing_new_spark.streaming.incremental import (
+        run_incremental_distinct_users,
+    )
+
+    events_dir = str(tmp_path / "events")
+    e = load_table(spark, SF_CORRECT, "events").select("event_type", "user_id")
+    e.repartition(4).write.parquet(events_dir)
+
+    got = {
+        r.event_type: r.n_users_est
+        for r in run_incremental_distinct_users(
+            spark, events_dir, str(tmp_path / "state")
+        ).collect()
+    }
+
+    oneshot = {
+        r.event_type: r.est
+        for r in e.groupBy("event_type")
+        .agg(F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("est"))
+        .collect()
+    }
+    assert got == oneshot  # merge-invariance, bit-exact
+
+    exact = {
+        r.event_type: r.n
+        for r in e.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    for t, n in exact.items():
+        assert abs(got[t] - n) / n < 0.05, (t, got[t], n)
