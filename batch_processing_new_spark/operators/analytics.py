@@ -559,3 +559,63 @@ def q91_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.max("c").alias("max_concurrent"))
         .orderBy("day")
     )
+
+
+# --------------------------------------------- distribution drift
+
+_DRIFT_QS = [i / 10 for i in range(1, 10)]  # 0.1 .. 0.9
+
+
+@query(
+    "q94_quantile_drift",
+    oracle=f"""
+WITH per_type AS (
+    SELECT event_type,
+           quantile_cont(value, {_DRIFT_QS}) AS ql
+    FROM events GROUP BY event_type
+),
+overall AS (
+    SELECT quantile_cont(value, {_DRIFT_QS}) AS gl FROM events
+),
+diffs AS (
+    SELECT p.event_type,
+           unnest(range({len(_DRIFT_QS)})) AS i,
+           p.ql, g.gl
+    FROM per_type p, overall g
+)
+SELECT event_type,
+       round(max(abs(ql[i + 1] - gl[i + 1])), 6) AS max_drift
+FROM diffs
+GROUP BY event_type
+ORDER BY event_type
+""",
+)
+def q94_quantile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift monitor: per-segment quantile grid (deciles of
+    ``value``) vs the global grid; max absolute gap per segment.
+
+    The data-quality check run between pipeline stages / data drops to
+    catch a source gone sideways before it contaminates a training mix.
+    Exact interpolated percentiles both engines (rounded at 6); one
+    aggregation pass per side, grids are tiny and broadcast — scales as
+    two scans regardless of segment count.
+    """
+    e = load_table(spark, sf_dir, "events").select("event_type", "value")
+    qs = F.array(*[F.lit(q) for q in _DRIFT_QS])
+    per_type = e.groupBy("event_type").agg(
+        F.percentile("value", qs).alias("ql")
+    )
+    glob = e.agg(F.percentile("value", qs).alias("gl"))
+    return (
+        per_type.crossJoin(F.broadcast(glob))
+        .select(
+            "event_type",
+            F.round(
+                F.array_max(
+                    F.zip_with("ql", "gl", lambda a, b: F.abs(a - b))
+                ),
+                6,
+            ).alias("max_drift"),
+        )
+        .orderBy("event_type")
+    )

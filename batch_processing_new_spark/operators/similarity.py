@@ -410,3 +410,40 @@ def q57_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-bucketed approximate top-k for the q40 query set."""
     e = load_table(spark, sf_dir, "embeddings")
     return ann_ivf_topk(e).orderBy("query_id", "rank")
+
+
+# ------------------------------------------------- label centroids
+
+@query(
+    "q93_label_centroids",
+    oracle="""
+WITH dims AS (
+    SELECT label, unnest(range(64)) AS dim_id, embedding
+    FROM embeddings
+)
+SELECT label,
+       dim_id,
+       round(avg(embedding[dim_id + 1]), 6) AS centroid_v
+FROM dims
+GROUP BY label, dim_id
+ORDER BY label, dim_id
+""",
+)
+def q93_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroid, long form (label, dim_id,
+    centroid_v) — the E-step reduction of distributed k-means and the
+    class-prototype builder for nearest-centroid classification.
+
+    posexplode + groupBy(label, pos): the shuffle carries (label, dim,
+    partial sum) — map-side combine collapses each partition to
+    |labels| x dim rows regardless of corpus size, which is what makes
+    a centroid pass over 100 TB of vectors one cheap stage. (The same
+    shape backs train_ivf_centroids' Lloyd step.)
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    return (
+        e.select("label", F.posexplode(_f64("embedding")).alias("dim_id", "v"))
+        .groupBy("label", "dim_id")
+        .agg(F.round(F.avg("v"), 6).alias("centroid_v"))
+        .orderBy("label", "dim_id")
+    )

@@ -47,3 +47,32 @@ def write_parquet(
         writer = writer.partitionBy(*partition_by)
     writer.parquet(dest_dir)
     return dest_dir
+
+
+def compact_parquet(
+    spark, src_dir: str, dest_dir: str, target_file_mb: int = 128
+) -> str:
+    """Small-file compaction: rewrite a parquet directory into files of
+    ~``target_file_mb`` each.
+
+    Streaming sinks and per-batch MV snapshots accrete many small files;
+    at 100 TB small files dominate job setup (one task + one NN/listing
+    round-trip each) and wreck scan throughput. File count is sized from
+    the ACTUAL on-disk bytes (not row counts), and the rewrite is a
+    plain repartition — no shuffle key, so it's a round-robin exchange
+    that also rebalances skewed input files. On a real deployment this
+    runs per-partition-directory (compact yesterday's partition, swap
+    atomically like streaming/incremental.py snapshots).
+    """
+    import math
+
+    total_bytes = sum(
+        os.path.getsize(os.path.join(root, f))
+        for root, _, files in os.walk(src_dir)
+        for f in files
+        if f.endswith(".parquet") or f.startswith("part-")
+    )
+    n_files = max(1, math.ceil(total_bytes / (target_file_mb * 1024 * 1024)))
+    df = spark.read.parquet(src_dir)
+    df.repartition(n_files).write.mode("overwrite").parquet(dest_dir)
+    return dest_dir

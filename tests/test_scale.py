@@ -160,3 +160,26 @@ def test_runtime_bloom_filter_prunes_shuffle_join(spark):
         .collect()
     }
     assert with_bloom == baseline
+
+
+def test_compact_parquet_reduces_files_preserves_rows(spark, tmp_path):
+    """200 tiny files -> few target-size files, same content."""
+    import glob
+
+    from batch_processing_new_spark.sinks.writers import compact_parquet
+    from batch_processing_new_spark.sources.readers import load_table
+    from tests.conftest import SF_CORRECT
+
+    src = str(tmp_path / "small")
+    dst = str(tmp_path / "compact")
+    li = load_table(spark, SF_CORRECT, "lineitem")
+    li.repartition(200).write.parquet(src)
+    assert len(glob.glob(f"{src}/part-*")) == 200
+
+    compact_parquet(spark, src, dst, target_file_mb=8)
+    out_files = glob.glob(f"{dst}/part-*")
+    assert 1 <= len(out_files) <= 4, len(out_files)
+
+    a = spark.read.parquet(src).groupBy("l_returnflag").count().collect()
+    b = spark.read.parquet(dst).groupBy("l_returnflag").count().collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
