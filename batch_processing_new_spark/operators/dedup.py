@@ -244,29 +244,38 @@ def _universal_params(num_hashes: int) -> list[tuple[int, int]]:
     return out
 
 
-def _minhash_signatures_universal(
+def _minhash_wide(
     docs: DataFrame, elements: Column, num_hashes: int
 ) -> DataFrame:
-    """(doc_id, hash_id, minhash) via universal hashing: ONE md5 per
-    element (hash60), then num_hashes affine mixes mod 2^31-1 — 8x fewer
-    md5 evaluations than the md5-per-(i, element) scheme the
-    oracle-checked q36 pins. a*h fits signed 64-bit since both factors
-    are < 2^31. The quality requirement is only pairwise independence,
-    which affine-mod-prime provides.
+    """(doc_id, m0..m{k-1}) via universal hashing: ONE base hash per
+    element, then num_hashes affine mixes mod 2^31-1 — no per-hash row
+    blowup (the k-fold explode was the dominant cost of the
+    md5-per-(i, element) scheme the oracle-checked q36 pins).
+
+    The base hash is Spark's codegen'd ``xxhash64`` (seed 42, stable
+    across sessions) folded nonnegative mod p — md5 here costs ~2x the
+    whole stage and buys nothing: the quality requirement is only
+    pairwise independence, which affine-mod-prime over any well-mixed
+    base provides. a*h fits signed 64-bit since both factors < 2^31.
     """
     params = _universal_params(num_hashes)
     base = docs.select("doc_id", F.explode(elements).alias("e")).select(
-        "doc_id", (hash60(F.col("e")) % MERSENNE31).alias("h")
+        "doc_id", F.pmod(F.xxhash64(F.col("e")), F.lit(MERSENNE31)).alias("h")
     )
-    # one min-agg per hash function side by side (NO hash_id explode —
-    # the k-fold row blowup was the dominant cost), then unpivot the
-    # k-wide row to (hash_id, minhash) AFTER aggregation: stack runs on
-    # one row per doc, not one per (doc, element, hash).
     aggs = [
         F.min((F.lit(a) * F.col("h") + F.lit(b)) % MERSENNE31).alias(f"m{i}")
         for i, (a, b) in enumerate(params)
     ]
-    wide = base.groupBy("doc_id").agg(*aggs)
+    return base.groupBy("doc_id").agg(*aggs)
+
+
+def _minhash_signatures_universal(
+    docs: DataFrame, elements: Column, num_hashes: int
+) -> DataFrame:
+    """(doc_id, hash_id, minhash): `_minhash_wide` unpivoted AFTER
+    aggregation — stack runs on one row per doc, not one per
+    (doc, element, hash)."""
+    wide = _minhash_wide(docs, elements, num_hashes)
     stack_args = ", ".join(f"{i}, m{i}" for i in range(num_hashes))
     return wide.selectExpr(
         "doc_id", f"stack({num_hashes}, {stack_args}) AS (hash_id, minhash)"
@@ -294,15 +303,43 @@ def minhash_lsh_pairs(
     from batch_processing_new_spark.functions.text_funcs import shingles_of, tokens
 
     # tokens projected to a column FIRST: embedding the split inside the
-    # shingle lambda re-tokenizes per shingle (see shingles_of)
-    toked = docs.select("doc_id", tokens(F.col("text")).alias("_toks"))
-    sig = _minhash_signatures_universal(
-        toked, shingles_of(F.col("_toks")), num_hashes
+    # shingle lambda re-tokenizes per shingle (see shingles_of); the
+    # shingle arrays are materialized ONCE (localCheckpoint) because
+    # three consumers derive from them — the signature explode and both
+    # sides of the verify join — and the interpreted shingle HOF is the
+    # single most expensive scan in the operator (~30% of wall each).
+    toksets = (
+        docs.select("doc_id", tokens(F.col("text")).alias("_toks"))
+        .select("doc_id", shingles_of(F.col("_toks")).alias("toks"))
+        .localCheckpoint(eager=False)
     )
+    wide = _minhash_wide(toksets, F.col("toks"), num_hashes)
+    # band hashes straight off the wide signature row — a projection,
+    # not the unpivot + second groupBy(doc, band) shuffle: the band key
+    # is the SET of its minhashes (sorted), same as collect_list+sort
+    n_bands = num_hashes // band_size
+    band_cols = [
+        F.md5(
+            F.concat_ws(
+                ",",
+                F.array_sort(
+                    F.array(
+                        *[
+                            F.col(f"m{b * band_size + j}").cast("string")
+                            for j in range(band_size)
+                        ]
+                    )
+                ),
+            )
+        ).alias(f"bh{b}")
+        for b in range(n_bands)
+    ]
+    stack_args = ", ".join(f"{b}, bh{b}" for b in range(n_bands))
     bands = (
-        sig.withColumn("band_id", (F.col("hash_id") / band_size).cast("int"))
-        .groupBy("doc_id", "band_id")
-        .agg(F.md5(F.concat_ws(",", F.sort_array(F.collect_list("minhash")))).alias("band_hash"))
+        wide.select("doc_id", *band_cols)
+        .selectExpr(
+            "doc_id", f"stack({n_bands}, {stack_args}) AS (band_id, band_hash)"
+        )
         # tiny (docs x bands); materialize so the self-join + verify
         # don't re-run the signature pipeline per branch
         .localCheckpoint(eager=False)
@@ -320,9 +357,6 @@ def minhash_lsh_pairs(
     )
     # exact shingle-Jaccard verify on candidates only (same element set
     # the signatures hashed — Broder w-shingling end to end)
-    toksets = toked.select(
-        "doc_id", shingles_of(F.col("_toks")).alias("toks")
-    )
     ta = toksets.withColumnRenamed("doc_id", "id_a").withColumnRenamed("toks", "toks_a")
     tb = toksets.withColumnRenamed("doc_id", "id_b").withColumnRenamed("toks", "toks_b")
     inter = F.size(F.array_intersect("toks_a", "toks_b"))

