@@ -1,0 +1,312 @@
+"""Training-corpus assembly operators: decontamination, sequence
+packing, stratified splits, and token-budget mixture sampling.
+
+These are the steps between "cleaned corpus" (dedup.py, analytics.py
+quality filters) and "batches on the trainer": remove eval overlap,
+carve reproducible splits, sample each source to its token budget, and
+pack documents into fixed-capacity sequences. North-Star surface
+(SURVEY.md §2B: text analysis / 100 TB scale; reference corpus-prep
+framing at `test.py:141-285` stops at per-row enrichment — everything
+here is the declared extension, validated on the `documents` fixture).
+
+Scale notes:
+- Decontamination is a broadcast join: the eval set is tiny next to the
+  corpus (benchmarks are KBs-to-MBs vs TBs), so its distinct n-grams
+  broadcast and the corpus scans once — no corpus shuffle at all.
+- Splits / mixture sampling are hash-gated windows: the only shuffle
+  keys are (lang) / (source), both low-cardinality but size-bounded
+  per group by the window's streaming evaluation; deterministic
+  ordering comes from the same portable md5 hash as q61/q89, so
+  results are independent of partitioning and re-runs.
+- Packing shuffles once on a salted shard key, then packs each shard
+  independently in an Arrow-batched grouped map — the classic
+  "pack within worker, never globally" trade every trainer makes.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from batch_processing_new_spark.registry import query
+from batch_processing_new_spark.sources.readers import load_table
+from batch_processing_new_spark.functions.text_funcs import hash60, tokens
+
+# 3-grams, not the 8-13 real pipelines use: the synthetic fixture's
+# ~30-word vocabulary makes longer grams collision-free (5-grams flag 1
+# doc of 494 at sf0.01 — a vacuous check), while 3-grams flag ~35%, so
+# the oracle actually exercises the join. The n is a dial, not the op.
+_N = 3            # decontamination n-gram size
+EVAL_MOD = 97     # doc_id % EVAL_MOD == 0 -> held-out eval doc
+PACK_CAPACITY = 512
+PACK_SHARDS = 8
+SPLIT_FRAC = 0.2  # validation fraction per stratum
+# below every source's fixture total (1136-1553 tokens at sf0.01) so
+# the budget cut is non-vacuous at the verify scale
+MIX_BUDGET = 800  # token budget per source
+
+
+def _grams(toks: F.Column):
+    """Distinct token n-grams of an already-projected token array."""
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size(toks) - _N, F.lit(0))),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, _N)),
+        )
+    )
+
+
+@query(
+    "q95_decontaminate",
+    oracle=f"""
+WITH tok AS (
+    SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents
+),
+grams AS (
+    SELECT doc_id,
+           unnest(list_distinct(list_transform(
+               range(greatest(len(t) - {_N}, 0) + 1),
+               i -> array_to_string(list_slice(t, i + 1, i + {_N}), ' ')
+           ))) AS gram
+    FROM tok
+),
+ev AS (
+    SELECT DISTINCT gram, doc_id AS eval_doc
+    FROM grams WHERE doc_id % {EVAL_MOD} = 0
+)
+SELECT g.doc_id,
+       count(DISTINCT g.gram)     AS n_shared_grams,
+       count(DISTINCT ev.eval_doc) AS n_eval_docs
+FROM grams g JOIN ev USING (gram)
+WHERE g.doc_id % {EVAL_MOD} <> 0
+GROUP BY g.doc_id
+ORDER BY doc_id
+""",
+)
+def q95_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set decontamination: flag training documents sharing any
+    token n-gram (n=3 here; see _N) with the held-out eval slice (doc_id % 97 == 0 stands
+    in for the benchmark corpus), with how many distinct grams and how
+    many eval documents each one collides with.
+
+    The n-gram-collision scan every serious pretraining pipeline runs
+    before training. Plan shape: the eval side collapses to its
+    distinct grams and BROADCASTS — the corpus side is one scan + one
+    per-doc aggregation, zero corpus shuffle, which is what makes this
+    viable when the corpus is 100 TB and the benchmark suite is not.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    grams = (
+        d.select("doc_id", tokens(F.col("text")).alias("_toks"))
+        .select("doc_id", F.explode(_grams(F.col("_toks"))).alias("gram"))
+    )
+    is_eval = F.col("doc_id") % EVAL_MOD == 0
+    ev = (
+        grams.where(is_eval)
+        .select("gram", F.col("doc_id").alias("eval_doc"))
+        .distinct()
+    )
+    return (
+        grams.where(~is_eval)
+        .join(F.broadcast(ev), "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("gram").alias("n_shared_grams"),
+            F.countDistinct("eval_doc").alias("n_eval_docs"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "q97_stratified_split",
+    oracle=f"""
+WITH ranked AS (
+    SELECT doc_id, lang,
+           row_number() OVER (
+               PARTITION BY lang
+               ORDER BY ('0x' || substr(md5('split:' || doc_id::VARCHAR), 1, 15))::BIGINT,
+                        doc_id
+           ) AS rn,
+           count(*) OVER (PARTITION BY lang) AS n
+    FROM documents
+)
+SELECT doc_id, lang,
+       CASE WHEN rn <= ceil(n * {SPLIT_FRAC}) THEN 'validation'
+            ELSE 'train' END AS split
+FROM ranked
+ORDER BY doc_id
+""",
+)
+def q97_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact stratified train/validation split: per language stratum,
+    rank documents by a salted portable hash and take exactly
+    ceil(20% of the stratum) as validation.
+
+    Unlike the probabilistic gates (q61/q89) this honors the requested
+    proportion EXACTLY per stratum — the property you need for small
+    strata where a Bernoulli gate's variance could empty the split.
+    Deterministic under re-runs and repartitioning (hash order, doc_id
+    tiebreak), so training jobs can recompute the split instead of
+    persisting membership tables.
+    """
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    h = hash60(F.concat(F.lit("split:"), F.col("doc_id").cast("string")))
+    w = Window.partitionBy("lang").orderBy(h, "doc_id")
+    wn = Window.partitionBy("lang")
+    return (
+        d.select(
+            "doc_id",
+            "lang",
+            F.row_number().over(w).alias("rn"),
+            F.count("*").over(wn).alias("n"),
+        )
+        .select(
+            "doc_id",
+            "lang",
+            F.when(
+                F.col("rn") <= F.ceil(F.col("n") * SPLIT_FRAC), "validation"
+            )
+            .otherwise("train")
+            .alias("split"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "q98_token_budget_mix",
+    oracle=f"""
+WITH sized AS (
+    SELECT doc_id, source,
+           len(string_split(trim(text), ' ')) AS tok_count,
+           ('0x' || substr(md5('mix:' || doc_id::VARCHAR), 1, 15))::BIGINT AS h
+    FROM documents
+),
+cum AS (
+    SELECT doc_id, source, tok_count,
+           sum(tok_count) OVER (
+               PARTITION BY source ORDER BY h, doc_id
+           ) AS cum_tokens
+    FROM sized
+)
+SELECT doc_id, source, tok_count, cum_tokens
+FROM cum
+WHERE cum_tokens <= {MIX_BUDGET}
+ORDER BY doc_id
+""",
+)
+def q98_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget mixture sampling: every source contributes documents
+    in deterministic hash order until its running token total reaches
+    the per-source budget — the "data mixing" step that turns source
+    weights into an actual corpus slice.
+
+    One window over (source): the shuffle key is the mixture component,
+    the running sum streams within each, and the hash order makes the
+    slice a stable function of the corpus — rerunning after adding new
+    documents only ever appends candidates at hash positions, it never
+    silently reshuffles what was already sampled.
+    """
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    h = hash60(F.concat(F.lit("mix:"), F.col("doc_id").cast("string")))
+    sized = d.select(
+        "doc_id",
+        "source",
+        F.size(tokens(F.col("text"))).alias("tok_count"),
+        h.alias("h"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        sized.withColumn("cum_tokens", F.sum("tok_count").over(w))
+        .where(F.col("cum_tokens") <= MIX_BUDGET)
+        .select("doc_id", "source", "tok_count", "cum_tokens")
+        .orderBy("doc_id")
+    )
+
+
+def pack_sequences(
+    docs: DataFrame,
+    capacity: int = PACK_CAPACITY,
+    n_shards: int = PACK_SHARDS,
+) -> DataFrame:
+    """Greedy next-fit sequence packing: assign each document to a
+    (shard, bin) so that bins hold consecutive docs (in deterministic
+    hash order) whose token counts sum to <= ``capacity``; a document
+    larger than the capacity gets a bin of its own.
+
+    The trainer-side step that turns a document corpus into
+    fixed-length sequence slots. Globally optimal bin packing is
+    NP-hard and needs all sizes in one place; the scalable trade —
+    identical to what sequence-packing dataloaders do — is to shard by
+    hash (one shuffle) and pack WITHIN shards via an Arrow-batched
+    grouped map, accepting next-fit's <= 2x waste bound. Shard
+    boundaries, order, and therefore every bin assignment are portable
+    hash functions of doc_id alone: re-runs and repartitionings
+    reproduce the same packing bit-for-bit.
+    """
+    from pyspark.sql.types import (
+        LongType,
+        IntegerType,
+        StructField,
+        StructType,
+    )
+
+    sized = docs.select(
+        "doc_id",
+        F.size(tokens(F.col("text"))).alias("tok_count"),
+        F.pmod(
+            hash60(F.concat(F.lit("shard:"), F.col("doc_id").cast("string"))),
+            F.lit(n_shards),
+        ).cast("int").alias("shard"),
+        hash60(F.concat(F.lit("pack:"), F.col("doc_id").cast("string"))).alias(
+            "h"
+        ),
+    )
+    out_schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("shard", IntegerType()),
+            StructField("bin_id", LongType()),
+            StructField("tok_count", IntegerType()),
+        ]
+    )
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["h", "doc_id"], kind="mergesort")
+        bins, cum, cur = [], 0, 0
+        for tok in pdf["tok_count"]:
+            if cum + tok > capacity and cum > 0:
+                cur += 1
+                cum = 0
+            cum += tok
+            bins.append(cur)
+        return pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"].to_numpy(),
+                "shard": pdf["shard"].to_numpy(),
+                "bin_id": bins,
+                "tok_count": pdf["tok_count"].to_numpy(),
+            }
+        )
+
+    return sized.groupBy("shard").applyInPandas(pack, out_schema)
+
+
+# non-SQL-expressible: next-fit bin boundaries are a running recursion
+# (each reset depends on the previous one), so the driver's check is
+# rows-only; the packing invariants live in tests/test_training_mix.py
+@query("q96_pack_sequences")
+def q96_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing of the documents corpus into 512-token bins."""
+    d = load_table(spark, sf_dir, "documents")
+    return pack_sequences(d).orderBy("doc_id")

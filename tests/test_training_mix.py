@@ -1,0 +1,90 @@
+"""Invariants for the training-corpus assembly operators.
+
+q95/q97/q98 are oracle-checked by the driver; the tests here cover the
+non-SQL-expressible packing operator (q96) and the cross-query
+properties SQL can't state (determinism under repartitioning,
+split-proportion exactness).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from batch_processing_new_spark.operators.training_mix import (
+    PACK_CAPACITY,
+    PACK_SHARDS,
+    SPLIT_FRAC,
+    pack_sequences,
+    q97_stratified_split,
+)
+from batch_processing_new_spark.sources.readers import load_table
+from tests.conftest import SF_CORRECT
+
+
+def _docs(spark):
+    return load_table(spark, SF_CORRECT, "documents")
+
+
+def test_pack_every_doc_exactly_once(spark):
+    d = _docs(spark)
+    packed = pack_sequences(d)
+    assert packed.count() == d.count()
+    assert packed.select("doc_id").distinct().count() == d.count()
+
+
+def test_pack_bins_respect_capacity(spark):
+    packed = pack_sequences(_docs(spark))
+    per_bin = packed.groupBy("shard", "bin_id").agg(
+        F.sum("tok_count").alias("total"), F.count("*").alias("n_docs")
+    )
+    # a bin may exceed capacity only when it holds a single oversized doc
+    over = per_bin.where(
+        (F.col("total") > PACK_CAPACITY) & (F.col("n_docs") > 1)
+    ).count()
+    assert over == 0
+
+
+def test_pack_nextfit_waste_bound(spark):
+    """Next-fit uses < 2x the optimal bin count: every pair of adjacent
+    bins holds > capacity tokens combined, so bins <= 2*ceil(total/cap)
+    per shard (+1 for the trailing partial bin)."""
+    packed = pack_sequences(_docs(spark))
+    stats = (
+        packed.groupBy("shard")
+        .agg(
+            F.sum("tok_count").alias("total"),
+            (F.max("bin_id") + 1).alias("bins"),
+        )
+        .collect()
+    )
+    assert len(stats) == PACK_SHARDS
+    for r in stats:
+        assert r.bins <= 2 * math.ceil(r.total / PACK_CAPACITY) + 1, dict(
+            r.asDict()
+        )
+
+
+def test_pack_deterministic_under_repartition(spark):
+    d = _docs(spark)
+    a = {tuple(r) for r in pack_sequences(d).collect()}
+    b = {tuple(r) for r in pack_sequences(d.repartition(13)).collect()}
+    assert a == b
+
+
+def test_stratified_split_exact_proportions(spark):
+    out = q97_stratified_split(spark, SF_CORRECT)
+    got = (
+        out.groupBy("lang")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(
+                F.when(F.col("split") == "validation", 1).otherwise(0)
+            ).alias("v"),
+        )
+        .collect()
+    )
+    assert got
+    for r in got:
+        assert r.v == math.ceil(r.n * SPLIT_FRAC), dict(r.asDict())
