@@ -340,3 +340,119 @@ def q60_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat_ws(" ", piece).alias("chunk_text"),
         F.size(piece).alias("n_tokens"),
     ).orderBy("doc_id", "chunk_id")
+
+
+# --------------------------------------- unigram language-model score
+
+@query(
+    "q99_unigram_logprob",
+    oracle="""
+WITH tok AS (
+    SELECT doc_id, unnest(string_split(trim(text), ' ')) AS t
+    FROM documents
+),
+lm AS (
+    SELECT t, count(*) AS c FROM tok GROUP BY t
+),
+tot AS (
+    SELECT sum(c) AS n FROM lm
+),
+scored AS (
+    SELECT doc_id, -ln(c * 1.0 / n) AS nlp
+    FROM tok JOIN lm USING (t), tot
+)
+SELECT doc_id,
+       count(*)           AS n_tokens,
+       round(avg(nlp), 6) AS avg_neg_logprob
+FROM scored
+GROUP BY doc_id
+ORDER BY doc_id
+""",
+)
+def q99_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram language-model scoring: train token frequencies over the
+    corpus itself, then score each document by its mean negative log
+    probability — the CCNet/perplexity-filter shape (docs far from the
+    corpus distribution score high and get filtered or down-weighted).
+
+    Two aggregations and one broadcast join: the LM is vocab-sized (map-
+    side combined token counts), so it broadcasts and the corpus never
+    shuffles to be scored. A real deployment truncates the vocab to
+    top-K + an UNK probability, which only shrinks the broadcast.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("t"))
+    lm = tok.groupBy("t").agg(F.count("*").alias("c"))
+    total = lm.agg(F.sum("c").alias("n"))
+    lmp = lm.crossJoin(F.broadcast(total)).select(
+        "t", (-F.log(F.col("c") / F.col("n"))).alias("nlp")
+    )
+    return (
+        tok.join(F.broadcast(lmp), "t")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round(F.avg("nlp"), 6).alias("avg_neg_logprob"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# --------------------------------------- compression-ratio signal
+
+def compression_ratio(docs: DataFrame) -> DataFrame:
+    """(doc_id, raw_len, compressed_len, ratio): zlib-compressed size
+    over raw UTF-8 size — the classic cheap repetition/boilerplate
+    detector (degenerate repetitive text compresses far below ~0.4;
+    high-entropy text sits near 1.0).
+
+    zlib at a fixed level is deterministic, so the column is a pure
+    function of the text; the scan is one Arrow-batched `mapInPandas`
+    pass with no shuffle at all. SQL has no codec, hence no DuckDB
+    oracle — tests recompute ratios with local zlib and assert exact
+    equality (tests/test_training_mix.py).
+    """
+    import pandas as pd
+    import zlib
+
+    from pyspark.sql.types import (
+        DoubleType,
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("raw_len", IntegerType()),
+            StructField("compressed_len", IntegerType()),
+            StructField("ratio", DoubleType()),
+        ]
+    )
+
+    def score(batches):
+        for pdf in batches:
+            raw = pdf["text"].str.encode("utf-8")
+            raw_len = raw.str.len()
+            comp_len = raw.map(lambda b: len(zlib.compress(b, 6)))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "raw_len": raw_len,
+                    "compressed_len": comp_len,
+                    "ratio": (comp_len / raw_len).round(6),
+                }
+            )
+
+    return docs.select("doc_id", "text").mapInPandas(score, schema)
+
+
+# non-SQL-expressible (no codec in SQL): rows-only driver check; exact
+# local-zlib equality asserted in tests/test_training_mix.py
+@query("q100_compression_ratio")
+def q100_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """zlib compression-ratio quality signal over the corpus."""
+    d = load_table(spark, sf_dir, "documents")
+    return compression_ratio(d).orderBy("doc_id")

@@ -76,3 +76,28 @@ def compact_parquet(
     df = spark.read.parquet(src_dir)
     df.repartition(n_files).write.mode("overwrite").parquet(dest_dir)
     return dest_dir
+
+
+def write_range_clustered(
+    df: DataFrame, dest_dir: str, cluster_cols: list[str], n_files: int
+) -> str:
+    """Range-clustered sorted parquet: co-locate key ranges per file and
+    sort within, so every file's footer min/max statistics on
+    ``cluster_cols[0]`` are disjoint (asserted in tests/test_scale.py).
+
+    This is the layout that makes selective scans cheap at 100 TB: a
+    range or point predicate on the cluster key prunes to the few files
+    whose [min, max] intersect it — before any task launches — and
+    row-group statistics prune further inside each file. The write costs
+    one range-partitioned shuffle (Spark samples the key distribution,
+    so skewed keys still split evenly across files); reads repay it on
+    every query. The same layout feeds sort-merge joins without a
+    re-sort when both sides cluster on the join key.
+    """
+    (
+        df.repartitionByRange(n_files, *cluster_cols)
+        .sortWithinPartitions(*cluster_cols)
+        .write.mode("overwrite")
+        .parquet(dest_dir)
+    )
+    return dest_dir

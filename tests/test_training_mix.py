@@ -88,3 +88,24 @@ def test_stratified_split_exact_proportions(spark):
     assert got
     for r in got:
         assert r.v == math.ceil(r.n * SPLIT_FRAC), dict(r.asDict())
+
+
+def test_compression_ratio_matches_local_zlib(spark):
+    """The Spark column is a pure function of the text: recompute with
+    local zlib and assert exact equality for every document."""
+    import zlib
+
+    from batch_processing_new_spark.operators.text_analysis import (
+        compression_ratio,
+    )
+
+    d = _docs(spark)
+    got = {r.doc_id: r for r in compression_ratio(d).collect()}
+    texts = {r.doc_id: r.text for r in d.select("doc_id", "text").collect()}
+    assert set(got) == set(texts)
+    for doc_id, text in texts.items():
+        raw = text.encode("utf-8")
+        comp = len(zlib.compress(raw, 6))
+        r = got[doc_id]
+        assert (r.raw_len, r.compressed_len) == (len(raw), comp), doc_id
+        assert r.ratio == round(comp / len(raw), 6), doc_id
