@@ -895,3 +895,71 @@ def q77_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bin")
     )
+
+
+# ------------------------------------------------ full-outer reconcile
+
+@query(
+    "q101_full_outer_reconcile",
+    oracle=f"""
+WITH ev AS (
+    SELECT user_id, count(*) AS n_events
+    FROM events GROUP BY user_id
+),
+hi AS (
+    SELECT o_custkey,
+           count(*) AS n_big_orders,
+           {_dsum_sql('o_totalprice')} AS big_revenue
+    FROM orders WHERE o_totalprice > 150000
+    GROUP BY o_custkey
+)
+SELECT coalesce(ev.user_id, hi.o_custkey) AS cust_id,
+       coalesce(ev.n_events, 0)           AS n_events,
+       coalesce(hi.n_big_orders, 0)       AS n_big_orders,
+       round(coalesce(hi.big_revenue, 0), 2) AS big_revenue,
+       CASE WHEN ev.user_id IS NULL THEN 'orders_only'
+            WHEN hi.o_custkey IS NULL THEN 'events_only'
+            ELSE 'both' END               AS presence
+FROM ev FULL OUTER JOIN hi ON ev.user_id = hi.o_custkey
+ORDER BY cust_id
+""",
+)
+def q101_full_outer_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-outer reconciliation of two activity ledgers: per-user event
+    counts against per-customer high-value order totals, keeping rows
+    present in EITHER side and labeling which (the audit/reconciliation
+    report shape — "who shows activity here but not there?").
+
+    Completes the join-type surface (inner/semi/anti/left/as-of/range
+    elsewhere): full outer is the one join that preserves both sides'
+    unmatched keys. Both inputs are pre-aggregated before the join, so
+    the shuffle carries one row per key per side — at scale this is the
+    cheapest of the joins here, not the most expensive.
+    """
+    e = load_table(spark, sf_dir, "events")
+    o = load_table(spark, sf_dir, "orders")
+    ev = e.groupBy("user_id").agg(F.count("*").alias("n_events"))
+    hi = (
+        o.where(F.col("o_totalprice") > 150000)
+        .groupBy("o_custkey")
+        .agg(
+            F.count("*").alias("n_big_orders"),
+            dsum("o_totalprice").alias("big_revenue"),
+        )
+    )
+    j = ev.join(hi, ev["user_id"] == hi["o_custkey"], "full_outer")
+    return (
+        j.select(
+            F.coalesce("user_id", "o_custkey").alias("cust_id"),
+            F.coalesce("n_events", F.lit(0)).alias("n_events"),
+            F.coalesce("n_big_orders", F.lit(0)).alias("n_big_orders"),
+            F.round(F.coalesce("big_revenue", F.lit(0.0)), 2).alias(
+                "big_revenue"
+            ),
+            F.when(F.col("user_id").isNull(), "orders_only")
+            .when(F.col("o_custkey").isNull(), "events_only")
+            .otherwise("both")
+            .alias("presence"),
+        )
+        .orderBy("cust_id")
+    )

@@ -122,3 +122,24 @@ def read_jsonl(
     if schema is not None:
         reader = reader.schema(schema)
     return reader.json(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC source — same columnar pushdown/pruning properties as the
+    parquet scan (Spark ships both natively); exists so corpora landed
+    by Hive/Trino-era pipelines ingest without a rewrite."""
+    return spark.read.orc(path)
+
+
+def read_evolved_parquet(spark: SparkSession, path: str) -> DataFrame:
+    """Parquet scan across files written under DIFFERENT schema versions
+    (columns added over time): ``mergeSchema`` unions the file footers
+    into one schema and fills absent columns with NULL per file.
+
+    The read-side half of schema evolution every long-lived corpus
+    needs — yesterday's files stay valid when today's writer adds a
+    column. Costs one footer pass over the files (not the data); for
+    100 TB directories pin the merged schema in a catalog instead and
+    pass it explicitly.
+    """
+    return spark.read.option("mergeSchema", "true").parquet(path)
