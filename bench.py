@@ -36,6 +36,8 @@ HEADLINE = [
     "q37_minhash_lsh_pairs",   # MinHash-LSH near-dup (corpus-scale dedup)
     "q42_ann_lsh_topk",        # multiprobe sign-LSH ANN
     "q83_dup_ngram_fraction",  # n-gram repetition quality (corpus hygiene)
+    "q95_decontaminate",       # eval-set n-gram broadcast decontamination
+    "q99_unigram_logprob",     # unigram-LM quality scoring
 ]
 
 
