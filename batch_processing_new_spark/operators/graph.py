@@ -1,0 +1,105 @@
+"""Graph analytics over relational data: iterative PageRank on the
+part co-purchase graph.
+
+Demonstrates the iterative-DataFrame-algorithm shape (the other
+instance is the connected-components closure in dedup.py): a loop that
+BUILDS the plan — join + aggregate per iteration, no driver-side data
+movement — with the edge list materialized once. At 100 TB the same
+loop runs with edges persisted/bucketed by src so every iteration is a
+co-located join plus one shuffle on dst, and each iteration's result is
+checkpointed to cut lineage.
+
+The oracle unrolls the same three iterations as chained SQL CTEs — an
+iterative algorithm with an EXACT value oracle, not just invariants.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from batch_processing_new_spark.registry import query
+from batch_processing_new_spark.sources.readers import load_table
+
+PR_ITERS = 3
+PR_DAMP = 0.85
+
+
+def copurchase_edges(lineitem: DataFrame) -> DataFrame:
+    """Distinct directed edges between parts sharing an order (both
+    directions present by construction, so the graph is symmetric and
+    has no dangling nodes — every node has out-degree >= 1)."""
+    a = lineitem.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("src"))
+    b = lineitem.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("dst"))
+    return (
+        a.join(b, "k")
+        .where(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )
+
+
+def pagerank(edges: DataFrame, iters: int = PR_ITERS, damp: float = PR_DAMP) -> DataFrame:
+    """(v, rank) after ``iters`` synchronous iterations from rank=1:
+    r(v) <- (1-damp) + damp * sum_{u->v} r(u)/outdeg(u).
+
+    Each iteration is one join (ranks to edges on src) + one aggregate
+    (sum by dst): shuffle keys src then dst, nothing else. The edge
+    list is materialized once (localCheckpoint) — it feeds every
+    iteration plus the degree table, and re-deriving the self-join per
+    iteration would dominate the cost.
+    """
+    edges = edges.localCheckpoint(eager=False)
+    deg = edges.groupBy("src").agg(F.count("*").alias("d"))
+    contrib_base = edges.join(deg, "src")  # (src, dst, d)
+    ranks = deg.select(F.col("src").alias("v"), F.lit(1.0).alias("r"))
+    for _ in range(iters):
+        ranks = (
+            contrib_base.join(ranks, contrib_base["src"] == ranks["v"])
+            .select("dst", (F.col("r") / F.col("d")).alias("c"))
+            .groupBy("dst")
+            .agg((F.lit(1.0 - damp) + F.lit(damp) * F.sum("c")).alias("r"))
+            .select(F.col("dst").alias("v"), "r")
+        )
+    return ranks
+
+
+def _pr_iter_sql(prev: str, cur: str) -> str:
+    return f"""
+{cur} AS (
+    SELECT p.dst AS v,
+           {1 - PR_DAMP} + {PR_DAMP} * sum({prev}.r / deg.d) AS r
+    FROM pairs p
+    JOIN {prev} ON {prev}.v = p.src
+    JOIN deg ON deg.src = p.src
+    GROUP BY p.dst
+)"""
+
+
+@query(
+    "q102_copurchase_pagerank",
+    oracle=f"""
+WITH pairs AS (
+    SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+    FROM lineitem a
+    JOIN lineitem b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+),
+deg AS (SELECT src, count(*) AS d FROM pairs GROUP BY src),
+r0 AS (SELECT src AS v, 1.0 AS r FROM deg),{_pr_iter_sql('r0', 'r1')},{_pr_iter_sql('r1', 'r2')},{_pr_iter_sql('r2', 'r3')}
+SELECT v AS part_id, round(r, 6) AS rank
+FROM r3
+ORDER BY part_id
+""",
+)
+def q102_copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the part co-purchase graph (parts sharing an
+    order), {PR_ITERS} iterations, damping {PR_DAMP} — 'centrality' of a
+    part in the catalog's co-occurrence structure."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    edges = copurchase_edges(li)
+    return (
+        pagerank(edges)
+        .select(F.col("v").alias("part_id"), F.round("r", 6).alias("rank"))
+        .orderBy("part_id")
+    )

@@ -275,3 +275,54 @@ def q78_stateful_running_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "n_events", "total_value", "max_event_id")
         .orderBy("user_id")
     )
+
+
+@query("q103_stream_left_outer_join")  # Spark-only; batch equivalence in tests
+def q103_stream_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER join: every purchase with its count of
+    same-user views in the preceding hour — INCLUDING purchases with no
+    views, which is what the outer side adds over q67 and what makes
+    state eviction semantically load-bearing: an unmatched purchase may
+    only emit its NULL row once the watermark proves no matching view
+    can still arrive (v_ts <= p_ts, so the match window closes when the
+    watermark passes p_ts).
+
+    Purchases inside the final watermark gap (last 10 minutes of the
+    stream) therefore stay open and never emit — not a bug but THE
+    watermark contract; tests/test_streaming.py asserts exact batch
+    equivalence over the closed region.
+    """
+    events = read_events_stream(spark, sf_dir).withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    purchases = (
+        events.where(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "10 minutes")
+    )
+    views = (
+        events.where(F.col("event_type") == "view")
+        .select(
+            F.col("event_id").alias("view_id"),
+            F.col("user_id").alias("v_user"),
+            F.col("ts").alias("v_ts"),
+        )
+        .withWatermark("v_ts", "10 minutes")
+    )
+    joined = purchases.join(
+        views,
+        (F.col("p_user") == F.col("v_user"))
+        & (F.col("v_ts") > F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("v_ts") <= F.col("p_ts")),
+        "left_outer",
+    )
+    res = run_append_to_memory(joined, "ssloj")
+    return (
+        res.groupBy("purchase_id")
+        .agg(F.count(F.col("view_id")).alias("n_views_1h"))
+        .orderBy("purchase_id")
+    )

@@ -227,3 +227,62 @@ def test_range_clustered_write_disjoint_file_stats(spark, tmp_path):
     a = spark.read.parquet(dst).agg(F.sum("l_quantity"), F.count("*")).collect()
     b = li.agg(F.sum("l_quantity"), F.count("*")).collect()
     assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+
+def test_zorder_bounds_both_dims_vs_single_key_sort(spark, tmp_path):
+    """Z-ordered files cover small rectangles of (orderkey, partkey):
+    the average per-file partkey span must be far below the single-key
+    layout's, while orderkey locality stays file-prunable. Verified from
+    parquet footer statistics, the same metadata a scan planner uses."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from batch_processing_new_spark.functions.zorder import write_zordered
+    from batch_processing_new_spark.sinks.writers import write_range_clustered
+    from batch_processing_new_spark.sources.readers import load_table
+    from tests.conftest import SF_CORRECT
+
+    li = load_table(spark, SF_CORRECT, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_quantity"
+    )
+
+    def file_spans(path, col):
+        spans = []
+        for f in sorted(glob.glob(f"{path}/part-*")):
+            meta = pq.ParquetFile(f).metadata
+            idx = {
+                meta.row_group(0).column(i).path_in_schema: i
+                for i in range(meta.num_columns)
+            }[col]
+            mins, maxs = [], []
+            for g in range(meta.num_row_groups):
+                st = meta.row_group(g).column(idx).statistics
+                mins.append(st.min)
+                maxs.append(st.max)
+            if mins:
+                spans.append(max(maxs) - min(mins))
+        return spans
+
+    linear = str(tmp_path / "linear")
+    zord = str(tmp_path / "zorder")
+    write_range_clustered(li, linear, ["l_orderkey"], n_files=16)
+    write_zordered(li, zord, ["l_orderkey", "l_partkey"], n_files=16)
+
+    full_part_span = (
+        li.agg(F.max("l_partkey") - F.min("l_partkey")).first()[0]
+    )
+    lin_part = file_spans(linear, "l_partkey")
+    z_part = file_spans(zord, "l_partkey")
+    # single-key layout: every file spans ~the whole partkey range
+    assert sum(lin_part) / len(lin_part) > 0.8 * full_part_span
+    # z-order: files cover rectangles — mean span well below full range
+    assert sum(z_part) / len(z_part) < 0.6 * full_part_span, (
+        sum(z_part) / len(z_part),
+        full_part_span,
+    )
+
+    # content preserved
+    a = li.agg(F.sum("l_quantity"), F.count("*")).collect()
+    b = spark.read.parquet(zord).agg(F.sum("l_quantity"), F.count("*")).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]

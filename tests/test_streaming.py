@@ -350,3 +350,50 @@ def test_hll_mv_merge_invariance_and_accuracy(spark, tmp_path):
     }
     for t, n in exact.items():
         assert abs(got[t] - n) / n < 0.05, (t, got[t], n)
+
+
+def test_stream_left_outer_join_equals_batch_on_closed_region(spark):
+    """q103 (stream-stream LEFT OUTER join) must agree with the batch
+    left join — zero-view purchases included — for every purchase the
+    watermark has closed (p_ts <= max_ts - 10min). Purchases inside the
+    final watermark gap legitimately stay open in streaming; assert
+    they are the ONLY discrepancies and that emitted rows are exact."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from batch_processing_new_spark.operators.relational_ext import q43_range_join
+    from batch_processing_new_spark.sources.readers import load_table
+    from batch_processing_new_spark.streaming.stream_queries import (
+        q103_stream_left_outer_join,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    ev = load_table(spark, sf, "events")
+    max_ts = ev.agg(F.max("ts")).first()[0]
+    horizon = max_ts - datetime.timedelta(minutes=10)
+    closed = {
+        r.event_id
+        for r in ev.where(
+            (F.col("event_type") == "purchase") & (F.col("ts") <= horizon)
+        )
+        .select("event_id")
+        .collect()
+    }
+
+    batch = {
+        r.purchase_id: r.n_views_1h for r in q43_range_join(spark, sf).collect()
+    }
+    stream = {
+        r.purchase_id: r.n_views_1h
+        for r in q103_stream_left_outer_join(spark, sf).collect()
+    }
+
+    # every closed purchase emitted, with the exact batch count
+    for pid in closed:
+        assert stream.get(pid) == batch[pid], (pid, stream.get(pid), batch[pid])
+    # anything extra the stream emitted must still match batch exactly
+    for pid, n in stream.items():
+        assert batch[pid] == n
+    # and zero-view purchases actually appear (the outer side is real)
+    assert any(n == 0 for pid, n in stream.items() if pid in closed)
