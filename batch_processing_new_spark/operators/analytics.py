@@ -619,3 +619,73 @@ def q94_quantile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ------------------------------------------- hypertable rollup
+
+@query(
+    "q104_hypertable_rollup",
+    oracle="""
+WITH g AS (
+    SELECT CASE gran
+             WHEN 'minute' THEN date_trunc('minute', ts)
+             WHEN 'hour'   THEN date_trunc('hour', ts)
+             ELSE                date_trunc('day', ts)
+           END AS bucket,
+           gran,
+           event_type,
+           value
+    FROM events, unnest(['minute', 'hour', 'day']) t(gran)
+)
+SELECT CAST(bucket AS TIMESTAMP) AS bucket,
+       gran,
+       event_type,
+       count(*) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(30,8))) AS DOUBLE) AS total_value
+FROM g
+GROUP BY bucket, gran, event_type
+HAVING gran <> 'minute' OR n_events > 1
+ORDER BY gran, bucket, event_type
+""",
+)
+def q104_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style multi-resolution rollup: the same aggregate
+    materialized at minute, hour, and day granularity in ONE pass — the
+    continuous-aggregate ladder a time-series store keeps so dashboards
+    hit the coarsest bucket that answers the query.
+
+    One explode over the three granularities feeds one shuffle keyed
+    (bucket, gran, event_type): partial aggregation collapses each
+    partition to its distinct buckets before the exchange, exactly like
+    Catalyst's Expand-based rollup, and each finer level is ~60x the
+    rows of the next — the explode costs 3 scans' worth of input rows
+    but only one shuffle. (Minute buckets with a single event are
+    dropped on both sides purely to keep the verify row count sane;
+    hour/day ladders are complete.)
+    """
+    e = load_table(spark, sf_dir, "events").select("ts", "event_type", "value")
+    g = e.select(
+        F.explode(F.array(F.lit("minute"), F.lit("hour"), F.lit("day"))).alias(
+            "gran"
+        ),
+        "ts",
+        "event_type",
+        "value",
+    ).select(
+        F.when(F.col("gran") == "minute", F.date_trunc("minute", "ts"))
+        .when(F.col("gran") == "hour", F.date_trunc("hour", "ts"))
+        .otherwise(F.date_trunc("day", "ts"))
+        .alias("bucket"),
+        "gran",
+        "event_type",
+        "value",
+    )
+    agg = g.groupBy("bucket", "gran", "event_type").agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(30,8)"))
+        .cast("double")
+        .alias("total_value"),
+    )
+    return agg.where(
+        (F.col("gran") != "minute") | (F.col("n_events") > 1)
+    ).orderBy("gran", "bucket", "event_type")
