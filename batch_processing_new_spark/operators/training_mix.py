@@ -234,6 +234,22 @@ def q98_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def nextfit_bins(sizes: list[int], capacity: int) -> list[int]:
+    """Greedy next-fit: bin id per size, in order. A size that would
+    overflow the open bin closes it; an oversized size still gets a bin
+    (its own). Kept as a pure function so its invariants are
+    property-tested (hypothesis) without driving Spark."""
+    bins: list[int] = []
+    cum, cur = 0, 0
+    for tok in sizes:
+        if cum + tok > capacity and cum > 0:
+            cur += 1
+            cum = 0
+        cum += tok
+        bins.append(cur)
+    return bins
+
+
 def pack_sequences(
     docs: DataFrame,
     capacity: int = PACK_CAPACITY,
@@ -283,13 +299,7 @@ def pack_sequences(
 
     def pack(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(["h", "doc_id"], kind="mergesort")
-        bins, cum, cur = [], 0, 0
-        for tok in pdf["tok_count"]:
-            if cum + tok > capacity and cum > 0:
-                cur += 1
-                cum = 0
-            cum += tok
-            bins.append(cur)
+        bins = nextfit_bins(list(pdf["tok_count"]), capacity)
         return pd.DataFrame(
             {
                 "doc_id": pdf["doc_id"].to_numpy(),

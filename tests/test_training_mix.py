@@ -109,3 +109,40 @@ def test_compression_ratio_matches_local_zlib(spark):
         r = got[doc_id]
         assert (r.raw_len, r.compressed_len) == (len(raw), comp), doc_id
         assert r.ratio == round(comp / len(raw), 6), doc_id
+
+
+# ---------------------------------------- next-fit property tests
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from batch_processing_new_spark.operators.training_mix import nextfit_bins
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    sizes=st.lists(st.integers(min_value=1, max_value=1000), max_size=200),
+    capacity=st.integers(min_value=1, max_value=600),
+)
+def test_nextfit_invariants(sizes, capacity):
+    bins = nextfit_bins(sizes, capacity)
+    assert len(bins) == len(sizes)
+    if not sizes:
+        return
+    # bin ids start at 0, are nondecreasing, and step by at most 1
+    assert bins[0] == 0
+    for a, b in zip(bins, bins[1:]):
+        assert a <= b <= a + 1
+    # capacity respected except single-oversized-item bins
+    totals: dict[int, int] = {}
+    counts: dict[int, int] = {}
+    for s, b in zip(sizes, bins):
+        totals[b] = totals.get(b, 0) + s
+        counts[b] = counts.get(b, 0) + 1
+    for b, t in totals.items():
+        assert t <= capacity or counts[b] == 1
+    # next-fit guarantee: any two ADJACENT bins overflow one bin, so
+    # bin count < 2 * optimal + 1 (optimal >= ceil(total/capacity))
+    n_bins = max(bins) + 1
+    for b in range(n_bins - 1):
+        assert totals[b] + totals[b + 1] > capacity
