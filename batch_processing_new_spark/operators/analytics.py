@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 
 from batch_processing_new_spark.functions.text_funcs import tokens
 from batch_processing_new_spark.registry import query
-from batch_processing_new_spark.sources.readers import load_table
+from batch_processing_new_spark.sources.readers import fan_out, load_table
 
 
 # ------------------------------------------------------- funnel
@@ -252,7 +252,8 @@ def q82_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     d = load_table(spark, sf_dir, "documents")
     counted = (
-        d.select(F.explode(tokens(F.col("text"))).alias("token"))
+        fan_out(d.select("text"))
+        .select(F.explode(tokens(F.col("text"))).alias("token"))
         .groupBy("token")
         .agg(F.count("*").alias("n"))
     )
@@ -311,7 +312,9 @@ def q83_dup_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     # tokens projected to a real column first: referencing the split
     # expression inside the transform lambda would re-tokenize the
     # document once per gram — O(len^2) (see text_funcs.shingles_of)
-    toked = d.select("doc_id", tokens(F.col("text")).alias("_toks"))
+    toked = fan_out(d.select("doc_id", "text")).select(
+        "doc_id", tokens(F.col("text")).alias("_toks")
+    )
     toks = F.col("_toks")
     grams = F.transform(
         F.sequence(F.lit(0), F.size(toks) - _NGRAM_N),

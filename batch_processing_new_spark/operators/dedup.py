@@ -32,7 +32,7 @@ from batch_processing_new_spark.functions.text_funcs import (
     token_set_fingerprint,
 )
 from batch_processing_new_spark.registry import query
-from batch_processing_new_spark.sources.readers import load_table
+from batch_processing_new_spark.sources.readers import fan_out, load_table
 
 NUM_MINHASHES = 8
 LSH_BAND_SIZE = 2  # 4 bands of 2 -> catches Jaccard >~ 0.5 reliably
@@ -140,7 +140,7 @@ def q35_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (without a block key, drop stop-shingles / use MinHash-LSH, q37).
     """
     d = load_table(spark, sf_dir, "documents")
-    tok = d.select(
+    tok = fan_out(d.select("doc_id", "source", "text")).select(
         "doc_id", "source", F.explode(distinct_tokens(F.col("text"))).alias("t")
     )
     sizes = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
@@ -186,7 +186,7 @@ def _minhash_signatures(
     """
     if elements is None:
         elements = distinct_tokens(F.col("text"))
-    tok = docs.select("doc_id", F.explode(elements).alias("t"))
+    tok = fan_out(docs).select("doc_id", F.explode(elements).alias("t"))
     return (
         tok.select(
             "doc_id",
@@ -309,7 +309,8 @@ def minhash_lsh_pairs(
     # sides of the verify join — and the interpreted shingle HOF is the
     # single most expensive scan in the operator (~30% of wall each).
     toksets = (
-        docs.select("doc_id", tokens(F.col("text")).alias("_toks"))
+        fan_out(docs.select("doc_id", "text"))
+        .select("doc_id", tokens(F.col("text")).alias("_toks"))
         .select("doc_id", shingles_of(F.col("_toks")).alias("toks"))
         .localCheckpoint(eager=False)
     )
@@ -390,7 +391,7 @@ def simhash(docs: DataFrame, text_col: str = "text") -> DataFrame:
     JVM-side longs; one partial-agg groupBy packs the sign bits back
     into a single BIGINT. No Python, no wide 60-column agg.
     """
-    tok = docs.select(
+    tok = fan_out(docs.select("doc_id", text_col)).select(
         "doc_id", F.explode(distinct_tokens(F.col(text_col))).alias("t")
     ).withColumn("h", hash60(F.col("t")))
     votes = (

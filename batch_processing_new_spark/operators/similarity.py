@@ -29,7 +29,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from batch_processing_new_spark.registry import query
-from batch_processing_new_spark.sources.readers import load_table
+from batch_processing_new_spark.sources.readers import fan_out, load_table
 
 DIM = 64
 TOPK = 10
@@ -98,7 +98,9 @@ def q40_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = e.where(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), _f64("embedding").alias("qv")
     )
-    c = e.select(F.col("vec_id").alias("neighbor_id"), _f64("embedding").alias("cv"))
+    c = fan_out(e).select(
+        F.col("vec_id").alias("neighbor_id"), _f64("embedding").alias("cv")
+    )
     scored = (
         c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
         .withColumn("cos_sim", F.round(cosine(F.col("qv"), F.col("cv")), 6))
@@ -252,6 +254,10 @@ def ann_lsh_topk(
     # carry no vectors, so the bucket join + distinct shuffle narrow
     # (query_id, neighbor_id) rows instead of 2 x dim doubles each —
     # vectors are re-attached AFTER dedup, once per surviving pair.
+    # NO fan_out here: the signature is an Arrow pandas UDF, and one
+    # 2000-row batch beats 32 sixty-row batches (per-task Python worker
+    # + Arrow round-trip overhead outweighs the parallelism on a corpus
+    # this small; real corpora arrive multi-partition anyway).
     sig = emb.select(
         "vec_id", _signature_np(planes)("embedding").alias("sig_full")
     )
@@ -355,6 +361,35 @@ def _nearest_cells(vec: Column, centroids: list[list[float]], n: int) -> Column:
     return F.transform(ranked, lambda s: s["cid"])
 
 
+def _nearest_cells_np(centroids: list[list[float]], n: int):
+    """Arrow-vectorized nearest-centroid assignment: one numpy distance
+    matrix per batch instead of cells x dim interpreted HOF ops per row
+    (same rationale and ~3x win as `_signature_np`). Distances are
+    rounded to 9 like `_nearest_cells` and ties break on cell id
+    (lexsort), so the assignment matches the expression version.
+    """
+    from pyspark.sql.types import ArrayType, IntegerType
+
+    C = np.array(centroids, dtype=np.float64)  # (k, dim)
+
+    @F.pandas_udf(ArrayType(IntegerType()))
+    def cells(emb: pd.Series) -> pd.Series:
+        V = np.vstack(emb.to_numpy()).astype(np.float64)  # (m, dim)
+        # computed as sum((a-b)^2), NOT the |a|^2-2ab+|b|^2 expansion:
+        # same float rounding as the expression version, then round(9)
+        # before ordering
+        d2 = np.stack(
+            [((V - C[i]) ** 2).sum(axis=1) for i in range(C.shape[0])],
+            axis=1,
+        )
+        d2 = np.round(d2, 9)
+        k = np.arange(C.shape[0])
+        order = np.lexsort((np.broadcast_to(k, d2.shape), d2), axis=1)
+        return pd.Series(list(order[:, :n].astype(np.int32)))
+
+    return cells
+
+
 def train_ivf_centroids(
     emb: DataFrame, k: int = IVF_CELLS, lloyd_iters: int = 1
 ) -> list[list[float]]:
@@ -374,10 +409,11 @@ def train_ivf_centroids(
         .collect()
     )
     centroids = [list(r.v) for r in seeds]
+    wide = emb.select("embedding")
     for _ in range(lloyd_iters):
-        assigned = emb.select(
+        assigned = wide.select(
             _f64("embedding").alias("v"),
-            _nearest_cells(_f64("embedding"), centroids, 1)[0].alias("cell"),
+            _nearest_cells_np(centroids, 1)("embedding").getItem(0).alias("cell"),
         )
         means = (
             assigned.select("cell", F.posexplode("v").alias("pos", "x"))
@@ -421,13 +457,13 @@ def ann_ivf_topk(
     corpus = emb.select(
         F.col("vec_id").alias("neighbor_id"),
         _f64("embedding").alias("cv"),
-        _nearest_cells(_f64("embedding"), centroids, 1)[0].alias("cell"),
+        _nearest_cells_np(centroids, 1)("embedding").getItem(0).alias("cell"),
     )
     queries = emb.where(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"),
         _f64("embedding").alias("qv"),
         F.explode(
-            _nearest_cells(_f64("embedding"), centroids, nprobe)
+            _nearest_cells_np(centroids, nprobe)("embedding")
         ).alias("cell"),
     )
     cand = F.broadcast(queries).join(corpus, "cell").where(
@@ -483,7 +519,8 @@ def q93_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     e = load_table(spark, sf_dir, "embeddings")
     return (
-        e.select("label", F.posexplode(_f64("embedding")).alias("dim_id", "v"))
+        fan_out(e.select("label", "embedding"))
+        .select("label", F.posexplode(_f64("embedding")).alias("dim_id", "v"))
         .groupBy("label", "dim_id")
         .agg(F.round(F.avg("v"), 6).alias("centroid_v"))
         .orderBy("label", "dim_id")

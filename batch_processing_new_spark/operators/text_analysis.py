@@ -22,7 +22,7 @@ from batch_processing_new_spark.functions.text_funcs import (
     tokens,
 )
 from batch_processing_new_spark.registry import query
-from batch_processing_new_spark.sources.readers import load_table
+from batch_processing_new_spark.sources.readers import fan_out, load_table
 
 # small stopword list over the fixture vocabulary; real deployments swap
 # in a broadcast stopword table
@@ -381,7 +381,9 @@ def q99_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     top-K + an UNK probability, which only shrinks the broadcast.
     """
     d = load_table(spark, sf_dir, "documents")
-    tok = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("t"))
+    tok = fan_out(d.select("doc_id", "text")).select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("t")
+    )
     lm = tok.groupBy("t").agg(F.count("*").alias("c"))
     total = lm.agg(F.sum("c").alias("n"))
     lmp = lm.crossJoin(F.broadcast(total)).select(

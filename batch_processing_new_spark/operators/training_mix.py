@@ -30,7 +30,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from batch_processing_new_spark.registry import query
-from batch_processing_new_spark.sources.readers import load_table
+from batch_processing_new_spark.sources.readers import fan_out, load_table
 from batch_processing_new_spark.functions.text_funcs import hash60, tokens
 
 # 3-grams, not the 8-13 real pipelines use: the synthetic fixture's
@@ -98,7 +98,8 @@ def q95_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     d = load_table(spark, sf_dir, "documents")
     grams = (
-        d.select("doc_id", tokens(F.col("text")).alias("_toks"))
+        fan_out(d.select("doc_id", "text"))
+        .select("doc_id", tokens(F.col("text")).alias("_toks"))
         .select("doc_id", F.explode(_grams(F.col("_toks"))).alias("gram"))
     )
     is_eval = F.col("doc_id") % EVAL_MOD == 0

@@ -143,3 +143,22 @@ def read_evolved_parquet(spark: SparkSession, path: str) -> DataFrame:
     pass it explicitly.
     """
     return spark.read.option("mergeSchema", "true").parquet(path)
+
+
+def fan_out(df: DataFrame, multiple: int = 1) -> DataFrame:
+    """Spread a small-file scan across all cores before an
+    expression-heavy narrow stage.
+
+    Spark chains projections/explodes into the scan stage, and a scan's
+    parallelism is bounded by parquet row groups — a single-row-group
+    file runs its whole downstream expression chain on ONE task no
+    matter how many cores exist (measured 2.6x on the shingle stage at
+    sf0.1). This helper pays one tiny exchange (the projected columns
+    only) to unlock full-width execution. No-op when the scan already
+    has enough partitions — at 100 TB real inputs have thousands of
+    row groups and this never fires; it's the small-input guard.
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism * multiple
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df

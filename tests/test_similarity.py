@@ -80,3 +80,28 @@ def test_ivf_returns_k_rows_per_query(spark):
         per_q[r.query_id] = per_q.get(r.query_id, 0) + 1
     assert set(per_q) == set(range(5))
     assert all(v == 10 for v in per_q.values()), per_q
+
+
+def test_nearest_cells_np_matches_expression_version(spark):
+    """The Arrow-vectorized IVF assignment must reproduce the Catalyst
+    expression version exactly (distance rounding and cid tiebreak)."""
+    from pyspark.sql import functions as F
+
+    from batch_processing_new_spark.operators.similarity import (
+        _f64,
+        _nearest_cells,
+        _nearest_cells_np,
+        train_ivf_centroids,
+    )
+    from batch_processing_new_spark.sources.readers import load_table
+    from tests.conftest import SF_CORRECT
+
+    e = load_table(spark, SF_CORRECT, "embeddings")
+    cents = train_ivf_centroids(e, 16)
+    both = e.select(
+        "vec_id",
+        _nearest_cells(_f64("embedding"), cents, 4).alias("expr"),
+        _nearest_cells_np(cents, 4)("embedding").alias("np"),
+    )
+    bad = both.where(F.col("expr") != F.col("np")).count()
+    assert bad == 0
