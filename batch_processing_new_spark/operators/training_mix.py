@@ -321,3 +321,49 @@ def q96_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence packing of the documents corpus into 512-token bins."""
     d = load_table(spark, sf_dir, "documents")
     return pack_sequences(d).orderBy("doc_id")
+
+
+DOMAIN_CAP = 15  # max documents any one source may contribute
+
+
+@query(
+    "q105_domain_cap",
+    oracle=f"""
+WITH ranked AS (
+    SELECT doc_id, source,
+           row_number() OVER (
+               PARTITION BY source
+               ORDER BY ('0x' || substr(md5('cap:' || doc_id::VARCHAR), 1, 15))::BIGINT,
+                        doc_id
+           ) AS rn
+    FROM documents
+)
+SELECT doc_id, source
+FROM ranked
+WHERE rn <= {DOMAIN_CAP}
+ORDER BY doc_id
+""",
+)
+def q105_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain contribution cap: at most {DOMAIN_CAP} documents per
+    source, chosen in deterministic hash order — the "no single domain
+    dominates the corpus" guard (caps boilerplate-heavy domains without
+    touching the rest).
+
+    Differs from q97 (fractional split) and q98 (token budget) in being
+    an absolute per-group row cap — the third sampling primitive
+    pipelines combine. Same scale shape: one window keyed on the
+    capped dimension, hash order makes the kept set stable under
+    re-runs and data appends.
+    """
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    h = hash60(F.concat(F.lit("cap:"), F.col("doc_id").cast("string")))
+    w = Window.partitionBy("source").orderBy(h, "doc_id")
+    return (
+        d.select("doc_id", "source", F.row_number().over(w).alias("rn"))
+        .where(F.col("rn") <= DOMAIN_CAP)
+        .select("doc_id", "source")
+        .orderBy("doc_id")
+    )
