@@ -21,6 +21,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+HAND_MARKER = "<!-- ann_sweep:hand-written-below -->"
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
 N_QUERIES = 20
 K = 10
@@ -217,11 +218,21 @@ def main() -> None:
         "",
     ]
 
-    with open(
-        os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "TUNING.md"),
-        "w",
-    ) as f:
+    # hand-written sections below the marker survive regeneration
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "TUNING.md",
+    )
+    preserved = ""
+    if os.path.exists(path):
+        with open(path) as f:
+            old = f.read()
+        if HAND_MARKER in old:
+            preserved = old[old.index(HAND_MARKER):]
+    with open(path, "w") as f:
         f.write("\n".join(lines))
+        if preserved:
+            f.write(preserved)
     print("TUNING.md written", file=sys.stderr)
     spark.stop()
 
