@@ -1,0 +1,130 @@
+"""End-to-end training-corpus assembly: the individual operators
+composed into the pipeline a reference user would actually run.
+
+quality filter -> near-dup removal -> eval decontamination -> per-domain
+cap -> stratified split -> sequence packing of the train split. Each
+stage is the already-oracle-checked operator (q24, q37+q90 machinery,
+q95, q105, q97, q96) applied to the previous stage's survivors; this
+module adds NO new semantics — it exists to prove the operators compose
+as DataFrame -> DataFrame stages with lazy evaluation end to end (one
+job graph, no driver-side materialization between stages).
+
+Scale shape: the whole pipeline is one lineage — Catalyst sees every
+stage, so column pruning reaches the first scan (only doc_id/text/
+source/lang survive past stage 1) and the only materialization points
+are the two the operators themselves choose (the shingle checkpoint in
+minhash_lsh_pairs; the packing shuffle).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from batch_processing_new_spark.operators.dedup import (
+    dedup_apply,
+    minhash_lsh_pairs,
+)
+from batch_processing_new_spark.operators.training_mix import (
+    DOMAIN_CAP,
+    EVAL_MOD,
+    SPLIT_FRAC,
+    pack_sequences,
+)
+from batch_processing_new_spark.functions.text_funcs import hash60, tokens
+from batch_processing_new_spark.registry import query
+from batch_processing_new_spark.sources.readers import load_table
+
+
+def assemble_corpus(
+    spark: SparkSession, sf_dir: str
+) -> dict[str, DataFrame]:
+    """Run the full assembly; returns every intermediate stage keyed by
+    name (all lazy — callers pick what to materialize)."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+
+    # 1. quality gate (q24's pass criteria)
+    toks = tokens(F.col("text"))
+    stop_arr = F.array(*[F.lit(s) for s in ["the", "a", "and", "of"]])
+    n_stop = F.size(F.filter(toks, lambda x: F.array_contains(stop_arr, x)))
+    stop_ratio = n_stop / F.size(toks)
+    quality = docs.where(
+        (F.size(toks) >= 30) & (stop_ratio >= 0.05) & (stop_ratio <= 0.6)
+    )
+
+    # 2. near-dup removal (MinHash-LSH pairs at Jaccard >= 0.5, q37;
+    #    cluster + keep min-id representative, q90 machinery)
+    deduped = dedup_apply(quality, minhash_lsh_pairs(quality, threshold=0.5))
+
+    # 3. eval decontamination: drop the eval slice itself AND training
+    #    docs sharing a 3-gram with it (q95 semantics, applied as a gate)
+    from batch_processing_new_spark.operators.training_mix import (
+        q95_decontaminate,
+    )
+
+    contaminated = q95_decontaminate(spark, sf_dir).select("doc_id")
+    clean = deduped.where(
+        F.col("doc_id") % EVAL_MOD != 0
+    ).join(F.broadcast(contaminated), "doc_id", "left_anti")
+
+    # 4. per-domain cap (q105 semantics on the survivors)
+    h_cap = hash60(F.concat(F.lit("cap:"), F.col("doc_id").cast("string")))
+    w_cap = Window.partitionBy("source").orderBy(h_cap, "doc_id")
+    capped = (
+        clean.withColumn("_rn", F.row_number().over(w_cap))
+        .where(F.col("_rn") <= DOMAIN_CAP)
+        .drop("_rn")
+    )
+
+    # 5. stratified split (q97 semantics on the survivors)
+    h_split = hash60(F.concat(F.lit("split:"), F.col("doc_id").cast("string")))
+    w_split = Window.partitionBy("lang").orderBy(h_split, "doc_id")
+    wn = Window.partitionBy("lang")
+    split = capped.withColumn(
+        "split",
+        F.when(
+            F.row_number().over(w_split)
+            <= F.ceil(F.count("*").over(wn) * SPLIT_FRAC),
+            "validation",
+        ).otherwise("train"),
+    )
+    train = split.where(F.col("split") == "train")
+
+    # 6. pack the train split into sequence bins (q96)
+    packed = pack_sequences(train)
+
+    return {
+        "input": docs,
+        "quality": quality,
+        "deduped": deduped,
+        "clean": clean,
+        "capped": capped,
+        "train": train,
+        "validation": split.where(F.col("split") == "validation"),
+        "packed": packed,
+    }
+
+
+# non-SQL-expressible as ONE oracle (the dedup stage alone needs a
+# recursive CTE; q90 value-checks it in isolation) — rows-only driver
+# check; stage-count invariants in tests/test_training_mix.py
+@query("q106_corpus_pipeline")
+def q106_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stage-by-stage survivor counts of the full corpus assembly — the
+    funnel report a data-curation run logs."""
+    stages = assemble_corpus(spark, sf_dir)
+    order = ["input", "quality", "deduped", "clean", "capped", "train"]
+    counts = [
+        stages[s].select(
+            F.lit(i).alias("stage_no"),
+            F.lit(s).alias("stage"),
+            F.count("*").alias("n_docs"),
+        )
+        for i, s in enumerate(order)
+    ]
+    out = counts[0]
+    for c in counts[1:]:
+        out = out.unionByName(c)
+    return out.orderBy("stage_no")

@@ -146,3 +146,30 @@ def test_nextfit_invariants(sizes, capacity):
     n_bins = max(bins) + 1
     for b in range(n_bins - 1):
         assert totals[b] + totals[b + 1] > capacity
+
+
+def test_corpus_pipeline_funnel_invariants(spark):
+    """The composed assembly must behave like its parts: monotone
+    funnel, train/validation partition the capped set, packing covers
+    the train split exactly, caps respected."""
+    from batch_processing_new_spark.operators.training_mix import DOMAIN_CAP
+    from batch_processing_new_spark.plans.corpus_pipeline import assemble_corpus
+    from tests.conftest import SF_CORRECT
+
+    st = assemble_corpus(spark, SF_CORRECT)
+    n = {k: st[k].count() for k in ("input", "quality", "deduped", "clean", "capped", "train", "validation", "packed")}
+    assert n["input"] >= n["quality"] >= n["deduped"] >= n["clean"] >= n["capped"]
+    assert n["capped"] > 0
+    assert n["train"] + n["validation"] == n["capped"]
+    assert n["packed"] == n["train"]
+    # packing covers exactly the train doc_ids
+    train_ids = {r.doc_id for r in st["train"].select("doc_id").collect()}
+    packed_ids = {r.doc_id for r in st["packed"].select("doc_id").collect()}
+    assert packed_ids == train_ids
+    # per-source cap holds on the capped stage
+    from pyspark.sql import functions as F
+
+    over = (
+        st["capped"].groupBy("source").count().where(F.col("count") > DOMAIN_CAP)
+    ).count()
+    assert over == 0
