@@ -33,6 +33,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from batch_processing_new_spark.operators.relational import DEC
+from batch_processing_new_spark.streaming.stream_queries import _state_partitions
 from batch_processing_new_spark.registry import query
 
 
@@ -85,17 +86,18 @@ def run_incremental_user_stats(
         .option("maxFilesPerTrigger", "1")
         .parquet(events_dir)
     )
-    q = (
-        stream.writeStream.foreachBatch(
-            lambda df, bid: merge_user_stats_batch(df, bid, state_path)
+    with _state_partitions(spark):
+        q = (
+            stream.writeStream.foreachBatch(
+                lambda df, bid: merge_user_stats_batch(df, bid, state_path)
+            )
+            .option(
+                "checkpointLocation", os.path.join(state_path, "_checkpoint")
+            )
+            .trigger(availableNow=True)
+            .start()
         )
-        .option(
-            "checkpointLocation", os.path.join(state_path, "_checkpoint")
-        )
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+        q.awaitTermination()
     final = latest_snapshot(spark, state_path)
     assert final is not None
     return final
@@ -178,17 +180,18 @@ def run_incremental_distinct_users(
         .option("maxFilesPerTrigger", "1")
         .parquet(events_dir)
     )
-    q = (
-        stream.writeStream.foreachBatch(
-            lambda df, bid: merge_distinct_users_batch(df, bid, state_path)
+    with _state_partitions(spark):
+        q = (
+            stream.writeStream.foreachBatch(
+                lambda df, bid: merge_distinct_users_batch(df, bid, state_path)
+            )
+            .option(
+                "checkpointLocation", os.path.join(state_path, "_hll_checkpoint")
+            )
+            .trigger(availableNow=True)
+            .start()
         )
-        .option(
-            "checkpointLocation", os.path.join(state_path, "_hll_checkpoint")
-        )
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+        q.awaitTermination()
     final = latest_snapshot(spark, f"{state_path}/hll")
     assert final is not None
     return final.select(

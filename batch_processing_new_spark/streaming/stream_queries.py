@@ -44,18 +44,49 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
 
 
+# Stateful operators fix their state-partition count at the FIRST
+# checkpoint, and every micro-batch then pays per-partition state-store
+# maintenance (snapshot + delta files) regardless of data volume — so
+# the right number tracks key cardinality/throughput, NOT cores.
+# 32 partitions on the local fixtures is pure overhead (q67 measured
+# 24s -> 9s going 32 -> 8 at sf0.1); a production deployment sets this
+# to thousands via the env knob.
+STREAM_STATE_PARTITIONS = int(
+    __import__("os").environ.get("SPARK_GRAFT_STREAM_PARTITIONS", "8")
+)
+
+
+class _state_partitions:
+    """Scope spark.sql.shuffle.partitions around a streaming start: the
+    value is captured into the query's state layout at start, then the
+    session conf is restored for batch work."""
+
+    def __init__(self, spark: SparkSession):
+        self.spark = spark
+
+    def __enter__(self):
+        self.prev = self.spark.conf.get("spark.sql.shuffle.partitions")
+        self.spark.conf.set(
+            "spark.sql.shuffle.partitions", str(STREAM_STATE_PARTITIONS)
+        )
+
+    def __exit__(self, *exc):
+        self.spark.conf.set("spark.sql.shuffle.partitions", self.prev)
+
+
 def run_to_memory(stream_df: DataFrame, query_name_prefix: str = "sq") -> DataFrame:
     """Drive a streaming plan to completion (availableNow) into a memory
     sink; return the materialized table."""
     name = f"{query_name_prefix}_{next(_SINK_COUNTER)}"
-    q = (
-        stream_df.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _state_partitions(stream_df.sparkSession):
+        q = (
+            stream_df.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return stream_df.sparkSession.table(name)
 
 
@@ -69,14 +100,15 @@ def run_update_to_memory(stream_df: DataFrame, query_name_prefix: str = "su") ->
 
 def _run_to_memory(stream_df: DataFrame, prefix: str, mode: str) -> DataFrame:
     name = f"{prefix}_{next(_SINK_COUNTER)}"
-    q = (
-        stream_df.writeStream.outputMode(mode)
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _state_partitions(stream_df.sparkSession):
+        q = (
+            stream_df.writeStream.outputMode(mode)
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return stream_df.sparkSession.table(name)
 
 
