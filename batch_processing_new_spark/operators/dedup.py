@@ -521,6 +521,19 @@ def connected_components(
         .distinct()
         .persist()
     )
+    # size the per-iteration shuffles to the GRAPH, not the session:
+    # dedup pair graphs are orders of magnitude smaller than the corpus
+    # (hundreds of edges for thousands of docs), and every iteration
+    # pays 2 shuffles + a checkpoint per partition — at session width
+    # that fixed cost dominates end to end (measured ~2x on q69).
+    spark = pairs.sparkSession
+    n_edges = edges.count()
+    parts = max(1, min(
+        int(spark.conf.get("spark.sql.shuffle.partitions")),
+        n_edges // 10_000 + 1,
+    ))
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(parts))
     labels = (
         edges.groupBy("src")
         .agg(F.least(F.min("dst"), F.first("src")).alias("cluster_id"))
@@ -559,6 +572,7 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     edges.unpersist()
     return labels
 

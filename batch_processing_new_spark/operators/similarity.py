@@ -136,17 +136,30 @@ def q41_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     unblocked scale path is q42's sign-LSH.
     """
     e = load_table(spark, sf_dir, "embeddings")
+    # norms precomputed per VECTOR, not per pair: cosine(a, b) needs
+    # dot(a,b)/(|a||b|), and |a| recomputed inside every pair costs two
+    # extra 64-element interpreted dots per pair (~3x the work at any
+    # block size). sqrt(dot(v,v)) on the same data is bit-identical
+    # whether computed per pair or per vector, so the oracle hash is
+    # unchanged.
     a = e.select(
-        F.col("vec_id").alias("id_a"), F.col("label"), _f64("embedding").alias("va")
-    )
+        F.col("vec_id").alias("id_a"),
+        F.col("label"),
+        _f64("embedding").alias("va"),
+    ).withColumn("na", F.sqrt(dot(F.col("va"), F.col("va"))))
     b = e.select(
         F.col("vec_id").alias("id_b"),
         F.col("label").alias("label_b"),
         _f64("embedding").alias("vb"),
-    )
+    ).withColumn("nb", F.sqrt(dot(F.col("vb"), F.col("vb"))))
     return (
         a.join(b, (F.col("label") == F.col("label_b")) & (F.col("id_a") < F.col("id_b")))
-        .withColumn("cos_sim", F.round(cosine(F.col("va"), F.col("vb")), 6))
+        .withColumn(
+            "cos_sim",
+            F.round(
+                dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6
+            ),
+        )
         .where(F.col("cos_sim") >= 0.3)
         .select("id_a", "id_b", "cos_sim")
         .orderBy("id_a", "id_b")
