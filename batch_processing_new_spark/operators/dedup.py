@@ -21,6 +21,8 @@ pair-finding is Spark-only with a recall invariant in tests
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -385,12 +387,49 @@ SIMHASH_BITS = 60
 
 
 def simhash(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """(doc_id, simhash): sign of per-bit votes over token hashes.
+    """(doc_id, simhash): sign of per-bit votes over token hashes —
+    Arrow-vectorized.
 
-    Bit-vote via explode(sequence(0,59)): rows = docs x tokens x 60, all
-    JVM-side longs; one partial-agg groupBy packs the sign bits back
-    into a single BIGINT. No Python, no wide 60-column agg.
+    One scalar pandas UDF over the distinct-token array: md5 the tokens
+    (identical to `hash60`, asserted equal to `simhash_expr` in tests),
+    vote all 60 bits in one numpy broadcast, pack the sign bits. The
+    expression formulation (`simhash_expr`) explodes docs x tokens x 60
+    rows through two shuffles — ~15M rows at sf0.1 for 5k docs — while
+    this one moves only (doc_id, tokens) through one Arrow batch and
+    shuffles nothing.
     """
+    import hashlib
+
+    from pyspark.sql.types import LongType
+
+    bitpos = np.arange(SIMHASH_BITS, dtype=np.uint64)
+
+    @F.pandas_udf(LongType())
+    def sim(toks: pd.Series) -> pd.Series:
+        out = []
+        for arr in toks:
+            hs = np.array(
+                [
+                    int(hashlib.md5(t.encode()).hexdigest()[:15], 16)
+                    for t in arr
+                ],
+                dtype=np.uint64,
+            )
+            bits = (hs[:, None] >> bitpos) & np.uint64(1)  # (n_tokens, 60)
+            votes = (2 * bits.astype(np.int64) - 1).sum(axis=0)
+            out.append(int(((votes > 0).astype(np.uint64) << bitpos).sum()))
+        return pd.Series(out, dtype="int64")
+
+    return docs.select(
+        "doc_id", distinct_tokens(F.col(text_col)).alias("_toks")
+    ).select("doc_id", sim("_toks").alias("simhash"))
+
+
+def simhash_expr(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Pure-expression SimHash (the shuffle-based formulation): bit-vote
+    via explode(sequence(0,59)), two partial-agg groupBys. Kept as the
+    all-JVM reference implementation; `simhash` must match it exactly
+    (tests/test_dedup.py)."""
     tok = fan_out(docs.select("doc_id", text_col)).select(
         "doc_id", F.explode(distinct_tokens(F.col(text_col))).alias("t")
     ).withColumn("h", hash60(F.col("t")))

@@ -183,3 +183,20 @@ def test_dedup_apply_idempotent_and_pairfree(spark):
     jac = F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
     remaining = inter.join(sa, "id_a").join(sb, "id_b").where(jac >= 0.8).count()
     assert remaining == 0
+
+
+def test_simhash_vectorized_matches_expression(spark):
+    """The Arrow SimHash must equal the shuffle-based expression
+    formulation bit for bit on every document."""
+    from pyspark.sql import functions as F
+
+    from batch_processing_new_spark.operators.dedup import simhash, simhash_expr
+    from batch_processing_new_spark.sources.readers import load_table
+    from tests.conftest import SF_CORRECT
+
+    d = load_table(spark, SF_CORRECT, "documents")
+    a = simhash(d).withColumnRenamed("simhash", "s_np")
+    b = simhash_expr(d).withColumnRenamed("simhash", "s_expr")
+    j = a.join(b, "doc_id")
+    assert j.count() == d.count()
+    assert j.where(F.col("s_np") != F.col("s_expr")).count() == 0
