@@ -692,3 +692,175 @@ def q104_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.where(
         (F.col("gran") != "minute") | (F.col("n_events") > 1)
     ).orderBy("gran", "bucket", "event_type")
+
+
+# ---------------------------------------------- winsorization
+
+@query(
+    "q107_winsorize",
+    oracle="""
+WITH b AS (
+    SELECT event_type,
+           quantile_cont(value, 0.01) AS lo,
+           quantile_cont(value, 0.99) AS hi
+    FROM events GROUP BY event_type
+)
+SELECT event_id,
+       e.event_type,
+       round(least(greatest(value, lo), hi), 6) AS clipped,
+       CASE WHEN value < lo OR value > hi THEN 1 ELSE 0 END AS was_clipped
+FROM events e JOIN b USING (event_type)
+ORDER BY event_id
+""",
+)
+def q107_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-segment winsorization: clip ``value`` to its segment's exact
+    [p01, p99] — the standard outlier-taming transform applied before
+    statistics that aren't robust (means, regressions), complementing
+    the MAD detector (q81) which only FLAGS.
+
+    One exact-percentile aggregate per segment (tiny) broadcast back
+    over the stream — the corpus scans once and never shuffles.
+    """
+    e = load_table(spark, sf_dir, "events")
+    b = e.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.01)).alias("lo"),
+        F.percentile("value", F.lit(0.99)).alias("hi"),
+    )
+    return (
+        e.join(F.broadcast(b), "event_type")
+        .select(
+            "event_id",
+            "event_type",
+            F.round(
+                F.least(F.greatest(F.col("value"), F.col("lo")), F.col("hi")), 6
+            ).alias("clipped"),
+            F.when(
+                (F.col("value") < F.col("lo")) | (F.col("value") > F.col("hi")),
+                1,
+            )
+            .otherwise(0)
+            .alias("was_clipped"),
+        )
+        .orderBy("event_id")
+    )
+
+
+# ------------------------------------- time-series interpolation
+
+@query(
+    "q108_interpolate_gaps",
+    oracle="""
+WITH hourly AS (
+    SELECT event_type,
+           date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h,
+           avg(value) AS v
+    FROM events GROUP BY 1, 2
+),
+bounds AS (
+    SELECT min(h) AS h0, max(h) AS h1 FROM hourly
+),
+spine AS (
+    SELECT t.event_type, g.h
+    FROM (SELECT DISTINCT event_type FROM hourly) t,
+         bounds, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) g(h)
+),
+joined AS (
+    SELECT s.event_type, s.h, hourly.v,
+           epoch(s.h) AS eh
+    FROM spine s LEFT JOIN hourly USING (event_type, h)
+),
+ctx AS (
+    SELECT *,
+           last_value(v IGNORE NULLS) OVER w_prev  AS pv,
+           last_value(CASE WHEN v IS NOT NULL THEN eh END IGNORE NULLS)
+               OVER w_prev                          AS pt,
+           first_value(v IGNORE NULLS) OVER w_next AS nv,
+           first_value(CASE WHEN v IS NOT NULL THEN eh END IGNORE NULLS)
+               OVER w_next                          AS nt
+    FROM joined
+    WINDOW
+      w_prev AS (PARTITION BY event_type ORDER BY h
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+      w_next AS (PARTITION BY event_type ORDER BY h
+                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT event_type,
+       CAST(h AS TIMESTAMP) AS hour_ts,
+       round(CASE
+           WHEN v IS NOT NULL THEN v
+           WHEN pv IS NOT NULL AND nv IS NOT NULL
+               THEN pv + (nv - pv) * (eh - pt) / (nt - pt)
+           WHEN pv IS NOT NULL THEN pv
+           ELSE nv
+       END, 6) AS value_filled,
+       CASE WHEN v IS NULL THEN 1 ELSE 0 END AS was_gap
+FROM ctx
+ORDER BY event_type, hour_ts
+""",
+)
+def q108_interpolate_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap repair: hourly per-segment averages on a dense
+    hour spine, missing hours LINEARLY interpolated between their
+    nearest known neighbors (forward/backward fill at the edges) — the
+    resample-and-interpolate step that precedes any fixed-step model.
+
+    Builds on q71's calendar-spine gap DETECTION; the windows are two
+    ignore-nulls carries (last known before / first known after), so
+    the whole repair is one shuffle on (segment) regardless of gap
+    structure — no per-gap joins, no iteration.
+    """
+    e = load_table(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.avg("value").alias("v"))
+    bounds = hourly.agg(
+        F.min("h").alias("h0"), F.max("h").alias("h1")
+    )
+    types = hourly.select("event_type").distinct()
+    spine = types.crossJoin(F.broadcast(bounds)).select(
+        "event_type",
+        F.explode(
+            F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))
+        ).alias("h"),
+    )
+    joined = spine.join(hourly, ["event_type", "h"], "left").withColumn(
+        "eh", F.unix_timestamp(F.col("h").cast("timestamp"))
+    )
+    from pyspark.sql import Window
+
+    w_prev = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_next = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    known_t = F.when(F.col("v").isNotNull(), F.col("eh"))
+    ctx = (
+        joined.withColumn("pv", F.last("v", ignorenulls=True).over(w_prev))
+        .withColumn("pt", F.last(known_t, ignorenulls=True).over(w_prev))
+        .withColumn("nv", F.first("v", ignorenulls=True).over(w_next))
+        .withColumn("nt", F.first(known_t, ignorenulls=True).over(w_next))
+    )
+    interp = (
+        F.when(F.col("v").isNotNull(), F.col("v"))
+        .when(
+            F.col("pv").isNotNull() & F.col("nv").isNotNull(),
+            F.col("pv")
+            + (F.col("nv") - F.col("pv"))
+            * (F.col("eh") - F.col("pt"))
+            / (F.col("nt") - F.col("pt")),
+        )
+        .when(F.col("pv").isNotNull(), F.col("pv"))
+        .otherwise(F.col("nv"))
+    )
+    return ctx.select(
+        "event_type",
+        F.col("h").cast("timestamp").alias("hour_ts"),
+        F.round(interp, 6).alias("value_filled"),
+        F.when(F.col("v").isNull(), 1).otherwise(0).alias("was_gap"),
+    ).orderBy("event_type", "hour_ts")
