@@ -31,11 +31,17 @@ def copurchase_edges(lineitem: DataFrame) -> DataFrame:
     has no dangling nodes — every node has out-degree >= 1)."""
     a = lineitem.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("src"))
     b = lineitem.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("dst"))
-    return (
+    # dedup CANONICAL pairs (src < dst) then mirror: the distinct — the
+    # expensive shuffle here — sees half the rows, and the mirror union
+    # is a free projection on its output.
+    half = (
         a.join(b, "k")
-        .where(F.col("src") != F.col("dst"))
+        .where(F.col("src") < F.col("dst"))
         .select("src", "dst")
         .distinct()
+    )
+    return half.unionByName(
+        half.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
 
 
