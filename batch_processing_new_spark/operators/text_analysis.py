@@ -458,3 +458,53 @@ def q100_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     """zlib compression-ratio quality signal over the corpus."""
     d = load_table(spark, sf_dir, "documents")
     return compression_ratio(d).orderBy("doc_id")
+
+
+# ------------------------------------- BPE-style piece counting
+
+# GPT-2-style pre-tokenizer, simplified to the lookahead-free subset
+# both regex engines share (Java regex in Spark, RE2 in DuckDB; both
+# use leftmost-first alternation): letter runs, digit runs, punctuation
+# runs (each with optional leading space), bare whitespace.
+_BPE_PAT = r" ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\s]+|\s+"
+
+
+@query(
+    "q109_bpe_piece_count",
+    oracle=f"""
+SELECT c_custkey,
+       len(string_split_regex(trim(c_name), '\\s+'))  AS n_ws_tokens,
+       len(list_filter(regexp_extract_all(c_name, '{_BPE_PAT}'),
+                       p -> trim(p) <> ''))           AS n_pieces,
+       round(len(list_filter(regexp_extract_all(c_name, '{_BPE_PAT}'),
+                             p -> trim(p) <> '')) * 1.0
+             / len(string_split_regex(trim(c_name), '\\s+')), 6)
+                                                      AS pieces_per_token
+FROM customer
+ORDER BY c_custkey
+""",
+)
+def q109_bpe_piece_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-word piece counting with a GPT-2-style pre-tokenizer regex
+    (letter/digit/punctuation runs) next to plain whitespace tokens —
+    the cheap token-budget estimator for text whose whitespace count
+    under-measures model tokens (ids, code, punctuation-dense rows).
+    pieces_per_token is the fragmentation signal quality filters
+    threshold on.
+
+    Runs on ``c_name`` (mixed alpha/digit/punct) because the synthetic
+    documents corpus is pure lowercase words, where the two counts
+    coincide by construction. Pure string expressions, zero shuffle.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    pieces = F.filter(
+        F.regexp_extract_all("c_name", F.lit(_BPE_PAT), 0),
+        lambda p: F.trim(p) != "",
+    )
+    n_ws = F.size(F.split(F.trim(F.col("c_name")), r"\s+"))
+    return c.select(
+        "c_custkey",
+        n_ws.alias("n_ws_tokens"),
+        F.size(pieces).alias("n_pieces"),
+        F.round(F.size(pieces) / n_ws, 6).alias("pieces_per_token"),
+    ).orderBy("c_custkey")
