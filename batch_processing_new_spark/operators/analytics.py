@@ -304,9 +304,15 @@ def q83_dup_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     more than once within that document (high fraction = boilerplate /
     degenerate repetition; used as a corpus filter).
 
-    All-JVM: sequence + transform build the gram list without Python,
-    and the per-(doc, gram) count groups on a key prefixed by doc_id, so
-    the shuffle is skew-free even when one document is pathological.
+    The whole statistic is per-document, so no explode and no shuffle:
+    sort the gram array in-row, then an instance is "duplicate" iff it
+    equals its sorted predecessor or successor. That turns the old
+    explode → groupBy(doc_id, gram) → groupBy(doc_id) double shuffle
+    (carrying ~5x the corpus bytes in gram strings) into a map-only
+    pass that pipelines with the scan — at 100 TB the only exchange
+    left is the final presentation sort. Per-row cost is the
+    O(g log g) array_sort; documents are bounded (MBs), so no task
+    ever sees more than one doc's grams at once.
     """
     d = load_table(spark, sf_dir, "documents")
     # tokens projected to a real column first: referencing the split
@@ -320,20 +326,35 @@ def q83_dup_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sequence(F.lit(0), F.size(toks) - _NGRAM_N),
         lambda i: F.concat_ws(" ", F.slice(toks, i + 1, _NGRAM_N)),
     )
-    per_gram = (
-        toked.select("doc_id", F.explode(grams).alias("gram"))
-        .groupBy("doc_id", "gram")
-        .agg(F.count("*").alias("cnt"))
+    sorted_grams = toked.select(
+        "doc_id", F.array_sort(grams).alias("_g")
+    )
+    g = F.col("_g")
+    n = F.size(g)
+    # eq[j] = (g[j] == g[j+1]) via two shifted slices — no element_at,
+    # whose index-0 case is an error, not NULL. An instance is a
+    # duplicate iff it equals its sorted predecessor OR successor,
+    # i.e. max of the zero-padded left/right shifts of eq.
+    eq = F.zip_with(
+        F.slice(g, 1, F.greatest(n - 1, F.lit(0))),
+        F.slice(g, 2, F.greatest(n - 1, F.lit(0))),
+        lambda a, b: F.when(a == b, 1).otherwise(0),
+    )
+    zero = F.array(F.lit(0))
+    dup = F.aggregate(
+        F.zip_with(
+            F.concat(zero, eq),
+            F.concat(eq, zero),
+            lambda prev_eq, next_eq: F.greatest(prev_eq, next_eq),
+        ),
+        F.lit(0),
+        lambda acc, x: acc + x,
     )
     return (
-        per_gram.groupBy("doc_id")
-        .agg(
-            F.sum("cnt").alias("n_grams"),
-            F.round(
-                F.sum(F.when(F.col("cnt") > 1, F.col("cnt")).otherwise(0))
-                / F.sum("cnt"),
-                6,
-            ).alias("dup_fraction"),
+        sorted_grams.select(
+            "doc_id",
+            F.size(g).cast("long").alias("n_grams"),
+            F.round(dup / F.size(g), 6).alias("dup_fraction"),
         )
         .orderBy("doc_id")
     )
