@@ -30,20 +30,28 @@ TABLES = [
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Columnar parquet scan — Catalyst pushes filters/pruning into it.
 
-    ``events.ts`` is written as parquet TIMESTAMP(NANOS), which Spark's
-    vectorized reader rejects. We read nanos as raw int64
-    (``nanosAsLong``) and convert to micro-precision TIMESTAMP_NTZ with
-    integer division — the exact truncation DuckDB applies, so oracle
-    comparisons agree. Integer (not float) division matters: 2024 epoch
-    nanos ≈ 1.7e18 exceeds double's 53-bit integer range.
+    ``events.ts`` has shipped in two parquet encodings across fixture
+    generations: TIMESTAMP(NANOS) (readable only as raw int64 via
+    ``nanosAsLong``, then truncated to micros — integer division, because
+    2024-epoch nanos ≈ 1.7e18 exceeds double's 53-bit integer range) and
+    plain TIMESTAMP(MICROS) (which Spark reads natively). We detect which
+    one we got from the loaded schema and normalize both to
+    micro-precision TIMESTAMP_NTZ — the exact representation DuckDB uses,
+    so oracle comparisons agree.
     """
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        return df.withColumn(
-            "ts", F.expr("timestamp_micros(ts DIV 1000)").cast("timestamp_ntz")
-        )
+        return df.withColumn("ts", _normalize_ts(df.schema["ts"].dataType))
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _normalize_ts(dtype: T.DataType):
+    """Normalize an events.ts column (long nanos or native timestamp) to
+    micro-precision TIMESTAMP_NTZ."""
+    if isinstance(dtype, T.LongType):
+        return F.expr("timestamp_micros(ts DIV 1000)").cast("timestamp_ntz")
+    return F.col("ts").cast("timestamp_ntz")
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

@@ -41,7 +41,11 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return stream.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+    from pyspark.sql import types as T
+
+    if isinstance(schema["ts"].dataType, T.LongType):
+        return stream.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+    return stream.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 # Stateful operators fix their state-partition count at the FIRST
