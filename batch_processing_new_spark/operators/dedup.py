@@ -690,3 +690,62 @@ def q90_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "source", "n_chars")
         .orderBy("doc_id")
     )
+
+
+# ------------------------------------------- canonicalized exact dedup
+
+# Shared canonicalization: lower, non-alphanumerics -> space, collapse
+# runs, trim. The practical exact-dedup key for web/scraped text, where
+# byte-identity misses trivial reformattings (case, punctuation,
+# whitespace) that q33's token-set fingerprint also treats as distinct
+# when tokens themselves change (e.g. "Hello," vs "hello").
+_CANON_SQL = (
+    "md5(trim(regexp_replace(regexp_replace(lower(text), "
+    "'[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')))"
+)
+
+
+def canonical_fingerprint(col: Column) -> Column:
+    """md5 over normalized text (Spark twin of ``_CANON_SQL``)."""
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(col), "[^a-z0-9 ]", " "), " +", " "
+        )
+    )
+    return F.md5(norm)
+
+
+@query(
+    "q111_canonical_dedup",
+    oracle=f"""
+SELECT {_CANON_SQL}  AS canon_fp,
+       count(*)      AS n_docs,
+       min(doc_id)   AS keeper_id,
+       min(n_chars)  AS min_chars,
+       max(n_chars)  AS max_chars
+FROM documents
+GROUP BY 1
+ORDER BY canon_fp
+""",
+)
+def q111_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup on CANONICALIZED text: case/punctuation/whitespace
+    variants of one document collapse to a single group (q33 keys on
+    the raw token set; this is the normalize-first variant every
+    scraped-corpus pipeline runs ahead of fuzzy dedup).
+
+    Scale shape identical to q33: the normalization is a per-row string
+    expression fused into the scan, and the only shuffle carries
+    (16-byte fp, partial aggregates) — full map-side combine.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.groupBy(canonical_fingerprint(F.col("text")).alias("canon_fp"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("keeper_id"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+        .orderBy("canon_fp")
+    )

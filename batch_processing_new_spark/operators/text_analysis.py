@@ -508,3 +508,48 @@ def q109_bpe_piece_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(pieces).alias("n_pieces"),
         F.round(F.size(pieces) / n_ws, 6).alias("pieces_per_token"),
     ).orderBy("c_custkey")
+
+
+# ------------------------------------------------------ inverted index
+
+@query(
+    "q110_inverted_index",
+    oracle="""
+WITH t AS (
+    SELECT doc_id,
+           unnest(list_distinct(string_split(trim(text), ' '))) AS term
+    FROM documents
+)
+SELECT term,
+       count(*) AS df,
+       list(doc_id ORDER BY doc_id) AS postings
+FROM t
+GROUP BY term
+ORDER BY term
+""",
+)
+def q110_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-corpus inverted index: term -> document frequency + sorted
+    posting list — the search/retrieval-side complement of q59's TF-IDF
+    and the blocking structure behind q35's Jaccard join.
+
+    Scale shape: one explode of distinct per-doc terms, one shuffle on
+    term with map-side partial aggregation; text never shuffles. At
+    100 TB the hot-term posting lists are the skew risk — there you
+    shard the aggregation key to (term, doc_id % B) and concatenate the
+    B sub-lists afterwards, keeping every reducer's list bounded; the
+    fixture vocabulary is small enough that the direct groupBy is the
+    right plan.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    t = fan_out(d).select(
+        "doc_id", F.explode(distinct_tokens(F.col("text"))).alias("term")
+    )
+    return (
+        t.groupBy("term")
+        .agg(
+            F.count(F.lit(1)).alias("df"),
+            F.array_sort(F.collect_list("doc_id")).alias("postings"),
+        )
+        .orderBy("term")
+    )

@@ -31,7 +31,7 @@ from pyspark.sql import functions as F
 
 from batch_processing_new_spark.registry import query
 from batch_processing_new_spark.sources.readers import fan_out, load_table
-from batch_processing_new_spark.functions.text_funcs import hash60, tokens
+from batch_processing_new_spark.functions.text_funcs import hash60, hash60_sql, tokens
 
 # 3-grams, not the 8-13 real pipelines use: the synthetic fixture's
 # ~30-word vocabulary makes longer grams collision-free (5-grams flag 1
@@ -366,4 +366,52 @@ def q105_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= DOMAIN_CAP)
         .select("doc_id", "source")
         .orderBy("doc_id")
+    )
+
+
+N_SHARDS = 16  # output shards for the shuffled corpus
+
+
+@query(
+    "q112_seeded_shuffle_shard",
+    oracle=f"""
+WITH ordered AS (
+    SELECT doc_id, source,
+           row_number() OVER (
+               ORDER BY {hash60_sql("'shuffle:' || doc_id::VARCHAR")}, doc_id
+           ) - 1 AS pos
+    FROM documents
+)
+SELECT doc_id, source, pos, pos % {N_SHARDS} AS shard
+FROM ordered
+ORDER BY pos
+""",
+)
+def q112_seeded_shuffle_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle + shard assignment — the "randomize
+    example order, then cut into equal training shards" step every
+    pre-training data build ends with. The permutation is the hash
+    order of a seeded key, so it is reproducible across runs, clusters,
+    and partitionings (``rand()`` is none of those), and appending new
+    data permutes the new rows into place without reshuffling decisions
+    already made about old rows' relative order.
+
+    Scale shape: the global ``row_number`` is a range-partitioned sort
+    on the 60-bit hash — uniformly distributed keys, so the range
+    partitioner is balanced by construction. Round-robin ``pos % N``
+    makes shard sizes exactly equal (±1); writing then partitions by
+    ``shard``. If exact equality is not required, ``hash % N`` alone
+    drops the sort entirely (shard sizes ~Poisson) — that variant is
+    the zero-shuffle path for 100 TB incremental appends.
+    """
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    h = hash60(F.concat(F.lit("shuffle:"), F.col("doc_id").cast("string")))
+    w = Window.orderBy(h.alias("h"), "doc_id")
+    pos = F.row_number().over(w) - 1
+    return (
+        d.select("doc_id", "source", pos.alias("pos"))
+        .withColumn("shard", F.col("pos") % N_SHARDS)
+        .orderBy("pos")
     )
