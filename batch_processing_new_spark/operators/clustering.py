@@ -1,0 +1,290 @@
+"""Distributed k-means (Lloyd's) and SemDeDup-style semantic dedup.
+
+North-Star surface (SURVEY.md §2B similarity/dedup rows): clustering is
+the scale scaffold for embedding work — IVF coarse quantization
+(similarity.py reuses the same Lloyd step), nearest-centroid
+classification (q93), and semantic dedup, which prunes near-duplicate
+*meanings* that token-level dedup (q33-q39) cannot see.
+
+Both queries carry EXACT value oracles: the k-means oracle unrolls
+Lloyd iterations as chained SQL CTEs (the same technique as q102's
+PageRank oracle), and the SemDeDup oracle extends that chain with a
+within-cluster pairwise-cosine EXISTS. Cross-engine float discipline:
+distances are float64 sum((a-b)^2) rounded to 9 before ranking (ties
+break on cluster id), centroid means round to 6 before the next
+iteration — so every iteration's decisions are engine-independent, not
+just the final aggregates.
+
+Scale notes (100 TB):
+- Assignment is one Arrow-vectorized map over broadcast centroids
+  (k x dim floats); the update shuffle carries (cluster, dim, partial
+  sum) — map-side combine collapses each partition to k x dim rows
+  regardless of corpus size. Driver traffic per iteration is k x dim
+  floats, the MLlib pattern.
+- SemDeDup's O(n^2) is confined to clusters (the point of clustering
+  first); at 100 TB you persist the corpus partitioned by cluster and
+  run the pair scan per partition, or subdivide fat clusters with a
+  second k-means level.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from batch_processing_new_spark.operators.similarity import _f64, dot
+from batch_processing_new_spark.registry import query
+from batch_processing_new_spark.sources.readers import fan_out, load_table
+
+DIM = 64
+K_CLUSTERS = 8
+KM_ITERS = 2       # Lloyd update rounds (assign -> re-center, twice)
+SEM_THRESHOLD = 0.3  # within-cluster cosine above which the higher id drops
+
+
+def _assign_with_d2_np(centroids: list[list[float]]):
+    """Arrow-vectorized nearest-centroid assignment returning
+    (cluster, d2): one numpy distance matrix per batch. d2 is
+    float64 sum((a-b)^2) rounded to 9; ties break on cluster id —
+    exactly the oracle's ranking, so assignment is engine-independent.
+    """
+    from pyspark.sql.types import (
+        DoubleType,
+        IntegerType,
+        StructField,
+        StructType,
+    )
+
+    C = np.array(centroids, dtype=np.float64)  # (k, dim)
+    out = StructType(
+        [
+            StructField("cluster", IntegerType()),
+            StructField("d2", DoubleType()),
+        ]
+    )
+
+    @F.pandas_udf(out)
+    def assign(emb: pd.Series) -> pd.DataFrame:
+        V = np.vstack(emb.to_numpy()).astype(np.float64)  # (m, dim)
+        # sum((a-b)^2) directly (not the |a|^2-2ab+|b|^2 expansion):
+        # same rounding behavior as the per-element oracle sum
+        d2 = np.stack(
+            [((V - C[i]) ** 2).sum(axis=1) for i in range(C.shape[0])],
+            axis=1,
+        )
+        d2 = np.round(d2, 9)
+        k = np.arange(C.shape[0])
+        order = np.lexsort((np.broadcast_to(k, d2.shape), d2), axis=1)
+        best = order[:, 0]
+        return pd.DataFrame(
+            {
+                "cluster": best.astype(np.int32),
+                "d2": d2[np.arange(len(best)), best],
+            }
+        )
+
+    return assign
+
+
+def lloyd_kmeans(
+    emb: DataFrame, k: int = K_CLUSTERS, iters: int = KM_ITERS
+) -> DataFrame:
+    """(vec_id, cluster, d2) after ``iters`` Lloyd rounds from
+    deterministic seeds (the k lowest vec_ids' embeddings).
+
+    Each round: assign (broadcast centroids, Arrow batch map) then
+    re-center (posexplode -> groupBy(cluster, pos) -> avg rounded 6,
+    empty clusters keep their previous centroid). Only k x dim floats
+    return to the driver per round.
+    """
+    vecs = fan_out(emb.select("vec_id", "embedding"))
+    seeds = (
+        emb.orderBy("vec_id")
+        .limit(k)
+        .select(_f64("embedding").alias("v"))
+        .collect()
+    )
+    centroids = [list(r.v) for r in seeds]
+    for _ in range(iters):
+        assigned = vecs.select(
+            _f64("embedding").alias("v"),
+            _assign_with_d2_np(centroids)("embedding")["cluster"].alias(
+                "cluster"
+            ),
+        )
+        means = (
+            assigned.select("cluster", F.posexplode("v").alias("pos", "x"))
+            .groupBy("cluster", "pos")
+            .agg(F.round(F.avg("x"), 6).alias("m"))
+            .groupBy("cluster")
+            .agg(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("pos"), F.col("m")))
+                    ),
+                    lambda s: s["m"],
+                ).alias("centroid")
+            )
+            .collect()
+        )
+        new = {r.cluster: list(r.centroid) for r in means}
+        centroids = [new.get(i, centroids[i]) for i in range(k)]
+    a = _assign_with_d2_np(centroids)("embedding").alias("a")
+    return vecs.select("vec_id", a).select(
+        "vec_id", F.col("a.cluster").alias("cluster"), F.col("a.d2").alias("d2")
+    )
+
+
+# --------------------------------------------------------- SQL oracle
+
+# float64 squared L2 between DOUBLE[] columns e.v and c.c
+_D2_SQL = (
+    "(SELECT sum((e.v[i] - c.c[i]) * (e.v[i] - c.c[i])) "
+    "FROM generate_series(1, 64) g(i))"
+)
+
+
+def _kmeans_cte(k: int = K_CLUSTERS, iters: int = KM_ITERS) -> str:
+    """WITH-chain computing a_final(vec_id, cluster, d2) — Lloyd
+    unrolled, one scored+assign+update CTE triple per iteration."""
+    parts = [
+        "emb AS (SELECT vec_id, "
+        "list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings)",
+        f"c0 AS (SELECT vec_id AS cid, v AS c FROM emb WHERE vec_id < {k})",
+    ]
+    for it in range(iters):
+        parts += [
+            f"""s{it} AS (
+    SELECT e.vec_id, c.cid, round({_D2_SQL}, 9) AS d2
+    FROM emb e CROSS JOIN c{it} c)""",
+            f"""a{it} AS (
+    SELECT vec_id, cid AS cluster, d2 FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY vec_id ORDER BY d2, cid) AS rn
+        FROM s{it})
+    WHERE rn = 1)""",
+            f"""u{it} AS (
+    SELECT a.cluster AS cid, g.i AS pos, round(avg(e.v[g.i]), 6) AS m
+    FROM a{it} a JOIN emb e USING (vec_id), generate_series(1, 64) g(i)
+    GROUP BY 1, 2)""",
+            f"""c{it + 1} AS (
+    SELECT c.cid, coalesce(u.c, c.c) AS c
+    FROM c{it} c LEFT JOIN (
+        SELECT cid, list(m ORDER BY pos) AS c FROM u{it} GROUP BY cid
+    ) u USING (cid))""",
+        ]
+    parts += [
+        f"""s_final AS (
+    SELECT e.vec_id, c.cid, round({_D2_SQL}, 9) AS d2
+    FROM emb e CROSS JOIN c{iters} c)""",
+        """a_final AS (
+    SELECT vec_id, cid AS cluster, d2 FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY vec_id ORDER BY d2, cid) AS rn
+        FROM s_final)
+    WHERE rn = 1)""",
+    ]
+    return "WITH " + ",\n".join(parts)
+
+
+@query(
+    "q113_kmeans",
+    oracle=_kmeans_cte()
+    + """
+SELECT vec_id, cluster, round(d2, 6) AS d2
+FROM a_final
+ORDER BY vec_id
+""",
+)
+def q113_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Lloyd k-means over the embedding corpus: final
+    (vec_id, cluster, squared-distance) after {KM_ITERS} update rounds
+    from deterministic seeds — an iterative ML algorithm with an EXACT
+    value oracle (Lloyd unrolled as SQL CTEs, as q102 does PageRank).
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    return (
+        lloyd_kmeans(e)
+        .withColumn("d2", F.round(F.col("d2"), 6))
+        .orderBy("vec_id")
+    )
+
+
+# ------------------------------------------------------------ SemDeDup
+
+# float64 pairwise cosine between DOUBLE[] columns ea.v and eb.v
+_PAIR_COS_SQL = """
+    (SELECT sum(ea.v[i] * eb.v[i]) FROM generate_series(1, 64) g(i))
+    / (sqrt((SELECT sum(ea.v[i] * ea.v[i]) FROM generate_series(1, 64) g(i)))
+       * sqrt((SELECT sum(eb.v[i] * eb.v[i]) FROM generate_series(1, 64) g(i))))
+"""
+
+
+@query(
+    "q114_semantic_dedup",
+    oracle=_kmeans_cte()
+    + f""",
+dups AS (
+    SELECT DISTINCT a.vec_id
+    FROM a_final a
+    JOIN a_final b ON a.cluster = b.cluster AND b.vec_id < a.vec_id
+    JOIN emb ea ON ea.vec_id = a.vec_id
+    JOIN emb eb ON eb.vec_id = b.vec_id
+    WHERE round({_PAIR_COS_SQL}, 6) >= {SEM_THRESHOLD}
+)
+SELECT f.vec_id, f.cluster
+FROM a_final f
+WHERE f.vec_id NOT IN (SELECT vec_id FROM dups)
+ORDER BY f.vec_id
+""",
+)
+def q114_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup: cluster embeddings (q113's
+    k-means), then inside each cluster drop any vector whose cosine to
+    a LOWER-id cluster-mate reaches {SEM_THRESHOLD} — keep-lowest-id
+    survivors of near-duplicate meanings. Token dedup can't catch
+    paraphrases; this is the embedding-space complement.
+
+    Scale shape: the quadratic pair scan is confined to clusters
+    (norms precomputed per vector, q41's trick); the drop decision is a
+    left-anti join on vec_id. Deterministic end to end: assignment and
+    cosine are both rounded before any comparison.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    assign = lloyd_kmeans(e).select("vec_id", "cluster").localCheckpoint(
+        eager=False
+    )
+    vecs = e.select("vec_id", _f64("embedding").alias("v")).withColumn(
+        "nrm", F.sqrt(dot(F.col("v"), F.col("v")))
+    )
+    side_a = assign.join(vecs, "vec_id")
+    side_b = side_a.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("cluster").alias("cluster_b"),
+        F.col("v").alias("vb"),
+        F.col("nrm").alias("nrm_b"),
+    )
+    dups = (
+        side_a.join(
+            side_b,
+            (F.col("cluster") == F.col("cluster_b"))
+            & (F.col("id_b") < F.col("vec_id")),
+        )
+        .withColumn(
+            "cos_sim",
+            F.round(
+                dot(F.col("v"), F.col("vb")) / (F.col("nrm") * F.col("nrm_b")),
+                6,
+            ),
+        )
+        .where(F.col("cos_sim") >= SEM_THRESHOLD)
+        .select("vec_id")
+        .distinct()
+    )
+    return (
+        assign.join(dups, "vec_id", "left_anti")
+        .select("vec_id", "cluster")
+        .orderBy("vec_id")
+    )
