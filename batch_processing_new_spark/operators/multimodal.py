@@ -332,3 +332,131 @@ def q56_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """decode -> fake embedding extraction (array<double> per item)."""
     d = load_table(spark, sf_dir, "documents")
     return extract_features(decode_media(with_media_payload(d))).orderBy("doc_id")
+
+
+# ------------------------------------- perceptual-hash near-dup (pHash)
+
+PHASH_GRID = 32       # pseudo-decode: payload tiled into a 32x32 image
+PHASH_BLOCK = 8       # keep the top-left 8x8 DCT block
+PHASH_BITS = PHASH_BLOCK * PHASH_BLOCK - 1  # 63 (DC dropped) -> signed long
+PHASH_MAX_HAMMING = 10
+_PHASH_CHUNK_BITS = 7  # 9 chunks x 7 bits; pigeonhole catches hamming <= 8
+
+
+def _dct_matrix(n: int = PHASH_GRID):
+    """Orthonormal DCT-II basis (float64)."""
+    import numpy as np
+
+    j, i = np.meshgrid(np.arange(n), np.arange(n), indexing="ij")
+    d = np.sqrt(2.0 / n) * np.cos(np.pi * (2 * i + 1) * j / (2 * n))
+    d[0, :] = 1.0 / np.sqrt(n)
+    return d
+
+
+def phash_bytes(payload: bytes) -> int:
+    """Classic pHash over the fake-decoded image: tile the payload bytes
+    into a {PHASH_GRID}x{PHASH_GRID} grayscale grid, 2-D DCT, keep the
+    top-left {PHASH_BLOCK}x{PHASH_BLOCK} low-frequency block, drop the DC
+    term, threshold the remaining 63 coefficients at their median ->
+    63-bit fingerprint (fits a signed BIGINT).
+
+    The DCT/median/sign math is the real algorithm — only the
+    pixel source is the deterministic pseudo-decode (a real codec swaps
+    in `decoded_pixels = decode(payload)` and nothing else changes).
+    Pure-numpy and driver-callable so tests can pin the distributed
+    output to this exact function.
+    """
+    import numpy as np
+
+    b = np.frombuffer(payload, dtype=np.uint8)
+    if b.size == 0:
+        b = np.zeros(1, dtype=np.uint8)
+    img = (
+        np.resize(b, PHASH_GRID * PHASH_GRID)
+        .reshape(PHASH_GRID, PHASH_GRID)
+        .astype(np.float64)
+    )
+    d = _dct_matrix()
+    coef = (d @ img @ d.T)[:PHASH_BLOCK, :PHASH_BLOCK].ravel()[1:]
+    med = float(np.median(coef))
+    return int(sum(1 << k for k, v in enumerate(coef > med) if v))
+
+
+def phash_media(media: DataFrame) -> DataFrame:
+    """(doc_id, phash) via mapInPandas — one Arrow batch in, one DCT per
+    item, bytes never leave the executor."""
+    from batch_processing_new_spark.shipping import ensure_package_on_executors
+
+    ensure_package_on_executors(media.sparkSession)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "phash": [phash_bytes(p) for p in pdf["payload"]],
+                }
+            )
+
+    return media.select("doc_id", "payload").mapInPandas(
+        run, schema="doc_id bigint, phash bigint"
+    )
+
+
+def phash_neardup_pairs(
+    media: DataFrame, max_hamming: int = PHASH_MAX_HAMMING
+) -> DataFrame:
+    """Perceptual near-dup pairs: Hamming(phash) <= max_hamming, blocked
+    on 9 x 7-bit hash chunks (pigeonhole guarantees recall for distance
+    <= 8; above that chunking is the recall/cost dial, as in SimHash).
+
+    The image-side twin of q39's text SimHash: candidates shuffle on
+    (chunk_id, chunk) only — two ints — and verification is one XOR +
+    bit_count per candidate. At 100 TB the chunk table is the thing you
+    persist; re-screening new media is a broadcast-join against it.
+    """
+    hashed = phash_media(media).localCheckpoint(eager=False)
+    n_chunks = (PHASH_BITS + _PHASH_CHUNK_BITS - 1) // _PHASH_CHUNK_BITS
+    mask = (1 << _PHASH_CHUNK_BITS) - 1
+    chunks = hashed.select(
+        "doc_id",
+        "phash",
+        F.explode(F.sequence(F.lit(0), F.lit(n_chunks - 1))).alias("chunk_id"),
+    ).withColumn(
+        "chunk",
+        F.expr(f"(phash >> (chunk_id * {_PHASH_CHUNK_BITS})) & {mask}"),
+    )
+    a, b = chunks.alias("a"), chunks.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.chunk_id") == F.col("b.chunk_id"))
+            & (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.col("a.phash").alias("ph_a"),
+            F.col("b.phash").alias("ph_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("ph_a").bitwiseXOR(F.col("ph_b")))
+    return (
+        cand.withColumn("hamming", hamming)
+        .where(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+@query("q115_phash_neardup")  # Spark-only; algorithm pinned in tests
+def q115_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash near-dup pairs over the fake-decoded media corpus
+    (Hamming <= {PHASH_MAX_HAMMING} of 63 DCT sign bits). The fixture
+    payloads are distinct texts, so matches are rare by design — the
+    operator's correctness is pinned by tests/test_multimodal_phash.py
+    on controlled payloads (exact dup -> 0, one-byte flip -> small,
+    independent -> ~32)."""
+    d = load_table(spark, sf_dir, "documents")
+    return phash_neardup_pairs(with_media_payload(d)).orderBy("id_a", "id_b")

@@ -1,0 +1,79 @@
+"""Perceptual-hash operator invariants (multimodal.py pHash).
+
+The fixture corpus has no true media dups, so correctness is pinned on
+controlled payloads: distributed output equals the pure-numpy reference,
+identical payloads collide at Hamming 0, a one-byte flip stays within a
+few bits (locality — the point of pHash), and independent payloads land
+near the 63/2 expectation (separation).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from batch_processing_new_spark.operators.multimodal import (
+    PHASH_MAX_HAMMING,
+    phash_bytes,
+    phash_media,
+    phash_neardup_pairs,
+    with_media_payload,
+)
+from batch_processing_new_spark.sources.readers import load_table
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _hamming(a: int, b: int) -> int:
+    return bin(a ^ b).count("1")
+
+
+def _media_df(spark, payloads: dict[int, bytes]):
+    rows = [
+        (i, p, {"content_type": "image/fake", "declared_len": len(p), "origin": "t"})
+        for i, p in payloads.items()
+    ]
+    return spark.createDataFrame(
+        rows,
+        "doc_id bigint, payload binary, "
+        "media_meta struct<content_type:string, declared_len:int, origin:string>",
+    )
+
+
+def test_distributed_phash_equals_numpy_reference(spark):
+    d = load_table(spark, SF_DIR, "documents").limit(50)
+    media = with_media_payload(d)
+    got = {r.doc_id: r.phash for r in phash_media(media).collect()}
+    for r in d.select("doc_id", "text").collect():
+        assert got[r.doc_id] == phash_bytes(r.text.encode("utf-8"))
+
+
+def test_exact_duplicate_payloads_pair_at_zero(spark):
+    rng = np.random.default_rng(7)
+    base = rng.integers(0, 256, 2000, dtype=np.uint8).tobytes()
+    other = rng.integers(0, 256, 2000, dtype=np.uint8).tobytes()
+    pairs = phash_neardup_pairs(
+        _media_df(spark, {0: base, 1: base, 2: other})
+    ).collect()
+    assert {(r.id_a, r.id_b, r.hamming) for r in pairs} >= {(0, 1, 0)}
+
+
+def test_one_byte_flip_is_local(spark):
+    rng = np.random.default_rng(11)
+    base = bytearray(rng.integers(0, 256, 2000, dtype=np.uint8).tobytes())
+    flipped = bytearray(base)
+    flipped[100] ^= 0xFF
+    h0, h1 = phash_bytes(bytes(base)), phash_bytes(bytes(flipped))
+    assert _hamming(h0, h1) <= PHASH_MAX_HAMMING
+
+
+def test_independent_payloads_separate():
+    rng = np.random.default_rng(13)
+    hs = [
+        phash_bytes(rng.integers(0, 256, 1500, dtype=np.uint8).tobytes())
+        for _ in range(12)
+    ]
+    dists = [
+        _hamming(a, b) for i, a in enumerate(hs) for b in hs[i + 1 :]
+    ]
+    assert min(dists) > PHASH_MAX_HAMMING
+    assert 20 <= sorted(dists)[len(dists) // 2] <= 44
