@@ -126,3 +126,88 @@ def q102_copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("v").alias("part_id"), F.round("r", 6).alias("rank"))
         .orderBy("part_id")
     )
+
+
+# ------------------------------------- hierarchy closure (tree paths)
+
+HIER_DOUBLINGS = 5  # pointer-doubling rounds; resolves depth < 2^5 = 32
+
+
+@query(
+    "q116_hierarchy_paths",
+    oracle="""
+WITH RECURSIVE anc AS (
+    SELECT doc_id, 0 AS depth, doc_id::VARCHAR AS path
+    FROM documents WHERE doc_id = 0
+    UNION ALL
+    SELECT d.doc_id, anc.depth + 1, anc.path || '/' || d.doc_id
+    FROM documents d
+    JOIN anc ON (d.doc_id - 1) // 2 = anc.doc_id
+    WHERE d.doc_id > 0
+)
+SELECT doc_id, 0 AS root_id, depth, path
+FROM anc
+ORDER BY doc_id
+""",
+)
+def q116_hierarchy_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchy flattening: resolve every node of a parent-pointer tree
+    to (root, depth, root-to-node path) — the org-chart / category-tree
+    closure. The tree is synthesized over documents as a binary heap
+    (parent(n) = (n-1)/2) purely to have a deep deterministic hierarchy;
+    the operator reads only (id, parent) pairs.
+
+    Spark side is POINTER DOUBLING, not per-level descent: each round
+    joins every node's state to its current ancestor's state, so the
+    resolved prefix doubles — depth-D trees settle in ceil(log2 D)
+    self-joins (5 rounds cover depth 32) instead of D sequential scans.
+    Once a node reaches the root the generic update becomes a no-op
+    (the root's state is the identity: 0 extra steps, empty chain), so
+    no convergence bookkeeping is needed. The oracle is the textbook
+    recursive CTE. At 100 TB: persist the state bucketed by the join
+    key each round; rounds stay log-depth, the only growing payload is
+    the path array itself.
+    """
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    is_root = F.col("doc_id") == 0
+    state = d.select(
+        F.col("doc_id").alias("id"),
+        F.when(is_root, F.lit(0))
+        .otherwise((F.col("doc_id") - 1) / F.lit(2))
+        .cast("long")
+        .alias("anc"),
+        F.when(is_root, F.lit(0)).otherwise(F.lit(1)).alias("steps"),
+        F.when(is_root, F.array().cast("array<long>"))
+        .otherwise(F.array(F.col("doc_id")))
+        .alias("chain"),
+    )
+    for _ in range(HIER_DOUBLINGS):
+        lookup = state.select(
+            F.col("id").alias("l_id"),
+            F.col("anc").alias("l_anc"),
+            F.col("steps").alias("l_steps"),
+            F.col("chain").alias("l_chain"),
+        )
+        state = (
+            state.join(lookup, state["anc"] == lookup["l_id"])
+            .select(
+                "id",
+                F.col("l_anc").alias("anc"),
+                (F.col("steps") + F.col("l_steps")).alias("steps"),
+                F.concat("chain", "l_chain").alias("chain"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    path = F.concat_ws(
+        "/",
+        F.transform(
+            F.concat(F.array(F.lit(0).cast("long")), F.reverse("chain")),
+            lambda x: x.cast("string"),
+        ),
+    )
+    return state.select(
+        F.col("id").alias("doc_id"),
+        F.col("anc").cast("int").alias("root_id"),
+        F.col("steps").alias("depth"),
+        path.alias("path"),
+    ).orderBy("doc_id")
