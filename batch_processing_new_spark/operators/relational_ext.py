@@ -963,3 +963,56 @@ def q101_full_outer_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cust_id")
     )
+
+
+# --------------------------------- disjunctive-predicate join (Q19 shape)
+
+@query(
+    "q117_disjunctive_join",
+    oracle=f"""
+SELECT p.p_brand,
+       count(*)                                              AS n_rows,
+       {_dsum_sql('l.l_extendedprice * (1 - l.l_discount)')} AS revenue
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 15
+       AND l.l_quantity BETWEEN 1 AND 11)
+   OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 25
+       AND l.l_quantity BETWEEN 10 AND 20)
+   OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 35
+       AND l.l_quantity BETWEEN 20 AND 30)
+GROUP BY p.p_brand
+ORDER BY p.p_brand
+""",
+)
+def q117_disjunctive_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q19-shaped join with an OR-of-conjunctions predicate
+    spanning both sides — the optimizer stress case for disjunctions.
+    Catalyst CNF-converts the filter and pushes the per-table residuals
+    (brand IN (...), size <= 35, quantity ranges) into each scan, so
+    the join sees pre-shrunk inputs even though no single conjunct
+    applies to every branch; the cross-side conjunctions remain as the
+    post-join filter. Expressed declaratively — the OR goes in ONE
+    filter, never as three unioned joins (which would scan lineitem
+    three times).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    q, b, s = F.col("l_quantity"), F.col("p_brand"), F.col("p_size")
+    pred = (
+        ((b == "Brand#12") & s.between(1, 15) & q.between(1, 11))
+        | ((b == "Brand#23") & s.between(1, 25) & q.between(10, 20))
+        | ((b == "Brand#34") & s.between(1, 35) & q.between(20, 30))
+    )
+    return (
+        li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .where(pred)
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue"
+            ),
+        )
+        .orderBy("p_brand")
+    )
