@@ -1016,3 +1016,53 @@ def q117_disjunctive_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("p_brand")
     )
+
+
+# -------------------------------------- equi-height (quantile) histogram
+
+N_EH_BUCKETS = 10
+
+
+@query(
+    "q118_equiheight_histogram",
+    oracle=f"""
+WITH ranked AS (
+    SELECT o_totalprice,
+           ntile({N_EH_BUCKETS}) OVER (
+               ORDER BY o_totalprice, o_orderkey) AS bucket
+    FROM orders
+)
+SELECT bucket,
+       count(*)                    AS n,
+       round(min(o_totalprice), 4) AS lo,
+       round(max(o_totalprice), 4) AS hi
+FROM ranked
+GROUP BY bucket
+ORDER BY bucket
+""",
+)
+def q118_equiheight_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-HEIGHT histogram (quantile bins) of order totals — q77's
+    complement: equal counts per bucket, data-driven boundaries. This is
+    the histogram query optimizers and drift monitors actually want
+    (equi-width buckets collapse under skew).
+
+    ntile over a deterministic total order (value, unique key) makes
+    bucket edges engine-independent. Scale: a global ntile is one
+    range-partitioned sort; when the exact ±1-row equality guarantee
+    isn't needed, `approxQuantile` boundaries + a map-side bin pass
+    drop the sort entirely — that's the 100 TB default, this query is
+    the exact variant.
+    """
+    o = load_table(spark, sf_dir, "orders").select("o_totalprice", "o_orderkey")
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    return (
+        o.withColumn("bucket", F.ntile(N_EH_BUCKETS).over(w))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("o_totalprice"), 4).alias("lo"),
+            F.round(F.max("o_totalprice"), 4).alias("hi"),
+        )
+        .orderBy("bucket")
+    )

@@ -538,3 +538,78 @@ def q93_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.round(F.avg("v"), 6).alias("centroid_v"))
         .orderBy("label", "dim_id")
     )
+
+
+# ------------------------------- int8 scalar quantization (vector codec)
+
+_DEC_E = "DECIMAL(38,24)"  # error terms are ~1e-6; sum exactly, then /dim
+
+
+@query(
+    "q120_int8_quantization",
+    oracle=f"""
+WITH dims AS (
+    SELECT vec_id, unnest(range({DIM})) AS dim_id, embedding FROM embeddings
+),
+vals AS (
+    SELECT vec_id, dim_id, embedding[dim_id + 1]::DOUBLE AS x FROM dims
+),
+rng AS (
+    SELECT dim_id, min(x) AS mn, max(x) AS mx FROM vals GROUP BY dim_id
+),
+err AS (
+    SELECT v.vec_id,
+           v.x - (r.mn + coalesce(round(255 * (v.x - r.mn)
+                                        / nullif(r.mx - r.mn, 0)), 0)
+                  / 255.0 * (r.mx - r.mn)) AS e
+    FROM vals v JOIN rng r USING (dim_id)
+)
+SELECT vec_id,
+       round(CAST(sum(CAST(e * e AS {_DEC_E})) AS DOUBLE) / {DIM}, 12)
+           AS mse,
+       round(max(abs(e)), 9) AS max_abs_err
+FROM err
+GROUP BY vec_id
+ORDER BY vec_id
+""",
+)
+def q120_int8_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension int8 scalar quantization of the embedding corpus
+    with exact reconstruction-error accounting — the 4x storage/IO codec
+    every 100 TB vector deployment applies before ANN serving (float32
+    -> uint8 codes + per-dim (min, max) scale table).
+
+    Shapes: the scale table is a {DIM}-row aggregate (map-side combine),
+    broadcast back; encode/decode is pure per-row arithmetic. The MSE
+    sum is decimal-exact so the result is independent of aggregation
+    order (float addition is not associative; DECIMAL is) — same
+    discipline as the revenue aggregates in relational.py.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    vals = fan_out(e).select(
+        "vec_id", F.posexplode(_f64("embedding")).alias("dim_id", "x")
+    )
+    rng = vals.groupBy("dim_id").agg(
+        F.min("x").alias("mn"), F.max("x").alias("mx")
+    )
+    span = F.col("mx") - F.col("mn")
+    code = F.coalesce(
+        F.round(F.lit(255) * (F.col("x") - F.col("mn")) / F.nullif(span, F.lit(0.0)), 0),
+        F.lit(0.0),
+    )
+    recon = F.col("mn") + code / F.lit(255.0) * span
+    err = vals.join(F.broadcast(rng), "dim_id").select(
+        "vec_id", (F.col("x") - recon).alias("e")
+    )
+    return (
+        err.groupBy("vec_id")
+        .agg(
+            F.round(
+                F.sum((F.col("e") * F.col("e")).cast(_DEC_E)).cast("double")
+                / F.lit(float(DIM)),
+                12,
+            ).alias("mse"),
+            F.round(F.max(F.abs(F.col("e"))), 9).alias("max_abs_err"),
+        )
+        .orderBy("vec_id")
+    )

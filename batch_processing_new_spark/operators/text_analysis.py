@@ -553,3 +553,88 @@ def q110_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("term")
     )
+
+
+# ---------------------------------- vocabulary induction + OOV scoring
+
+VOCAB_K = 100  # induced bigram-vocabulary size
+
+
+@query(
+    "q119_vocab_oov",
+    oracle=f"""
+WITH t AS (
+    SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents
+),
+bg AS (
+    SELECT doc_id,
+           unnest([toks[i] || ' ' || toks[i+1] FOR i IN range(1, len(toks))])
+               AS bigram
+    FROM t WHERE len(toks) >= 2
+),
+counted AS (SELECT bigram, count(*) AS n FROM bg GROUP BY bigram),
+vocab AS (
+    SELECT bigram FROM (
+        SELECT bigram, row_number() OVER (ORDER BY n DESC, bigram) AS rank
+        FROM counted)
+    WHERE rank <= {VOCAB_K}
+)
+SELECT b.doc_id,
+       count(*) AS n_bigrams,
+       round(sum(CASE WHEN v.bigram IS NULL THEN 1 ELSE 0 END) * 1.0
+             / count(*), 6) AS oov_rate
+FROM bg b LEFT JOIN vocab v USING (bigram)
+GROUP BY b.doc_id
+ORDER BY b.doc_id
+""",
+)
+def q119_vocab_oov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary induction + out-of-vocabulary scoring: build the
+    top-{VOCAB_K} bigram vocabulary from the corpus itself, then score
+    every document by the fraction of its bigram occurrences outside
+    it — the cheap novelty/garbage signal tokenizer builders and
+    quality filters both use (high OOV = unusual text OR noise).
+
+    Two passes over one exploded bigram table: (1) count + rank to the
+    vocab (tiny — {VOCAB_K} rows), (2) broadcast the vocab back against
+    the same explode. At 100 TB the vocab induction is the only global
+    piece and it's a top-k over an aggregation — the per-doc scoring
+    pass stays embarrassingly parallel with the vocab broadcast.
+    """
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    n = F.size(toks)
+    bigrams = F.zip_with(
+        F.slice(toks, 1, n - 1),
+        F.slice(toks, 2, n - 1),
+        lambda x, y: F.concat_ws(" ", x, y),
+    )
+    bg = (
+        fan_out(d)
+        .where(F.size(tokens(F.col("text"))) >= 2)
+        .select("doc_id", F.explode(bigrams).alias("bigram"))
+        .localCheckpoint(eager=False)
+    )
+    w = Window.orderBy(F.col("n").desc(), F.col("bigram"))
+    vocab = (
+        bg.groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= VOCAB_K)
+        .select("bigram", F.lit(True).alias("in_vocab"))
+    )
+    return (
+        bg.join(F.broadcast(vocab), "bigram", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(
+                F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0))
+                / F.count(F.lit(1)),
+                6,
+            ).alias("oov_rate"),
+        )
+        .orderBy("doc_id")
+    )

@@ -38,6 +38,9 @@ HEADLINE = [
     "q83_dup_ngram_fraction",  # n-gram repetition quality (corpus hygiene)
     "q95_decontaminate",       # eval-set n-gram broadcast decontamination
     "q99_unigram_logprob",     # unigram-LM quality scoring
+    "q112_seeded_shuffle_shard",  # global hash-order sort + sharding
+    "q113_kmeans",             # iterative Lloyd over embeddings
+    "q117_disjunctive_join",   # Q19-shape OR-predicate pushdown join
 ]
 
 
