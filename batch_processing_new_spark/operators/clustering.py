@@ -44,12 +44,25 @@ KM_ITERS = 2       # Lloyd update rounds (assign -> re-center, twice)
 SEM_THRESHOLD = 0.3  # within-cluster cosine above which the higher id drops
 
 
+def _argmin_d2(V: np.ndarray, C: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """(best cluster, its d2) per row. d2 is float64 sum((a-b)^2)
+    (computed directly, not the |a|^2-2ab+|b|^2 expansion, to keep the
+    same float rounding as the oracle's per-element sum) rounded to 9;
+    ties break on cluster id — exactly the oracle's ranking, so
+    assignment is engine-independent."""
+    d2 = np.stack(
+        [((V - C[i]) ** 2).sum(axis=1) for i in range(C.shape[0])], axis=1
+    )
+    d2 = np.round(d2, 9)
+    k = np.arange(C.shape[0])
+    order = np.lexsort((np.broadcast_to(k, d2.shape), d2), axis=1)
+    best = order[:, 0]
+    return best, d2[np.arange(len(best)), best]
+
+
 def _assign_with_d2_np(centroids: list[list[float]]):
     """Arrow-vectorized nearest-centroid assignment returning
-    (cluster, d2): one numpy distance matrix per batch. d2 is
-    float64 sum((a-b)^2) rounded to 9; ties break on cluster id —
-    exactly the oracle's ranking, so assignment is engine-independent.
-    """
+    (cluster, d2): one numpy distance matrix per batch."""
     from pyspark.sql.types import (
         DoubleType,
         IntegerType,
@@ -67,25 +80,52 @@ def _assign_with_d2_np(centroids: list[list[float]]):
 
     @F.pandas_udf(out)
     def assign(emb: pd.Series) -> pd.DataFrame:
-        V = np.vstack(emb.to_numpy()).astype(np.float64)  # (m, dim)
-        # sum((a-b)^2) directly (not the |a|^2-2ab+|b|^2 expansion):
-        # same rounding behavior as the per-element oracle sum
-        d2 = np.stack(
-            [((V - C[i]) ** 2).sum(axis=1) for i in range(C.shape[0])],
-            axis=1,
+        best, d2 = _argmin_d2(
+            np.vstack(emb.to_numpy()).astype(np.float64), C
         )
-        d2 = np.round(d2, 9)
-        k = np.arange(C.shape[0])
-        order = np.lexsort((np.broadcast_to(k, d2.shape), d2), axis=1)
-        best = order[:, 0]
-        return pd.DataFrame(
-            {
-                "cluster": best.astype(np.int32),
-                "d2": d2[np.arange(len(best)), best],
-            }
-        )
+        return pd.DataFrame({"cluster": best.astype(np.int32), "d2": d2})
 
     return assign
+
+
+def _partial_centroid_sums(centroids: list[list[float]], dim: int = DIM):
+    """Fused assign + per-batch partial centroid sums (mapInPandas).
+
+    Emits (cluster, pos, s, n) — at most k x dim rows per Arrow batch —
+    instead of exploding every vector into dim rows for a JVM-side
+    aggregate. The Lloyd-update shuffle then carries k x dim partials
+    PER PARTITION regardless of corpus size; at 100 TB that's the
+    difference between shuffling rows x dim values and shuffling a few
+    kilobytes per task (the explode variant multiplies shuffle input by
+    dim). Float note: downstream sums partials in arbitrary order, but
+    so does any distributed avg — the round(6) on the final mean
+    absorbs it, same as before the fusion.
+    """
+    import pandas as pd_mod
+
+    C = np.array(centroids, dtype=np.float64)
+    k = C.shape[0]
+
+    def run(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
+            best, _ = _argmin_d2(V, C)
+            sums = np.zeros((k, dim))
+            np.add.at(sums, best, V)
+            counts = np.bincount(best, minlength=k)
+            nz = np.flatnonzero(counts)
+            yield pd_mod.DataFrame(
+                {
+                    "cluster": np.repeat(nz, dim).astype(np.int32),
+                    "pos": np.tile(np.arange(dim, dtype=np.int32), len(nz)),
+                    "s": sums[nz].ravel(),
+                    "n": np.repeat(counts[nz], dim).astype(np.int64),
+                }
+            )
+
+    return run
 
 
 def lloyd_kmeans(
@@ -94,12 +134,14 @@ def lloyd_kmeans(
     """(vec_id, cluster, d2) after ``iters`` Lloyd rounds from
     deterministic seeds (the k lowest vec_ids' embeddings).
 
-    Each round: assign (broadcast centroids, Arrow batch map) then
-    re-center (posexplode -> groupBy(cluster, pos) -> avg rounded 6,
-    empty clusters keep their previous centroid). Only k x dim floats
-    return to the driver per round.
+    Each round is ONE fused Arrow pass (assign + per-batch partial
+    centroid sums) plus a k x dim-row aggregate: mean = sum(s)/sum(n)
+    rounded 6, empty clusters keep their previous centroid. Only
+    k x dim floats return to the driver per round.
     """
-    vecs = fan_out(emb.select("vec_id", "embedding"))
+    vecs = fan_out(emb.select("vec_id", "embedding")).localCheckpoint(
+        eager=False
+    )
     seeds = (
         emb.orderBy("vec_id")
         .limit(k)
@@ -108,16 +150,13 @@ def lloyd_kmeans(
     )
     centroids = [list(r.v) for r in seeds]
     for _ in range(iters):
-        assigned = vecs.select(
-            _f64("embedding").alias("v"),
-            _assign_with_d2_np(centroids)("embedding")["cluster"].alias(
-                "cluster"
-            ),
+        partials = vecs.mapInPandas(
+            _partial_centroid_sums(centroids),
+            schema="cluster int, pos int, s double, n long",
         )
         means = (
-            assigned.select("cluster", F.posexplode("v").alias("pos", "x"))
-            .groupBy("cluster", "pos")
-            .agg(F.round(F.avg("x"), 6).alias("m"))
+            partials.groupBy("cluster", "pos")
+            .agg(F.round(F.sum("s") / F.sum("n"), 6).alias("m"))
             .groupBy("cluster")
             .agg(
                 F.transform(
