@@ -885,3 +885,65 @@ def q108_interpolate_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(interp, 6).alias("value_filled"),
         F.when(F.col("v").isNull(), 1).otherwise(0).alias("was_gap"),
     ).orderBy("event_type", "hour_ts")
+
+
+# ------------------------------------- time-weighted average (irregular)
+
+@query(
+    "q121_time_weighted_avg",
+    oracle="""
+WITH w AS (
+    SELECT user_id, value,
+           epoch_us(CAST(ts AS TIMESTAMP)) AS t,
+           lead(epoch_us(CAST(ts AS TIMESTAMP))) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS t2
+    FROM events
+),
+seg AS (
+    SELECT user_id, value, t2 - t AS dur FROM w WHERE t2 IS NOT NULL
+)
+SELECT user_id,
+       count(*) AS n_segments,
+       round(CAST(sum(CAST(value * dur AS DECIMAL(30,8))) AS DOUBLE)
+             / CAST(sum(CAST(dur AS DECIMAL(30,8))) AS DOUBLE), 6) AS twa
+FROM seg
+GROUP BY user_id
+ORDER BY user_id
+""",
+)
+def q121_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average of an irregularly-sampled signal per user:
+    each observation holds (last-observation-carried-forward) until the
+    next one, so its weight is the gap to the successor — the
+    hypertable/metrics-store aggregate a plain avg silently gets wrong
+    whenever sampling density correlates with the value.
+
+    One window pass (lead of the epoch per user) + one aggregation;
+    both shuffle on user_id only. Sums are decimal-exact so the result
+    is independent of aggregation order, per the engine's float
+    discipline.
+    """
+    from pyspark.sql import Window
+
+    from batch_processing_new_spark.operators.relational import DEC
+
+    ev = load_table(spark, sf_dir, "events")
+    t = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seg = (
+        ev.select("user_id", "value", t.alias("t"), F.lead(t).over(w).alias("t2"))
+        .where(F.col("t2").isNotNull())
+        .select("user_id", "value", (F.col("t2") - F.col("t")).alias("dur"))
+    )
+    return (
+        seg.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_segments"),
+            F.round(
+                F.sum((F.col("value") * F.col("dur")).cast(DEC)).cast("double")
+                / F.sum(F.col("dur").cast(DEC)).cast("double"),
+                6,
+            ).alias("twa"),
+        )
+        .orderBy("user_id")
+    )
