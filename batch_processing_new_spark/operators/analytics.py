@@ -947,3 +947,87 @@ def q121_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+# --------------------------------- last-touch conversion attribution
+
+@query(
+    "q122_last_touch_attribution",
+    oracle="""
+WITH ordered AS (
+    SELECT user_id, event_id, event_type, ts,
+           last_value(
+               CASE WHEN event_type IN ('view', 'click')
+                    THEN event_id END IGNORE NULLS)
+             OVER w AS attr_event_id,
+           last_value(
+               CASE WHEN event_type IN ('view', 'click')
+                    THEN event_type END IGNORE NULLS)
+             OVER w AS attr_type,
+           last_value(
+               CASE WHEN event_type IN ('view', 'click')
+                    THEN epoch_us(CAST(ts AS TIMESTAMP)) END IGNORE NULLS)
+             OVER w AS attr_t
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+)
+SELECT event_id AS purchase_id,
+       user_id,
+       attr_event_id,
+       attr_type,
+       CASE WHEN attr_t IS NULL THEN NULL
+            ELSE epoch_us(CAST(ts AS TIMESTAMP)) - attr_t END AS gap_us
+FROM ordered
+WHERE event_type = 'purchase'
+ORDER BY purchase_id
+""",
+)
+def q122_last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: every purchase is credited to the same
+    user's most recent PRECEDING view/click (id, type, and the gap in
+    microseconds; unattributed purchases keep NULLs). The
+    marketing-analytics complement of q79's funnel — per-conversion
+    assignment, not stage counting.
+
+    Single window pass: a conditional carry-forward (`last` with
+    ignorenulls over an up-to-previous-row frame) per user — no
+    self-join, one shuffle on user_id. The frame ends at -1 so a
+    purchase can never attribute to itself even if types ever overlap.
+    """
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    is_touch = F.col("event_type").isin("view", "click")
+    t_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    touched = ev.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        t_us.alias("t"),
+        F.last(F.when(is_touch, F.col("event_id")), ignorenulls=True)
+        .over(w)
+        .alias("attr_event_id"),
+        F.last(F.when(is_touch, F.col("event_type")), ignorenulls=True)
+        .over(w)
+        .alias("attr_type"),
+        F.last(F.when(is_touch, t_us), ignorenulls=True)
+        .over(w)
+        .alias("attr_t"),
+    )
+    return (
+        touched.where(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            "attr_event_id",
+            "attr_type",
+            (F.col("t") - F.col("attr_t")).alias("gap_us"),
+        )
+        .orderBy("purchase_id")
+    )
