@@ -1031,3 +1031,64 @@ def q122_last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("purchase_id")
     )
+
+
+# ------------------------------------ Benford digit-distribution check
+
+@query(
+    "q123_benford_check",
+    oracle="""
+WITH d AS (
+    SELECT CAST(floor(o_totalprice
+                      / power(10, floor(log10(o_totalprice)))) AS INT)
+               AS digit
+    FROM orders WHERE o_totalprice > 0
+),
+tot AS (SELECT count(*) AS n FROM d)
+SELECT digit,
+       count(*)                                   AS n_rows,
+       round(count(*) * 1.0 / max(tot.n), 6)      AS observed_p,
+       round(log10(1.0 + 1.0 / digit), 6)         AS benford_p,
+       round(pow(count(*) * 1.0 / max(tot.n)
+                 - log10(1.0 + 1.0 / digit), 2)
+             / log10(1.0 + 1.0 / digit), 9)       AS chi2_term
+FROM d, tot
+GROUP BY digit
+ORDER BY digit
+""",
+)
+def q123_benford_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law conformance of order totals: first-significant-
+    digit frequencies against log10(1 + 1/d), with per-digit chi-square
+    terms — the classic fabricated/filtered-data smell test finance and
+    data-quality pipelines run on monetary columns. (The synthetic
+    fixture's uniform prices will NOT follow Benford — the point of the
+    query is the measurement, and a high chi2 here is the correct
+    answer.)
+
+    One scan, map-side digit extraction, a 9-key aggregate, and a
+    broadcast of the scalar total — nothing scales with row count but
+    the first scan.
+    """
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_totalprice") > 0)
+    digit = F.floor(
+        F.col("o_totalprice")
+        / F.pow(F.lit(10.0), F.floor(F.log10("o_totalprice")))
+    ).cast("int")
+    counts = o.select(digit.alias("digit")).groupBy("digit").agg(
+        F.count(F.lit(1)).alias("n_rows")
+    )
+    total = counts.agg(F.sum("n_rows").alias("n"))
+    benford = F.log10(1.0 + 1.0 / F.col("digit"))
+    obs = F.col("n_rows") / F.col("n")
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            "digit",
+            "n_rows",
+            F.round(obs, 6).alias("observed_p"),
+            F.round(benford, 6).alias("benford_p"),
+            F.round(F.pow(obs - benford, 2) / benford, 9).alias("chi2_term"),
+        )
+        .orderBy("digit")
+    )
