@@ -750,3 +750,52 @@ def q22_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST
         """
     )
+
+
+# ------------------------------------ VARIANT semi-structured extraction
+
+@query(
+    "q125_variant_json",
+    oracle="""
+WITH x AS (
+    SELECT event_type,
+           CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+    FROM events
+)
+SELECT event_type,
+       count(*)                                          AS n_events,
+       CAST(min(k) AS INT)                               AS min_k,
+       CAST(max(k) AS INT)                               AS max_k,
+       CAST(count(DISTINCT k) AS BIGINT)                 AS distinct_k
+FROM x
+GROUP BY event_type
+ORDER BY event_type
+""",
+)
+def q125_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction via Spark 4's VARIANT type:
+    ``parse_json`` once into the binary variant encoding, then typed
+    ``variant_get`` path extraction — the schema-on-read path for
+    payloads whose shape isn't known at pipeline-build time (q18 is the
+    schema-declared ``from_json`` twin).
+
+    Why VARIANT at scale: the parse happens once and the binary
+    encoding carries ALL fields; adding an extraction later is a
+    projection, not a re-parse of the raw string, and columnar readers
+    can shred hot paths. Aggregation shape identical to q18 (map-side
+    combine on a 5-key groupBy).
+    """
+    e = load_table(spark, sf_dir, "events")
+    v = F.parse_json(F.col("props"))
+    k = F.variant_get(v, "$.k", "int")
+    return (
+        e.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+            F.countDistinct("k").alias("distinct_k"),
+        )
+        .orderBy("event_type")
+    )

@@ -362,3 +362,60 @@ def q103_stream_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.col("view_id")).alias("n_views_1h"))
         .orderBy("purchase_id")
     )
+
+
+@query(
+    "q124_stream_static_join",
+    oracle="""
+WITH e AS (
+    SELECT e.user_id, e.value, c.c_mktsegment,
+           date_trunc('day', e.ts) AS d
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+)
+SELECT strftime(d, '%Y-%m-%d %H:%M:%S')                   AS day,
+       c_mktsegment                                       AS segment,
+       count(*)                                           AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(30,8))) AS DOUBLE)  AS total_value
+FROM e
+GROUP BY 1, 2
+ORDER BY 1, 2
+""",
+)
+def q124_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join — the most common production
+    streaming shape: the event stream joins a BATCH dimension table
+    (customer) that is re-read per micro-batch, then aggregates per
+    (day, market segment). No watermark is needed on the static side
+    and the dimension broadcast keeps the stream side shuffle-free
+    until the windowed aggregate.
+
+    Oracle: with an in-order availableNow replay the result must equal
+    the batch join + date_trunc aggregation exactly.
+    """
+    from batch_processing_new_spark.sources.readers import load_table
+
+    events = read_events_stream(spark, sf_dir)
+    dim = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    joined = events.join(F.broadcast(dim), "user_id")
+    agg = (
+        joined.withWatermark("ts", "10 minutes")
+        .groupBy(
+            F.window("ts", "1 day").alias("w"),
+            F.col("c_mktsegment").alias("segment"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(30,8)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+    )
+    res = run_to_memory(agg, "ssj")
+    return res.select(
+        F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("day"),
+        "segment",
+        "n_events",
+        "total_value",
+    ).orderBy("day", "segment")
