@@ -122,3 +122,106 @@ def q63_regression_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+# ------------------------------ co-grouped map (cogroup.applyInPandas)
+
+@query(
+    "q128_cogroup_order_lines",
+    oracle="""
+SELECT l.l_orderkey                                      AS orderkey,
+       l.l_linenumber                                    AS linenumber,
+       round(l.l_extendedprice * (1 - l.l_discount), 4)  AS line_revenue,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)) OVER (
+                 PARTITION BY l.l_orderkey
+                 ORDER BY l.l_linenumber, l.l_partkey, l.l_suppkey,
+                          l.l_extendedprice, l.l_discount
+                 ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW), 4)           AS running_revenue,
+       round(l.l_extendedprice * (1 - l.l_discount)
+             / o.o_totalprice, 6)                        AS share_of_total
+FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+WHERE l.l_orderkey % 50 = 0
+ORDER BY orderkey, linenumber
+""",
+)
+def q128_cogroup_order_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-order line enrichment via the CO-GROUPED map surface:
+    ``orders.groupBy(key).cogroup(lineitem.groupBy(key)).applyInPandas``
+    hands each order's header row AND its line rows to one pandas
+    function — the third grouped-UDF shape next to applyInPandas (q62)
+    and applyInPandasWithState (q78), and the natural home for per-key
+    logic that needs BOTH sides materialized (reconciliation, per-entity
+    model scoring, header/detail alignment).
+
+    The arithmetic here (running revenue + share of the order total) is
+    deliberately window-expressible so the oracle pins the transport
+    exactly; the operator exists to verify the cogroup path. Scale: both
+    sides shuffle once on the key — identical movement to the equivalent
+    join — and a group pair must fit one worker's memory. The key COST
+    lesson: cogroup dispatches one Python call per key, so it suits
+    thousands of fat groups, not millions of tiny ones (all 15k orders
+    at sf0.01 took 140 s where the window join takes <1 s — hence the
+    deterministic orderkey % 50 subset here; per-row logic belongs in
+    windows/joins, cogroup is for per-ENTITY programs).
+    """
+    from batch_processing_new_spark.shipping import ensure_package_on_executors
+
+    ensure_package_on_executors(spark)
+
+    def merge(orders_pdf: pd.DataFrame, lines_pdf: pd.DataFrame) -> pd.DataFrame:
+        if not len(orders_pdf) or not len(lines_pdf):
+            return pd.DataFrame(
+                columns=[
+                    "orderkey",
+                    "linenumber",
+                    "line_revenue",
+                    "running_revenue",
+                    "share_of_total",
+                ]
+            )
+        total = float(orders_pdf["o_totalprice"].iloc[0])
+        # fixture linenumbers repeat within an order, so the running sum
+        # needs a full deterministic sort key (mirrored in the oracle's
+        # ROWS-frame window); full-key ties are identical rows, for
+        # which any order yields the same multiset of partial sums
+        lines = lines_pdf.sort_values(
+            ["l_linenumber", "l_partkey", "l_suppkey",
+             "l_extendedprice", "l_discount"]
+        )
+        rev = lines["l_extendedprice"] * (1 - lines["l_discount"])
+        return pd.DataFrame(
+            {
+                "orderkey": lines["l_orderkey"],
+                "linenumber": lines["l_linenumber"],
+                "line_revenue": rev.round(4),
+                "running_revenue": rev.cumsum().round(4),
+                "share_of_total": (rev / total).round(6),
+            }
+        )
+
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderkey") % 50 == 0)
+        .select("o_orderkey", "o_totalprice")
+    )
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .where(F.col("l_orderkey") % 50 == 0)
+        .select(
+            "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
+            "l_extendedprice", "l_discount",
+        )
+    )
+    out = (
+        o.groupBy("o_orderkey")
+        .cogroup(li.groupBy("l_orderkey"))
+        .applyInPandas(
+            merge,
+            schema=(
+                "orderkey bigint, linenumber int, line_revenue double, "
+                "running_revenue double, share_of_total double"
+            ),
+        )
+    )
+    return out.orderBy("orderkey", "linenumber")

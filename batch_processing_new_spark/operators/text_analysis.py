@@ -653,3 +653,77 @@ def q119_vocab_oov(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ------------------------------------- byte-entropy signal (mapInArrow)
+
+@query(
+    "q127_byte_entropy",
+    oracle="""
+WITH chars AS (
+    SELECT doc_id, substr(text, i, 1) AS ch
+    FROM documents, unnest(range(1, length(text) + 1)) AS u(i)
+),
+freq AS (
+    SELECT doc_id, ch, count(*) AS c FROM chars GROUP BY doc_id, ch
+),
+tot AS (
+    SELECT doc_id, sum(c) AS n FROM freq GROUP BY doc_id
+)
+SELECT f.doc_id,
+       CAST(max(t.n) AS INT) AS n_bytes,
+       round(-sum((c * 1.0 / t.n) * log2(c * 1.0 / t.n)), 6)
+           AS entropy_bits
+FROM freq f JOIN tot t USING (doc_id)
+GROUP BY f.doc_id
+ORDER BY f.doc_id
+""",
+)
+def q127_byte_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon byte-entropy per document (bits/byte distribution over
+    the UTF-8 encoding) — the two-sided corpus-hygiene signal:
+    near-8-bit entropy flags binary/encrypted/base64 junk, abnormally
+    LOW entropy flags degenerate repetition; natural text sits in
+    between. (Fixture text is ASCII, so the SQL oracle's per-character
+    frequencies equal the byte frequencies exactly.)
+
+    Implemented over ``mapInArrow`` — the zero-pandas Arrow path: each
+    batch's strings feed numpy bincount directly, no pandas Series
+    materialization on either side of the boundary (the third UDF
+    transport next to pandas_udf and applyInPandas; for byte-level
+    numeric kernels it's the cheapest).
+    """
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pyarrow as pa
+
+    from batch_processing_new_spark.shipping import ensure_package_on_executors
+
+    ensure_package_on_executors(spark)
+
+    def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            texts = batch.column(1).to_pylist()
+            n_bytes, ents = [], []
+            for t in texts:
+                b = np.frombuffer(t.encode("utf-8"), dtype=np.uint8)
+                counts = np.bincount(b, minlength=256)
+                p = counts[counts > 0] / len(b)
+                n_bytes.append(len(b))
+                ents.append(round(float(-(p * np.log2(p)).sum()), 6))
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column(0),
+                    pa.array(n_bytes, pa.int32()),
+                    pa.array(ents, pa.float64()),
+                ],
+                ["doc_id", "n_bytes", "entropy_bits"],
+            )
+
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        fan_out(d.select("doc_id", "text"))
+        .mapInArrow(run, schema="doc_id bigint, n_bytes int, entropy_bits double")
+        .orderBy("doc_id")
+    )
