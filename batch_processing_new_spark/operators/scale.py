@@ -64,3 +64,38 @@ def write_bucketed(
     if sort_key:
         writer = writer.sortBy(sort_key)
     writer.saveAsTable(table)
+
+
+def kll_quantiles(
+    df,
+    value_col: str,
+    group_col: str,
+    quantiles: tuple[float, ...] = (0.25, 0.5, 0.75, 0.9),
+):
+    """Per-group quantile estimates via mergeable KLL sketches
+    (datasketches, Spark-native `kll_sketch_agg_double`) — the scale
+    path for percentiles: sketches build with map-side combine, merge
+    associatively across partitions/days (`kll_sketch_merge_double`),
+    and answer any quantile after the fact, unlike `percentile_approx`
+    which fixes its targets per query.
+
+    NOT exposed as a registry query: KLL compaction is randomized, so
+    estimates differ run to run (measured: two identical 32-partition
+    runs disagree) — it would violate the engine's cross-partitioning
+    determinism guarantee that every `queries()` entry carries. Rank
+    error is bounded (~1.65/sqrt(k)); tests/test_scale.py asserts the
+    estimates land inside generous exact-rank bands.
+    """
+    from pyspark.sql import functions as F
+
+    sk = df.groupBy(group_col).agg(
+        F.kll_sketch_agg_double(value_col).alias("sk"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    cols = [group_col, "n"] + [
+        F.kll_sketch_get_quantile_double("sk", F.lit(q)).alias(
+            f"p{int(q * 100)}"
+        )
+        for q in quantiles
+    ]
+    return sk.select(*cols)

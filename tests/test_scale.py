@@ -286,3 +286,35 @@ def test_zorder_bounds_both_dims_vs_single_key_sort(spark, tmp_path):
     a = li.agg(F.sum("l_quantity"), F.count("*")).collect()
     b = spark.read.parquet(zord).agg(F.sum("l_quantity"), F.count("*")).collect()
     assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+
+def test_kll_quantiles_within_rank_bounds(spark):
+    from batch_processing_new_spark.operators.scale import kll_quantiles
+    from batch_processing_new_spark.sources.readers import load_table
+
+    li = load_table(spark, "/root/testdata/sf0.01", "lineitem")
+    est = {
+        r[0]: (r.p25, r.p50, r.p75)
+        for r in kll_quantiles(
+            li, "l_extendedprice", "l_returnflag", (0.25, 0.5, 0.75)
+        ).collect()
+    }
+    # exact rank bands: each estimate must fall between the exact
+    # (q-0.05) and (q+0.05) quantiles — ~4x the default KLL rank error
+    import pyspark.sql.functions as F
+
+    for flag, (p25, p50, p75) in est.items():
+        vals = (
+            li.where(F.col("l_returnflag") == flag)
+            .select(
+                F.expr(
+                    "percentile(l_extendedprice, "
+                    "array(0.20, 0.30, 0.45, 0.55, 0.70, 0.80))"
+                ).alias("b")
+            )
+            .collect()[0]
+            .b
+        )
+        assert vals[0] <= p25 <= vals[1]
+        assert vals[2] <= p50 <= vals[3]
+        assert vals[4] <= p75 <= vals[5]
