@@ -1092,3 +1092,91 @@ def q123_benford_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("digit")
     )
+
+
+# ------------------------------------------- session path analysis
+
+TOP_PATHS = 20
+
+
+@query(
+    "q129_session_paths",
+    oracle=f"""
+WITH gaps AS (
+    SELECT user_id, ts, event_id, event_type,
+           CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                     > INTERVAL 30 MINUTE
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                THEN 1 ELSE 0 END AS is_new_session
+    FROM events
+),
+sessions AS (
+    SELECT user_id, event_type, ts, event_id,
+           sum(is_new_session) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS session_id
+    FROM gaps
+),
+paths AS (
+    SELECT user_id, session_id,
+           string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+    FROM sessions
+    GROUP BY user_id, session_id
+),
+counted AS (
+    SELECT path, count(*) AS n_sessions FROM paths GROUP BY path
+)
+SELECT path, n_sessions, rank FROM (
+    SELECT path, n_sessions,
+           row_number() OVER (ORDER BY n_sessions DESC, path) AS rank
+    FROM counted)
+WHERE rank <= {TOP_PATHS}
+ORDER BY rank
+""",
+)
+def q129_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{TOP_PATHS} session paths: sessionize (q21's 30-min-gap
+    rule), concatenate each session's ordered event-type sequence into
+    a path string, rank paths by frequency — the "how do users actually
+    move through the product" sequence-analytics staple behind funnel
+    design.
+
+    The path build is sort_array(collect_list(struct)) inside a
+    (user, session) aggregate — deterministic ordering without a
+    second window pass; the path table is tiny (distinct sequences),
+    so the final rank is a near-free single-partition window.
+    """
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    prev_ts = F.lag("ts").over(w)
+    as_sec = lambda c: c.cast("timestamp").cast("double")  # noqa: E731
+    gap_sec = as_sec(F.col("ts")) - as_sec(prev_ts)
+    is_new = F.when(prev_ts.isNull() | (gap_sec > 1800.0), 1).otherwise(0)
+    sessions = e.withColumn("session_id", F.sum(is_new).over(w_run))
+    paths = (
+        sessions.groupBy("user_id", "session_id")
+        .agg(
+            F.concat_ws(
+                ">",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct("ts", "event_id", "event_type")
+                        )
+                    ),
+                    lambda s: s["event_type"],
+                ),
+            ).alias("path")
+        )
+    )
+    counted = paths.groupBy("path").agg(F.count(F.lit(1)).alias("n_sessions"))
+    wr = Window.orderBy(F.col("n_sessions").desc(), F.col("path"))
+    return (
+        counted.withColumn("rank", F.row_number().over(wr))
+        .where(F.col("rank") <= TOP_PATHS)
+        .orderBy("rank")
+    )
