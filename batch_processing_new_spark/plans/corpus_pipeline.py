@@ -128,3 +128,102 @@ def q106_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     for c in counts[1:]:
         out = out.unionByName(c)
     return out.orderBy("stage_no")
+
+
+# ----------------------------------- per-source corpus health scorecard
+
+@query(
+    "q130_source_scorecard",
+    oracle="""
+WITH toks AS (
+    SELECT doc_id, source,
+           len(string_split(trim(text), ' '))                  AS n_tokens,
+           len(list_distinct(string_split(trim(text), ' ')))   AS n_distinct,
+           md5(trim(regexp_replace(regexp_replace(lower(text),
+               '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')))      AS canon_fp
+    FROM documents
+),
+ent AS (
+    -- per-doc round(6) mirrors q127's output, which the Spark side
+    -- consumes as-is before averaging
+    SELECT doc_id, round(-sum(p * log2(p)), 6) AS entropy_bits
+    FROM (
+        SELECT doc_id, count(*) * 1.0 / length(any_value(txt)) AS p
+        FROM (
+            SELECT doc_id, text AS txt, substr(text, i, 1) AS ch
+            FROM documents, unnest(range(1, length(text) + 1)) AS u(i)
+        )
+        GROUP BY doc_id, ch
+    )
+    GROUP BY doc_id
+),
+dup AS (
+    SELECT t.doc_id,
+           CASE WHEN count(*) OVER (PARTITION BY t.canon_fp) > 1
+                THEN 1 ELSE 0 END AS is_dup
+    FROM toks t
+)
+SELECT t.source,
+       count(*)                                            AS n_docs,
+       round(avg(t.n_tokens), 6)                           AS avg_tokens,
+       round(avg(t.n_distinct * 1.0 / t.n_tokens), 6)      AS avg_ttr,
+       round(avg(e.entropy_bits), 6)                       AS avg_entropy,
+       round(avg(d.is_dup), 6)                             AS dup_fraction
+FROM toks t
+JOIN ent e USING (doc_id)
+JOIN dup d ON d.doc_id = t.doc_id
+GROUP BY t.source
+ORDER BY t.source
+""",
+)
+def q130_source_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus health scorecard: token volume, type-token
+    ratio, byte entropy, and exact-dup (canonical-fingerprint) rate per
+    origin — the dashboard a data-acquisition team watches to decide
+    which domains to re-crawl, down-weight, or drop. Composes the
+    engine's quality signals (q23 token stats, q127 entropy, q111
+    canonical dedup) into one aggregation rather than re-implementing
+    them.
+
+    Shape: token/fingerprint stats fuse into the document scan;
+    entropy joins in from its Arrow pass on doc_id; the dup flag is a
+    window over the fingerprint; everything then collapses to one row
+    per source with map-side combine.
+    """
+    from pyspark.sql import Window
+
+    from batch_processing_new_spark.operators.dedup import (
+        canonical_fingerprint,
+    )
+    from batch_processing_new_spark.operators.text_analysis import (
+        q127_byte_entropy,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    base = d.select(
+        "doc_id",
+        "source",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct"),
+        canonical_fingerprint(F.col("text")).alias("canon_fp"),
+    )
+    is_dup = F.when(
+        F.count(F.lit(1)).over(Window.partitionBy("canon_fp")) > 1, 1
+    ).otherwise(0)
+    base = base.withColumn("is_dup", is_dup)
+    ent = q127_byte_entropy(spark, sf_dir).select("doc_id", "entropy_bits")
+    return (
+        base.join(ent, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("n_tokens"), 6).alias("avg_tokens"),
+            F.round(F.avg(F.col("n_distinct") / F.col("n_tokens")), 6).alias(
+                "avg_ttr"
+            ),
+            F.round(F.avg("entropy_bits"), 6).alias("avg_entropy"),
+            F.round(F.avg("is_dup"), 6).alias("dup_fraction"),
+        )
+        .orderBy("source")
+    )
