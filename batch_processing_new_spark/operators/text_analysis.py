@@ -727,3 +727,87 @@ def q127_byte_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .mapInArrow(run, schema="doc_id bigint, n_bytes int, entropy_bits double")
         .orderBy("doc_id")
     )
+
+
+# ------------------------------- winnowing (rolling-hash) fingerprints
+
+WINNOW_K = 12  # character k-gram length
+WINNOW_W = 8   # winnowing window (guarantee: any match >= k+w-1 chars shares a fp)
+
+
+@query(
+    "q132_winnowing_fingerprints",
+    oracle=f"""
+WITH grams AS (
+    SELECT doc_id, i AS pos,
+           ('0x' || substr(md5(substr(text, i, {WINNOW_K})), 1, 15))::BIGINT AS h,
+           length(text) AS n
+    FROM documents, unnest(range(1, length(text) - {WINNOW_K} + 2)) AS u(i)
+),
+wins AS (
+    SELECT doc_id, pos,
+           min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN CURRENT ROW
+                                 AND {WINNOW_W - 1} FOLLOWING) AS fp,
+           n
+    FROM grams
+)
+SELECT DISTINCT doc_id, fp
+FROM wins
+WHERE pos <= n - {WINNOW_K} + 1 - ({WINNOW_W} - 1)
+ORDER BY doc_id, fp
+""",
+)
+def q132_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (the MOSS algorithm): hash every
+    character {WINNOW_K}-gram, slide a {WINNOW_W}-wide window over the
+    hash sequence, keep each window's minimum — the selected hash SET
+    is the document's fingerprint, with the winnowing guarantee that
+    any shared substring of length >= k+w-1 yields at least one shared
+    fingerprint. This is the partial-overlap/plagiarism detector the
+    whole-document hashes (q26) and token-set methods (q33-q39) can't
+    provide: those need global similarity, winnowing catches a copied
+    paragraph inside an otherwise-unrelated document.
+
+    Declarative form of the rolling hash: per-position substring hash +
+    a ROWS-frame window min — Catalyst evaluates both inside one
+    per-document sorted pass (the shuffle carries (doc, pos, 8-byte
+    hash), never text). Matching docs are then found by self-joining
+    the fingerprint table on fp — the same inverted-index shape as q35.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    return winnow_fingerprints(fan_out(d.select("doc_id", "text"))).orderBy(
+        "doc_id", "fp"
+    )
+
+
+def winnow_fingerprints(
+    docs: DataFrame, k: int = WINNOW_K, w: int = WINNOW_W
+) -> DataFrame:
+    """(doc_id, fp) distinct winnowing fingerprints of a (doc_id, text)
+    DataFrame — the q132 pipeline as a reusable operator."""
+    from pyspark.sql import Window
+
+    n = F.length("text")
+    grams = docs.select(
+        "doc_id",
+        "text",
+        n.alias("n"),
+        F.posexplode(F.sequence(F.lit(1), n - k + 1)).alias("_", "pos"),
+    ).select(
+        "doc_id",
+        "pos",
+        "n",
+        hash60(F.expr(f"substr(text, pos, {k})")).alias("h"),
+    )
+    win = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.currentRow, w - 1)
+    )
+    return (
+        grams.withColumn("fp", F.min("h").over(win))
+        .where(F.col("pos") <= F.col("n") - k + 1 - (w - 1))
+        .select("doc_id", "fp")
+        .distinct()
+    )
