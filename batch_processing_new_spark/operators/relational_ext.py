@@ -1066,3 +1066,88 @@ def q118_equiheight_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+# ---------------------------- correlated-min supplier join (Q2 shape)
+
+@query(
+    "q133_min_cost_supplier",
+    oracle=f"""
+WITH cost AS (
+    SELECT l_partkey, l_suppkey,
+           {_dsum_sql('l_extendedprice * (1 - l_discount)')}
+               / {_dsum_sql('l_quantity')} AS unit_cost
+    FROM lineitem
+    GROUP BY l_partkey, l_suppkey
+)
+SELECT c.l_partkey AS partkey,
+       c.l_suppkey AS suppkey,
+       s.s_name,
+       n.n_name    AS nation,
+       floor(c.unit_cost * 1000000 + 0.5) / 1000000.0 AS unit_cost
+FROM cost c
+JOIN supplier s ON s.s_suppkey = c.l_suppkey
+JOIN nation n   ON n.n_nationkey = s.s_nationkey
+WHERE c.unit_cost = (
+    SELECT min(c2.unit_cost) FROM cost c2
+    WHERE c2.l_partkey = c.l_partkey
+)
+  AND c.l_suppkey = (
+    SELECT min(c3.l_suppkey) FROM cost c3
+    WHERE c3.l_partkey = c.l_partkey
+      AND c3.unit_cost = (SELECT min(c4.unit_cost) FROM cost c4
+                          WHERE c4.l_partkey = c.l_partkey)
+)
+ORDER BY partkey
+""",
+)
+def q133_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q2-shaped correlated minimum: for every part, the supplier
+    with the lowest observed unit cost (ties broken on supplier id),
+    enriched through the supplier -> nation dimension chain.
+
+    The oracle states it as nested correlated subqueries (the Q2 SQL
+    shape); the Spark plan expresses the same thing as one aggregation
+    plus a (unit_cost asc, suppkey asc) row_number window — the
+    decorrelated form Catalyst would have to derive, written directly.
+    The window and the aggregate share the l_partkey shuffle; the
+    dimension hops broadcast. Unit costs are ratios of decimal-exact
+    sums, so integer-quantity divisors make exact .5 rounding
+    boundaries COMMON — the output applies floor(x*1e6+0.5)/1e6, a
+    rounding both engines evaluate identically on identical doubles
+    (engine round() half-case behavior differs).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    cost = (
+        li.groupBy("l_partkey", "l_suppkey")
+        .agg(
+            (
+                dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                / dsum("l_quantity")
+            ).alias("unit_cost")
+        )
+    )
+    w = Window.partitionBy("l_partkey").orderBy(
+        F.col("unit_cost"), F.col("l_suppkey")
+    )
+    best = (
+        cost.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .drop("rn")
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        best.join(F.broadcast(s), best["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .select(
+            F.col("l_partkey").alias("partkey"),
+            F.col("l_suppkey").alias("suppkey"),
+            "s_name",
+            F.col("n_name").alias("nation"),
+            (
+                F.floor(F.col("unit_cost") * 1000000 + F.lit(0.5)) / 1000000.0
+            ).alias("unit_cost"),
+        )
+        .orderBy("partkey")
+    )
