@@ -1180,3 +1180,98 @@ def q129_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rank") <= TOP_PATHS)
         .orderBy("rank")
     )
+
+
+# --------------------------------- time-bounded conversion rate
+
+CONV_WINDOW_MIN = 60  # click -> purchase attribution window (minutes)
+
+
+@query(
+    "q134_timed_conversion",
+    oracle=f"""
+WITH clicks AS (
+    SELECT user_id, event_id, ts,
+           CAST(date_trunc('day', ts) AS TIMESTAMP) AS day
+    FROM events WHERE event_type = 'click'
+),
+converted AS (
+    SELECT c.user_id, c.event_id, c.day,
+           CASE WHEN EXISTS (
+               SELECT 1 FROM events p
+               WHERE p.event_type = 'purchase'
+                 AND p.user_id = c.user_id
+                 AND p.ts > c.ts
+                 AND p.ts <= c.ts + INTERVAL {CONV_WINDOW_MIN} MINUTE
+           ) THEN 1 ELSE 0 END AS converted
+    FROM clicks c
+)
+SELECT day,
+       count(*)                    AS n_clicks,
+       CAST(sum(converted) AS BIGINT) AS n_converted,
+       round(avg(converted), 6)    AS conversion_rate
+FROM converted
+GROUP BY day
+ORDER BY day
+""",
+)
+def q134_timed_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-bounded conversion: the fraction of clicks followed by a
+    purchase from the same user within {CONV_WINDOW_MIN} minutes,
+    reported per day — the windowed complement of q79 (stage presence,
+    no deadline) and q122 (credit assignment, no deadline).
+
+    Spark shape: NO per-click EXISTS probe — one window pass over the
+    user's merged event sequence computes, at each click, the time of
+    the NEXT purchase (a reversed-frame conditional min), and the
+    deadline test is a scalar comparison. The oracle keeps the
+    correlated-EXISTS SQL form; the engine's form is the single-shuffle
+    plan Catalyst cannot reach from that SQL on its own.
+    """
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    t_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    w_next = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    next_purchase_t = F.min(
+        F.when(F.col("event_type") == "purchase", t_us)
+    ).over(w_next)
+    clicks = (
+        ev.select(
+            "user_id",
+            "event_id",
+            "event_type",
+            "ts",
+            t_us.alias("t"),
+            next_purchase_t.alias("next_p"),
+        )
+        .where(F.col("event_type") == "click")
+        .select(
+            F.date_trunc("day", F.col("ts").cast("timestamp"))
+            .cast("timestamp")
+            .alias("day"),
+            F.when(
+                (F.col("next_p") > F.col("t"))
+                & (
+                    F.col("next_p")
+                    <= F.col("t") + CONV_WINDOW_MIN * 60_000_000
+                ),
+                1,
+            )
+            .otherwise(0)
+            .alias("converted"),
+        )
+    )
+    return (
+        clicks.groupBy("day")
+        .agg(
+            F.count(F.lit(1)).alias("n_clicks"),
+            F.sum("converted").alias("n_converted"),
+            F.round(F.avg("converted"), 6).alias("conversion_rate"),
+        )
+        .orderBy("day")
+    )
