@@ -99,3 +99,73 @@ def kll_quantiles(
         for q in quantiles
     ]
     return sk.select(*cols)
+
+
+def skew_profile_oracle(table: str, key: str) -> str:
+    """DuckDB twin of ``skew_profile`` for one (table, key)."""
+    return f"""
+SELECT '{key}' AS join_key,
+       count(*)                                    AS n_keys,
+       CAST(max(c) AS BIGINT)                      AS max_rows,
+       round(max(c) * 1.0 / sum(c), 9)             AS top1_share,
+       round(max(c) * 1.0 * count(*) / sum(c), 6)  AS skew_factor
+FROM (SELECT {key}, count(*) AS c FROM {table} GROUP BY {key})
+"""
+
+
+def skew_profile(df, key: str):
+    """Join-key distribution diagnostic: key count, heaviest key's row
+    count and share, and skew factor (heaviest / mean) — the number
+    that decides between a plain shuffle join, AQE skew splitting, and
+    explicit salting (`salted_join`). Rule of thumb: skew_factor < 4
+    needs nothing, 4-20 AQE handles, beyond that salt with roughly
+    ceil(skew_factor / 4) salts.
+
+    One map-side-combined count per key, then a second tiny aggregate —
+    cheap enough to run routinely before standing up a big join at
+    100 TB (the profile costs one scan; a skewed shuffle join costs a
+    straggler task that runs for hours).
+    """
+    from pyspark.sql import functions as F
+
+    counts = df.groupBy(key).agg(F.count(F.lit(1)).alias("c"))
+    return counts.agg(
+        F.lit(key).alias("join_key"),
+        F.count(F.lit(1)).alias("n_keys"),
+        F.max("c").alias("max_rows"),
+        F.round(F.max("c") / F.sum("c"), 9).alias("top1_share"),
+        F.round(F.max("c") * F.count(F.lit(1)) / F.sum("c"), 6).alias(
+            "skew_factor"
+        ),
+    )
+
+
+def _register_skew_query() -> None:
+    from pyspark.sql import SparkSession
+
+    from batch_processing_new_spark.registry import query
+    from batch_processing_new_spark.sources.readers import load_table
+
+    keyed = [("lineitem", "l_orderkey"), ("lineitem", "l_partkey"),
+             ("orders", "o_custkey"), ("events", "user_id")]
+    oracle = "\nUNION ALL\n".join(
+        skew_profile_oracle(t, k) for t, k in keyed
+    ) + "\nORDER BY join_key"
+
+    @query(
+        "q135_skew_profile",
+        oracle=oracle,
+        doc=skew_profile.__doc__,
+    )
+    def q135_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+        parts = [
+            skew_profile(load_table(spark, sf_dir, t).select(k), k)
+            for t, k in keyed
+        ]
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out.orderBy("join_key")
+
+
+_register_skew_query()
