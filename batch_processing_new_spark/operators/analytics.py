@@ -1222,48 +1222,42 @@ def q134_timed_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     no deadline) and q122 (credit assignment, no deadline).
 
     Spark shape: NO per-click EXISTS probe — one window pass over the
-    user's merged event sequence computes, at each click, the time of
-    the NEXT purchase (a reversed-frame conditional min), and the
-    deadline test is a scalar comparison. The oracle keeps the
-    correlated-EXISTS SQL form; the engine's form is the single-shuffle
-    plan Catalyst cannot reach from that SQL on its own.
+    user's merged event sequence answers, at each click, "is there a
+    purchase in (t, t+60min]?" via a VALUE-based frame
+    (``rangeBetween(1, window_us)`` over the microsecond timestamp).
+    The range frame makes the strict ``p.ts > c.ts`` bound exact even
+    when a purchase shares the click's timestamp (a rows-based
+    next-purchase min would see the tied purchase and miss a later
+    in-window one). The oracle keeps the correlated-EXISTS SQL form;
+    the engine's form is the single-shuffle plan Catalyst cannot reach
+    from that SQL on its own.
     """
     from pyspark.sql import Window
 
     ev = load_table(spark, sf_dir, "events")
     t_us = F.unix_micros(F.col("ts").cast("timestamp"))
-    w_next = (
+    w_range = (
         Window.partitionBy("user_id")
-        .orderBy("ts", "event_id")
-        .rowsBetween(1, Window.unboundedFollowing)
+        .orderBy("t")
+        .rangeBetween(1, CONV_WINDOW_MIN * 60_000_000)
     )
-    next_purchase_t = F.min(
-        F.when(F.col("event_type") == "purchase", t_us)
-    ).over(w_next)
+    has_purchase = F.max(
+        F.when(F.col("event_type") == "purchase", F.lit(1))
+    ).over(w_range)
     clicks = (
         ev.select(
             "user_id",
-            "event_id",
             "event_type",
             "ts",
             t_us.alias("t"),
-            next_purchase_t.alias("next_p"),
         )
+        .withColumn("converted", F.coalesce(has_purchase, F.lit(0)))
         .where(F.col("event_type") == "click")
         .select(
             F.date_trunc("day", F.col("ts").cast("timestamp"))
             .cast("timestamp")
             .alias("day"),
-            F.when(
-                (F.col("next_p") > F.col("t"))
-                & (
-                    F.col("next_p")
-                    <= F.col("t") + CONV_WINDOW_MIN * 60_000_000
-                ),
-                1,
-            )
-            .otherwise(0)
-            .alias("converted"),
+            "converted",
         )
     )
     return (

@@ -156,7 +156,18 @@ def lloyd_kmeans(
         )
         means = (
             partials.groupBy("cluster", "pos")
-            .agg(F.round(F.sum("s") / F.sum("n"), 6).alias("m"))
+            # Partials reduce as DECIMAL (the engine's dsum discipline):
+            # float addition is not associative, and the cross-partition
+            # reduce order is arbitrary — a half-boundary flip in any
+            # round would cascade into different assignments. Decimal
+            # sums are exactly order-independent.
+            .agg(
+                F.round(
+                    F.sum(F.col("s").cast("decimal(30,8)")).cast("double")
+                    / F.sum("n"),
+                    6,
+                ).alias("m")
+            )
             .groupBy("cluster")
             .agg(
                 F.transform(

@@ -322,16 +322,27 @@ WITH m AS (
     SELECT doc_id, {_N_BYTES_SQL} AS n_bytes FROM documents
 )
 SELECT doc_id,
-       [round(('0x' || substr(md5(doc_id::VARCHAR || ':' || j::VARCHAR || ':' || n_bytes::VARCHAR), 1, 8))::BIGINT / 4294967295.0, 6)
-        FOR j IN generate_series(0, {FEATURE_DIM - 1})] AS feature
+       array_to_string(
+           [printf('%.6f', round(('0x' || substr(md5(doc_id::VARCHAR || ':' || j::VARCHAR || ':' || n_bytes::VARCHAR), 1, 8))::BIGINT / 4294967295.0, 6))
+            FOR j IN generate_series(0, {FEATURE_DIM - 1})], ',') AS feature
 FROM m
 ORDER BY doc_id
 """,
 )
 def q56_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """decode -> fake embedding extraction (array<double> per item)."""
+    """decode -> fake embedding extraction. The pipeline keeps the
+    array<double> (extract_features); the QUERY projection fixes each
+    element with %.6f and comma-joins — the driver's pandas hasher
+    cannot canonicalize array cells (see q65 in CORRECTNESS_r01)."""
     d = load_table(spark, sf_dir, "documents")
-    return extract_features(decode_media(with_media_payload(d))).orderBy("doc_id")
+    feats = extract_features(decode_media(with_media_payload(d)))
+    return feats.select(
+        "doc_id",
+        F.concat_ws(
+            ",",
+            F.transform("feature", lambda x: F.format_string("%.6f", x)),
+        ).alias("feature"),
+    ).orderBy("doc_id")
 
 
 # ------------------------------------- perceptual-hash near-dup (pHash)

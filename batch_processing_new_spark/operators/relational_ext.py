@@ -438,7 +438,7 @@ WITH t AS (
 )
 SELECT doc_id,
        len(list_filter(toks, x -> length(x) > 4))                    AS n_long,
-       list_transform(toks[1:3], x -> upper(x))                      AS first3_upper,
+       array_to_string(list_transform(toks[1:3], x -> upper(x)), ',') AS first3_upper,
        list_reduce(list_transform(toks, x -> length(x)),
                    (a, b) -> a + b)                                  AS total_chars,
        array_to_string(list_reverse_sort(list_distinct(toks))[1:2], ',') AS top2_rev
@@ -456,9 +456,12 @@ def q65_higher_order_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(
         "doc_id",
         F.size(F.filter(toks, lambda x: F.length(x) > 4)).alias("n_long"),
-        F.transform(F.slice(toks, 1, 3), lambda x: F.upper(x)).alias(
-            "first3_upper"
-        ),
+        # Stringified (not array<string>): the driver canonicalizer
+        # sorts/hashes with pandas, which cannot hash list cells
+        # (CORRECTNESS_r01 q65 TypeError) — same pattern as top2_rev.
+        F.concat_ws(
+            ",", F.transform(F.slice(toks, 1, 3), lambda x: F.upper(x))
+        ).alias("first3_upper"),
         F.aggregate(
             F.transform(toks, lambda x: F.length(x).cast("long")),
             F.lit(0).cast("long"),

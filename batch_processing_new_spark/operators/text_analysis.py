@@ -344,9 +344,18 @@ def q60_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------- unigram language-model score
 
+# Vocabulary cap: only the top-K terms (by count, ties by token) keep
+# their own probability; everything else scores as a single UNK whose
+# mass is the summed count of all truncated terms. K is chosen BELOW
+# the fixture vocabulary (~30 types) so the cap binds at verify scale
+# and the oracle checks the truncation semantics, not just the happy
+# path; a production run raises K (e.g. 1<<20) — the collect stays
+# bounded at K rows either way, never the full corpus vocabulary.
+VOCAB_TOPK = 24
+
 @query(
     "q99_unigram_logprob",
-    oracle="""
+    oracle=f"""
 WITH tok AS (
     SELECT doc_id, unnest(string_split(trim(text), ' ')) AS t
     FROM documents
@@ -357,9 +366,17 @@ lm AS (
 tot AS (
     SELECT sum(c) AS n FROM lm
 ),
+topk AS (
+    SELECT t, c FROM lm ORDER BY c DESC, t LIMIT {VOCAB_TOPK}
+),
+unk AS (
+    SELECT (SELECT n FROM tot) - sum(c) AS uc FROM topk
+),
 scored AS (
-    SELECT doc_id, -ln(c * 1.0 / n) AS nlp
-    FROM tok JOIN lm USING (t), tot
+    SELECT doc_id,
+           coalesce(-ln(k.c * 1.0 / tot.n),
+                    -ln(unk.uc * 1.0 / tot.n)) AS nlp
+    FROM tok LEFT JOIN topk k USING (t), tot, unk
 )
 SELECT doc_id,
        count(*)           AS n_tokens,
@@ -375,32 +392,48 @@ def q99_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     probability — the CCNet/perplexity-filter shape (docs far from the
     corpus distribution score high and get filtered or down-weighted).
 
-    Training is one map-side-combined token count (the LM is
-    vocab-sized — it IS the model, so collecting it to the driver is
-    the k-means-centroids pattern, not a data collect). Scoring then
-    folds a literal token->nlp MAP over each document's token array —
-    entirely inside the scan stage, ZERO scoring shuffle. The previous
-    shape (broadcast join against exploded tokens + groupBy(doc_id))
-    re-shuffled one row per token occurrence: ~1.7 MiB at sf0.1 and
-    O(corpus tokens) at scale; measured 1.39 s -> 0.24 s, identical
-    values. A real deployment truncates the vocab to top-K + an UNK
-    entry, which only shrinks the map.
+    Training is one map-side-combined token count, truncated to the
+    VOCAB_TOPK most frequent terms plus an UNK entry carrying the
+    truncated tail's total mass — the CCNet-style vocabulary cap. The
+    model collected to the driver is therefore BOUNDED at K rows (the
+    k-means-centroids pattern), never the full corpus vocabulary: at
+    100 TB the vocab is tens of millions of types and an uncapped
+    collect is a driver OOM plus a plan-size explosion. Scoring folds
+    a literal token->nlp MAP (K entries) over each document's token
+    array with UNK fallback — entirely inside the scan stage, ZERO
+    scoring shuffle. The previous shape (broadcast join against
+    exploded tokens + groupBy(doc_id)) re-shuffled one row per token
+    occurrence: ~1.7 MiB at sf0.1 and O(corpus tokens) at scale;
+    measured 1.39 s -> 0.24 s, identical values.
     """
     d = load_table(spark, sf_dir, "documents")
     tok = fan_out(d.select("text")).select(
         F.explode(tokens(F.col("text"))).alias("t")
     )
     lm = tok.groupBy("t").agg(F.count("*").alias("c"))
-    total = lm.agg(F.sum("c").alias("n"))
-    lmp = lm.crossJoin(F.broadcast(total)).select(
-        "t", (-F.log(F.col("c") / F.col("n"))).alias("nlp")
-    )
+    # bounded collects: K (token, count) rows + one total row
+    top = lm.orderBy(F.desc("c"), "t").limit(VOCAB_TOPK).collect()
+    n_total = lm.agg(F.sum("c").alias("n")).collect()[0].n
+    unk_count = n_total - sum(r.c for r in top)
+    import math
+
     nlp_map = F.create_map(
-        *[F.lit(x) for r in lmp.collect() for x in (r.t, r.nlp)]
+        *[
+            F.lit(x)
+            for r in top
+            for x in (r.t, -math.log(r.c / n_total))
+        ]
+    )
+    unk_nlp = (
+        F.lit(-math.log(unk_count / n_total))
+        if unk_count > 0
+        else F.lit(None).cast("double")
     )
     toks = tokens(F.col("text"))
     nlp_sum = F.aggregate(
-        F.transform(toks, lambda t: F.element_at(nlp_map, t)),
+        F.transform(
+            toks, lambda t: F.coalesce(F.element_at(nlp_map, t), unk_nlp)
+        ),
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
@@ -537,7 +570,7 @@ WITH t AS (
 )
 SELECT term,
        count(*) AS df,
-       list(doc_id ORDER BY doc_id) AS postings
+       array_to_string(list(doc_id ORDER BY doc_id), ',') AS postings
 FROM t
 GROUP BY term
 ORDER BY term
@@ -564,7 +597,10 @@ def q110_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         t.groupBy("term")
         .agg(
             F.count(F.lit(1)).alias("df"),
-            F.array_sort(F.collect_list("doc_id")).alias("postings"),
+            # stringified: driver hasher can't canonicalize array cells
+            F.concat_ws(
+                ",", F.array_sort(F.collect_list("doc_id"))
+            ).alias("postings"),
         )
         .orderBy("term")
     )
@@ -723,7 +759,10 @@ def q127_byte_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     return (
-        fan_out(d.select("doc_id", "text"))
+        # Empty documents are dropped BEFORE the kernel: the oracle's
+        # unnest(range(1, length+1)) emits no rows for length 0, and an
+        # unguarded bincount/len(b) would divide by zero on them.
+        fan_out(d.select("doc_id", "text").where(F.length("text") > 0))
         .mapInArrow(run, schema="doc_id bigint, n_bytes int, entropy_bits double")
         .orderBy("doc_id")
     )

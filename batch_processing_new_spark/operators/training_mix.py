@@ -397,21 +397,65 @@ def q112_seeded_shuffle_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
     already made about old rows' relative order.
 
     Scale shape: the global ``row_number`` is a range-partitioned sort
-    on the 60-bit hash — uniformly distributed keys, so the range
-    partitioner is balanced by construction. Round-robin ``pos % N``
-    makes shard sizes exactly equal (±1); writing then partitions by
-    ``shard``. If exact equality is not required, ``hash % N`` alone
-    drops the sort entirely (shard sizes ~Poisson) — that variant is
-    the zero-shuffle path for 100 TB incremental appends.
+    on the 60-bit hash (uniform keys -> balanced ranges) followed by
+    the two-pass zipWithIndex pattern: count rows per sorted partition
+    (one tiny collect of P longs), prefix-sum the offsets on the
+    driver, then add ``offset[pid] + local_index`` in a narrow Arrow
+    pass. NO single-partition global window anywhere — every stage is
+    P-way parallel, so the plan survives 100 TB. Round-robin
+    ``pos % N`` makes shard sizes exactly equal (±1); writing then
+    partitions by ``shard``. If exact equality is not required,
+    ``hash % N`` alone drops the sort entirely (shard sizes ~Poisson)
+    — that variant is the zero-shuffle path for incremental appends.
+
+    The result is partitioning-independent: sortWithinPartitions over
+    ordered range partitions IS the total (h, doc_id) order, wherever
+    the range boundaries happen to fall.
     """
-    from pyspark.sql import Window
+    import numpy as np
+
+    from batch_processing_new_spark.shipping import ensure_package_on_executors
+
+    ensure_package_on_executors(spark)
 
     d = load_table(spark, sf_dir, "documents")
     h = hash60(F.concat(F.lit("shuffle:"), F.col("doc_id").cast("string")))
-    w = Window.orderBy(h.alias("h"), "doc_id")
-    pos = F.row_number().over(w) - 1
-    return (
-        d.select("doc_id", "source", pos.alias("pos"))
-        .withColumn("shard", F.col("pos") % N_SHARDS)
-        .orderBy("pos")
+    n_part = max(spark.sparkContext.defaultParallelism, N_SHARDS)
+    part = (
+        d.select("doc_id", "source", h.alias("h"))
+        .repartitionByRange(n_part, "h", "doc_id")
+        .sortWithinPartitions("h", "doc_id")
+        .withColumn("pid", F.spark_partition_id())
+        # pin the partitioning so the count pass and the assign pass
+        # see identical pids/row order
+        .localCheckpoint(eager=False)
     )
+    counts = {
+        r.pid: r.n
+        for r in part.groupBy("pid").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    offsets, acc = {}, 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+
+    def assign(batches):
+        seen = 0
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            base = offsets[int(pdf["pid"].iloc[0])]
+            pos = base + seen + np.arange(len(pdf), dtype=np.int64)
+            seen += len(pdf)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "source": pdf["source"],
+                    "pos": pos,
+                    "shard": pos % N_SHARDS,
+                }
+            )
+
+    return part.mapInPandas(
+        assign, schema="doc_id bigint, source string, pos bigint, shard bigint"
+    ).orderBy("pos")

@@ -28,3 +28,27 @@ def test_rows_only_runs(spark, name):
     sdf = spec.fn(spark, SF_CORRECT)
     assert sdf.count() >= 0
     assert len(sdf.schema.fields) > 0
+
+
+@pytest.mark.parametrize("name", ORACLE_NAMES)
+def test_oracle_output_is_driver_hashable(spark, name):
+    """The driver canonicalizer sorts/hashes result cells with pandas,
+    which cannot hash list/dict cells (CORRECTNESS_r01 q65 failed with
+    `TypeError: unhashable type: 'list'` on an array<string> column).
+    Every oracle-backed query must therefore project complex types
+    through concat_ws/to_json before returning."""
+    from pyspark.sql import types as T
+
+    from tests.conftest import SF_SMOKE
+
+    sdf = SPECS[name].fn(spark, SF_SMOKE)
+    bad = [
+        f.name
+        for f in sdf.schema.fields
+        if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType))
+    ]
+    assert not bad, (
+        f"{name} returns complex-typed columns {bad}; the driver's "
+        "pandas hasher cannot canonicalize them — stringify on both "
+        "the Spark and the DuckDB side"
+    )
