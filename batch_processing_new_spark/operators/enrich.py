@@ -44,6 +44,10 @@ from pyspark.sql import functions as F
 
 SENTINEL = "Error: Unable to process"  # exact string, reference test.py:80
 
+# Driver-side progress accumulators pinned for session lifetime (see
+# comment at the accumulator() call in enrich()).
+_LIVE_ACCUMULATORS: list = []
+
 RESULT_FIELDS = (
     "response string, error string, attempts int, latency_ms double"
 )
@@ -206,6 +210,14 @@ def enrich(
         ]
     )
     acc = df.sparkSession.sparkContext.accumulator(0)  # progress (test.py:97-101)
+    # Pin the driver-side Accumulator for session lifetime: when the
+    # enriched DataFrame is GC'd, Accumulator.__del__ deregisters the id,
+    # and any late JVM-side update flush (worker reuse / straggler task
+    # completion during the NEXT query) then logs a noisy
+    # "attempted to access non-existent accumulator" DAGScheduler error
+    # (seen in BENCH_r01.json's tail between q30 and q37). One int per
+    # enrich() call — bounded, never data-sized.
+    _LIVE_ACCUMULATORS.append(acc)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -410,7 +410,14 @@ def q99_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = fan_out(d.select("text")).select(
         F.explode(tokens(F.col("text"))).alias("t")
     )
-    lm = tok.groupBy("t").agg(F.count("*").alias("c"))
+    # vocab-sized counts materialized ONCE (two consumers: top-K and
+    # the total) — without the checkpoint both collects re-tokenize the
+    # whole corpus
+    lm = (
+        tok.groupBy("t")
+        .agg(F.count("*").alias("c"))
+        .localCheckpoint(eager=False)
+    )
     # bounded collects: K (token, count) rows + one total row
     top = lm.orderBy(F.desc("c"), "t").limit(VOCAB_TOPK).collect()
     n_total = lm.agg(F.sum("c").alias("n")).collect()[0].n
