@@ -95,10 +95,29 @@ def mock_response(prompt: str) -> str:
     return "resp::" + hashlib.md5(prompt.encode("utf-8")).hexdigest()[:8]
 
 
+class MalformedResponseError(Exception):
+    """A 2xx response whose body isn't the expected chat-completions
+    shape (JSON parse failure or missing choices/message/content keys).
+
+    The reference treats this class of failure as NON-retryable: its
+    inner ``try`` around response parsing returns the sentinel
+    immediately (test.py:71-74), while only transport-level failures
+    fall through to the blanket retry loop (test.py:105-107). A server
+    that answers 200 with garbage will answer 200 with garbage seven
+    times — retrying burns quota for nothing.
+    """
+
+
 async def _call_with_retries(
     transport: Callable, prompt: str, cfg: EnrichConfig, sem: asyncio.Semaphore
 ) -> tuple[str, str | None, int, float]:
-    """Retry x N with exponential backoff; degrade to sentinel (test.py:66-80)."""
+    """Retry x N with exponential backoff; degrade to sentinel (test.py:66-80).
+
+    Error asymmetry (test.py:71-74 vs test.py:105-107): transport
+    failures (connection, HTTP >= 400, timeout) retry up to
+    ``cfg.retries`` times; a MalformedResponseError — delivered 200 but
+    unparseable — skips all remaining retries and degrades immediately.
+    """
     t0 = time.monotonic()
     delay = cfg.base_delay
     last_err: str | None = None
@@ -107,6 +126,9 @@ async def _call_with_retries(
             async with sem:
                 resp = await asyncio.wait_for(transport(prompt), timeout=cfg.timeout)
             return resp, None, attempt, (time.monotonic() - t0) * 1000.0
+        except MalformedResponseError as exc:
+            last_err = f"{type(exc).__name__}: {exc}"
+            return SENTINEL, last_err, attempt, (time.monotonic() - t0) * 1000.0
         except Exception as exc:  # noqa: BLE001 — any failure degrades, never aborts
             last_err = f"{type(exc).__name__}: {exc}"
             if attempt < cfg.retries:
@@ -132,12 +154,22 @@ def _make_transport(cfg: EnrichConfig) -> Callable:
 
     if cfg.transport == "http":
         # Real chat-completions REST transport (reference test.py:58-74).
-        # Gated import: aiohttp/httpx may be absent in the test image.
+        # stdlib urllib (aiohttp/httpx may be absent in the image), made
+        # non-blocking by a DEDICATED thread pool sized to the
+        # concurrency cap: asyncio.to_thread shares the loop's default
+        # executor (~32 threads), which would silently throttle a
+        # 200-in-flight topology to ~32 — the semaphore must be the only
+        # concurrency limiter, so the pool matches it.
         import json
         import os
         import urllib.request
+        from concurrent.futures import ThreadPoolExecutor
 
         api_key = os.environ.get(cfg.api_key_env, "")
+        executor = ThreadPoolExecutor(
+            max_workers=max(cfg.concurrency, 1),
+            thread_name_prefix="enrich-http",
+        )
 
         async def http_transport(prompt: str) -> str:
             def blocking_call() -> str:
@@ -157,12 +189,30 @@ def _make_transport(cfg: EnrichConfig) -> Callable:
                         "Authorization": f"Bearer {api_key}",
                     },
                 )
+                # transport-level failures (connect refused, HTTP >= 400,
+                # socket timeout) raise URLError/HTTPError/OSError here
+                # and RETRY; a delivered-but-unparseable 200 raises
+                # MalformedResponseError below and does NOT (test.py:71-74)
                 with urllib.request.urlopen(req, timeout=cfg.timeout) as r:
-                    payload = json.loads(r.read())
-                return payload["choices"][0]["message"]["content"].strip()
+                    raw = r.read()
+                try:
+                    payload = json.loads(raw)
+                    return payload["choices"][0]["message"]["content"].strip()
+                except (
+                    json.JSONDecodeError,
+                    KeyError,
+                    IndexError,
+                    TypeError,
+                    AttributeError,
+                ) as exc:
+                    raise MalformedResponseError(
+                        f"{type(exc).__name__}: {exc}"
+                    ) from exc
 
-            return await asyncio.to_thread(blocking_call)
+            loop = asyncio.get_running_loop()
+            return await loop.run_in_executor(executor, blocking_call)
 
+        http_transport._executor = executor
         return http_transport
 
     raise ValueError(f"unknown transport: {cfg.transport}")
@@ -172,11 +222,16 @@ async def _enrich_series(texts: list[str], cfg: EnrichConfig) -> list[tuple]:
     transport = _make_transport(cfg)
     sem = asyncio.Semaphore(cfg.concurrency)
     prompts = [build_prompt(cfg.system_prompt, t) for t in texts]
-    return list(
-        await asyncio.gather(
-            *(_call_with_retries(transport, p, cfg, sem) for p in prompts)
+    try:
+        return list(
+            await asyncio.gather(
+                *(_call_with_retries(transport, p, cfg, sem) for p in prompts)
+            )
         )
-    )
+    finally:
+        ex = getattr(transport, "_executor", None)
+        if ex is not None:
+            ex.shutdown(wait=False)
 
 
 def enrich(

@@ -29,6 +29,7 @@ from batch_processing_new_spark.operators.enrich import (
 )
 from batch_processing_new_spark.sinks.writers import write_single_csv
 from batch_processing_new_spark.sources.readers import read_csv, with_ingest_row_id
+from batch_processing_new_spark.sources.storage import apply_s3a_conf, map_url
 
 ROW_ID = "_row_id"
 
@@ -93,7 +94,15 @@ def run_enrichment_pipeline(
         }
     )
 
-    raw = df if df is not None else read_csv(spark, spec.file_url)
+    if df is not None:
+        raw = df
+    else:
+        # Reference addressing parity (test.py:170): file_url may be a
+        # presigned/virtual-hosted/path-style S3 HTTPS URL or an
+        # s3://... URI — map to s3a:// + fs.s3a.* conf; local paths
+        # pass through untouched (sources/storage.py).
+        src = map_url(spec.file_url)
+        raw = read_csv(spark, apply_s3a_conf(spark, src))
     input_col = raw.columns[spec.column_index]  # positional (test.py:151,86)
 
     with_id = with_ingest_row_id(raw, ROW_ID)
@@ -113,9 +122,26 @@ def run_enrichment_pipeline(
     try:
         ordered = out.orderBy(ROW_ID)
 
-        output_path = write_single_csv(
-            ordered.drop(ROW_ID), f"{output_dir}/{spec.file_name}_final.csv"
-        )
+        dest = map_url(output_dir)
+        if dest.scheme == "s3a":
+            # object-store sink (reference put_object + public-read ACL,
+            # test.py:248-253): write the single part directly under the
+            # destination prefix — no local rename is possible on S3, and
+            # the ACL maps to the s3a canned-ACL conf
+            out_path = f"{apply_s3a_conf(spark, dest, public_read=True)}/{spec.file_name}_final.csv"
+            (
+                ordered.drop(ROW_ID)
+                .coalesce(1)
+                .write.mode("overwrite")
+                .option("header", "true")
+                .option("emptyValue", "")
+                .csv(out_path)
+            )
+            output_path = out_path
+        else:
+            output_path = write_single_csv(
+                ordered.drop(ROW_ID), f"{output_dir}/{spec.file_name}_final.csv"
+            )
         row_count = out.count()
 
         # op 13: error aggregation — filter + count + collect of 1-based
