@@ -56,6 +56,7 @@ _QUERY_MODULES = [
     "batch_processing_new_spark.operators.clustering",
     "batch_processing_new_spark.plans.corpus_pipeline",
     "batch_processing_new_spark.sources.excel",
+    "batch_processing_new_spark.sources.scraped",
     "batch_processing_new_spark.sources.pydatasource",
     "batch_processing_new_spark.sources.kafka_shim",
     "batch_processing_new_spark.streaming.stream_queries",
