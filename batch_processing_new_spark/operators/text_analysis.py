@@ -10,6 +10,7 @@ has a full DuckDB oracle.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -857,3 +858,68 @@ def winnow_fingerprints(
         .select("doc_id", "fp")
         .distinct()
     )
+
+
+# ------------------------------- Unicode normalization (NFC)
+
+# Deterministic mixed-normalization suffix appended to every fixture
+# document so the op is non-vacuous on the ASCII corpus: a precomposed
+# e-acute, a DECOMPOSED e + combining acute (different bytes, same NFC
+# form), and an fi ligature (NFC-stable, NFKC-decomposable).
+_NFC_MIX = " café café ﬁne"
+
+
+@query(
+    "q138_unicode_nfc",
+    oracle=f"""
+WITH s AS (
+    SELECT doc_id, trim(text) || '{_NFC_MIX}' AS raw FROM documents
+)
+SELECT doc_id,
+       nfc_normalize(raw)                 AS text_nfc,
+       length(raw)                        AS n_raw,
+       length(nfc_normalize(raw))         AS n_nfc,
+       raw != nfc_normalize(raw)          AS changed
+FROM s
+ORDER BY doc_id
+""",
+)
+def q138_unicode_nfc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode NFC normalization — the first step of every real text
+    pipeline (web text mixes precomposed and combining-mark forms of
+    the same grapheme; unnormalized corpora split token statistics and
+    dedup keys across byte-distinct equal strings).
+
+    Spark has no built-in normalizer, so this is a vectorized
+    pandas_udf over ``unicodedata.normalize`` (Arrow-batched, no
+    shuffle — the column never leaves the scan stage). The oracle is
+    DuckDB's independent ICU-side ``nfc_normalize`` over the same
+    mixed-form strings, so the two implementations cross-check: the
+    decomposed e+U+0301 must collapse to the precomposed form (length
+    shrinks by one per occurrence) and the fi ligature must survive
+    (NFC, unlike NFKC, preserves compatibility characters).
+    """
+    import unicodedata
+
+    from pyspark.sql.functions import pandas_udf
+
+    from batch_processing_new_spark.shipping import ensure_package_on_executors
+
+    ensure_package_on_executors(spark)
+
+    @pandas_udf("string")
+    def nfc(s: pd.Series) -> pd.Series:
+        return s.map(lambda x: unicodedata.normalize("NFC", x))
+
+    d = load_table(spark, sf_dir, "documents")
+    raw = F.concat(F.trim(F.col("text")), F.lit(_NFC_MIX))
+    out = fan_out(d.select("doc_id", raw.alias("raw"))).select(
+        "doc_id", "raw", nfc("raw").alias("text_nfc")
+    )
+    return out.select(
+        "doc_id",
+        "text_nfc",
+        F.length("raw").alias("n_raw"),
+        F.length("text_nfc").alias("n_nfc"),
+        (F.col("raw") != F.col("text_nfc")).alias("changed"),
+    ).orderBy("doc_id")

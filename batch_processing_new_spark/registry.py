@@ -52,6 +52,7 @@ _QUERY_MODULES = [
     "batch_processing_new_spark.operators.training_mix",
     "batch_processing_new_spark.operators.udtf_ops",
     "batch_processing_new_spark.operators.scale",
+    "batch_processing_new_spark.operators.web_prep",
     "batch_processing_new_spark.operators.graph",
     "batch_processing_new_spark.operators.clustering",
     "batch_processing_new_spark.plans.corpus_pipeline",
