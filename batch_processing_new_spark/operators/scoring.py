@@ -1,0 +1,246 @@
+"""Relevance and model-based scoring over the corpus: BM25 retrieval
+and hashed-feature linear-classifier inference.
+
+Two ops every training-data pipeline runs at scale:
+
+- **BM25 top-k** (the Robertson/Sparck-Jones ranking function, Lucene
+  variant): retrieval over the corpus for a term query — the engine
+  side of hard-negative mining, dedup-candidate retrieval, and
+  eval-set construction. Statistics (df, avgdl) are corpus aggregates;
+  everything joins back broadcast, so the corpus scans once.
+- **Quality-classifier inference** (fastText/logreg shape): hashed
+  bag-of-words features dotted with a broadcast weight vector and
+  squashed through a sigmoid. The weight vector is the MODEL — tiny
+  next to the corpus — so inference is a ZERO-shuffle scan-stage fold,
+  the same literal-map trick as q99's LM scoring. Weights here are
+  md5-derived (deterministic fake, exactly like the multimodal
+  pseudo-codec); a trained model swaps in real floats and nothing else
+  changes.
+
+North-Star surface (SURVEY.md §2B text analysis / similarity search;
+the reference's product framing stops at per-row LLM enrichment —
+retrieval and model scoring are the declared 100 TB extension). Both
+queries carry exact DuckDB oracles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from batch_processing_new_spark.registry import query
+from batch_processing_new_spark.functions.text_funcs import (
+    hash60,
+    hash60_sql,
+    tokens,
+)
+from batch_processing_new_spark.sources.readers import fan_out, load_table
+
+# ------------------------------------------------------------- BM25
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOPK = 20
+#: fixture-vocabulary query terms (the query is an input, not a dial)
+BM25_QUERY = ("data", "table", "row")
+
+_Q_SQL = "(" + ", ".join(f"'{t}'" for t in BM25_QUERY) + ")"
+
+
+@query(
+    "q141_bm25_topk",
+    oracle=f"""
+WITH tok AS (
+    SELECT doc_id, unnest(string_split(trim(text), ' ')) AS t
+    FROM documents
+),
+dl AS (
+    SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id
+),
+stats AS (
+    SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl
+),
+tf AS (
+    SELECT doc_id, t, count(*) AS tf FROM tok WHERE t IN {_Q_SQL}
+    GROUP BY doc_id, t
+),
+df AS (
+    SELECT t, count(DISTINCT doc_id) AS df FROM tok WHERE t IN {_Q_SQL}
+    GROUP BY t
+),
+scored AS (
+    SELECT tf.doc_id,
+           sum(
+             ln((stats.n_docs - df.df + 0.5) / (df.df + 0.5) + 1)
+             * tf.tf * ({BM25_K1} + 1)
+             / (tf.tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * dl.dl / stats.avgdl))
+           ) AS score
+    FROM tf
+    JOIN df USING (t)
+    JOIN dl USING (doc_id), stats
+    GROUP BY tf.doc_id
+),
+ranked AS (
+    SELECT doc_id, round(score, 6) AS score,
+           row_number() OVER (ORDER BY round(score, 6) DESC, doc_id) AS rank
+    FROM scored
+)
+SELECT rank, doc_id, score FROM ranked WHERE rank <= {BM25_TOPK}
+ORDER BY rank
+""",
+)
+def q141_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 retrieval: top-{BM25_TOPK} documents for the query terms
+    {BM25_QUERY} under the Lucene BM25 formula (k1={BM25_K1},
+    b={BM25_B}).
+
+    Scale shape: the only corpus-sized shuffle is the per-doc length
+    aggregation (map-side combined counts). Query-term tf rows are
+    filtered BEFORE the explode leaves the scan stage (``t IN query``
+    — |query| rows per doc, not |doc| rows), and df/avgdl/n_docs are
+    tiny aggregates joined back broadcast. The final top-k is a
+    single-partition sort over the already-scored candidate set (only
+    docs containing a query term), not the corpus. The deterministic
+    cut is (round(score,6) DESC, doc_id) so the top-k row SET is
+    engine-independent even under float-ordering ties.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    base = fan_out(d.select("doc_id", toks.alias("toks")))
+    dl = base.select("doc_id", F.size("toks").alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    q_terms = list(BM25_QUERY)
+    hits = base.select(
+        "doc_id",
+        F.explode(
+            F.filter(F.col("toks"), lambda x: x.isin(*q_terms))
+        ).alias("t"),
+    )
+    tf = hits.groupBy("doc_id", "t").agg(F.count(F.lit(1)).alias("tf"))
+    df = hits.groupBy("t").agg(F.countDistinct("doc_id").alias("df"))
+    scored = (
+        tf.join(F.broadcast(df), "t")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.log(
+                    (F.col("n_docs") - F.col("df") + 0.5)
+                    / (F.col("df") + 0.5)
+                    + 1
+                )
+                * F.col("tf")
+                * (BM25_K1 + 1)
+                / (
+                    F.col("tf")
+                    + BM25_K1
+                    * (1 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))
+                )
+            ).alias("score")
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.round("score", 6).desc(), "doc_id")
+    return (
+        scored.select(
+            F.row_number().over(w).alias("rank"),
+            "doc_id",
+            F.round("score", 6).alias("score"),
+        )
+        .where(F.col("rank") <= BM25_TOPK)
+        .orderBy("rank")
+    )
+
+
+# ----------------------------------- hashed linear classifier (logreg)
+
+CLS_DIM = 64     # hashed feature buckets
+CLS_BIAS = -2.0  # intercept; negative so the positive class is selective
+
+#: deterministic fake weight for bucket j in [-1, 1):
+#:   w_j = first-8-hex-digits(md5('w:' || j)) / 2^32 * 2 - 1
+_W_SQL = (
+    "(('0x' || substr(md5('w:' || j::VARCHAR), 1, 8))::BIGINT"
+    " / 4294967296.0) * 2 - 1"
+)
+
+
+def _weights(spark: SparkSession) -> list[float]:
+    """Driver-side twin of _W_SQL (CLS_DIM floats — the model)."""
+    import hashlib
+
+    out = []
+    for j in range(CLS_DIM):
+        h = hashlib.md5(f"w:{j}".encode()).hexdigest()
+        out.append(int(h[:8], 16) / 4294967296.0 * 2 - 1)
+    return out
+
+
+@query(
+    "q142_quality_classifier",
+    oracle=f"""
+WITH w AS (
+    SELECT j, {_W_SQL} AS w
+    FROM generate_series(0, {CLS_DIM - 1}) g(j)
+),
+tok AS (
+    SELECT doc_id, unnest(string_split(trim(text), ' ')) AS t
+    FROM documents
+),
+feat AS (
+    SELECT doc_id, {hash60_sql('t')} % {CLS_DIM} AS j, count(*) AS cnt
+    FROM tok GROUP BY doc_id, j
+),
+dotted AS (
+    SELECT f.doc_id, sum(f.cnt * w.w) AS dot
+    FROM feat f JOIN w USING (j) GROUP BY f.doc_id
+)
+SELECT doc_id,
+       round(1 / (1 + exp(-({CLS_BIAS} + dot))), 6) AS p_good,
+       CASE WHEN 1 / (1 + exp(-({CLS_BIAS} + dot))) > 0.5
+            THEN 1 ELSE 0 END                        AS keep
+FROM dotted
+ORDER BY doc_id
+""",
+)
+def q142_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filtering: hashed bag-of-words features
+    (hash60(token) % {CLS_DIM}) dotted with a broadcast weight vector,
+    sigmoid, threshold — the fastText/logistic-regression corpus
+    filter every modern pretraining pipeline runs after the heuristic
+    gates (q24) and before sampling (q98).
+
+    Scale shape: the model is {CLS_DIM} floats, so scoring folds a
+    LITERAL bucket->weight map over each document's token array inside
+    the scan stage — ZERO shuffle, no join, the q99 pattern. At real
+    model sizes (fastText: millions of buckets) the same plan holds
+    with the map swapped for a broadcast join against the weight
+    table; the threshold/sigmoid never changes.
+    """
+    weights = _weights(spark)
+    wmap = F.create_map(
+        *[F.lit(x) for j, w in enumerate(weights) for x in (j, float(w))]
+    )
+    toks = tokens(F.col("text"))
+    dot = F.aggregate(
+        F.transform(
+            toks, lambda t: F.element_at(wmap, (hash60(t) % CLS_DIM).cast("int"))
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    p = 1 / (1 + F.exp(-(F.lit(CLS_BIAS) + dot)))
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        fan_out(d.select("doc_id", "text"))
+        .select(
+            "doc_id",
+            F.round(p, 6).alias("p_good"),
+            F.when(p > 0.5, 1).otherwise(0).alias("keep"),
+        )
+        .orderBy("doc_id")
+    )
