@@ -392,6 +392,56 @@ def q84_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("c_custkey")
 
 
+# ------------------------------------------------ k-anonymity audit
+
+K_ANON = 5  # minimum group size over the quasi-identifier tuple
+
+
+@query(
+    "q143_k_anonymity",
+    oracle=f"""
+WITH g AS (
+    SELECT c_nationkey, c_mktsegment,
+           CAST(floor(c_acctbal / 2000) AS BIGINT) AS bal_band,
+           count(*) AS group_size
+    FROM customer
+    GROUP BY 1, 2, 3
+)
+SELECT c_nationkey, c_mktsegment, bal_band, group_size,
+       CASE WHEN group_size >= {K_ANON} THEN 1 ELSE 0 END AS meets_k
+FROM g
+ORDER BY c_nationkey, c_mktsegment, bal_band
+""",
+)
+def q143_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over a quasi-identifier tuple — the release
+    gate that pairs with q84's direct-identifier scrub: rows whose
+    (nation, segment, balance-band) group has fewer than {K_ANON}
+    members are re-identifiable by linkage and must be suppressed or
+    generalized before the table ships. Output is the per-group audit
+    (size + pass flag); the suppression step itself is a semi-join of
+    the source against the failing groups.
+
+    One map-side-combined aggregation on the QI tuple — the same
+    single-shuffle shape at any scale; banding (coarse quantization)
+    is what keeps the group count bounded when a continuous column
+    joins the QI set.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    g = c.groupBy(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 2000).alias("bal_band"),
+    ).agg(F.count(F.lit(1)).alias("group_size"))
+    return g.select(
+        "c_nationkey",
+        "c_mktsegment",
+        "bal_band",
+        "group_size",
+        F.when(F.col("group_size") >= K_ANON, 1).otherwise(0).alias("meets_k"),
+    ).orderBy("c_nationkey", "c_mktsegment", "bal_band")
+
+
 # ------------------------------------------------- column profiling
 
 _PROFILE_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]

@@ -749,3 +749,76 @@ def q111_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("canon_fp")
     )
+
+
+# ----------------------------------- incremental (batch-vs-history) dedup
+
+HIST_MOD = 10  # doc_id % HIST_MOD < HIST_KEEP -> "already-published" history
+HIST_KEEP = 8
+
+
+@query(
+    "q144_incremental_dedup",
+    oracle=f"""
+WITH hist AS (
+    SELECT DISTINCT md5(lower(trim(text))) AS fp
+    FROM documents WHERE doc_id % {HIST_MOD} < {HIST_KEEP}
+),
+batch AS (
+    SELECT doc_id, md5(lower(trim(text))) AS fp
+    FROM documents WHERE doc_id % {HIST_MOD} >= {HIST_KEEP}
+),
+marked AS (
+    SELECT b.doc_id, b.fp,
+           (h.fp IS NOT NULL)                          AS dup_of_history,
+           row_number() OVER (PARTITION BY b.fp ORDER BY b.doc_id) AS rn
+    FROM batch b LEFT JOIN hist h USING (fp)
+)
+SELECT doc_id, fp,
+       dup_of_history,
+       rn > 1                                          AS dup_in_batch,
+       NOT dup_of_history AND rn = 1                   AS survives
+FROM marked
+ORDER BY doc_id
+""",
+)
+def q144_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup of a new arrival batch against published
+    history — the daily shape of every crawl pipeline: dedup is never
+    a one-shot global job at 100 TB; each day's slice dedups (a)
+    against the historical fingerprint index and (b) within itself,
+    WITHOUT rescanning history text.
+
+    Scale shape: history participates only as its DISTINCT fingerprint
+    column (16 bytes/doc — the index you'd keep published alongside the
+    corpus, reference put_object parity: sinks/versioned publish), so
+    the join shuffles fingerprints, never text. In-batch dedup is one
+    window over the (small) new slice. Fixture split: doc_id % {HIST_MOD}
+    >= {HIST_KEEP} is the arrival batch, the rest is history.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    fp = F.md5(F.lower(F.trim(F.col("text"))))
+    hist = (
+        d.where(F.col("doc_id") % HIST_MOD < HIST_KEEP)
+        .select(fp.alias("fp"))
+        .distinct()
+        .withColumn("in_hist", F.lit(True))
+    )
+    batch = d.where(F.col("doc_id") % HIST_MOD >= HIST_KEEP).select(
+        "doc_id", fp.alias("fp")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    marked = (
+        batch.join(hist, "fp", "left")
+        .withColumn("dup_of_history", F.coalesce(F.col("in_hist"), F.lit(False)))
+        .withColumn("rn", F.row_number().over(w))
+    )
+    return marked.select(
+        "doc_id",
+        "fp",
+        "dup_of_history",
+        (F.col("rn") > 1).alias("dup_in_batch"),
+        (~F.col("dup_of_history") & (F.col("rn") == 1)).alias("survives"),
+    ).orderBy("doc_id")
