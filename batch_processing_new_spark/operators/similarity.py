@@ -613,3 +613,66 @@ def q120_int8_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vec_id")
     )
+
+
+# ------------------------------------------- metadata-filtered ANN
+
+@query(
+    "q145_filtered_ann",
+    oracle=f"""
+WITH scored AS (
+    SELECT a.vec_id AS query_id,
+           b.vec_id AS neighbor_id,
+           round({_COS_SQL}, 6) AS cos_sim
+    FROM embeddings a, embeddings b
+    WHERE a.vec_id < {N_QUERIES}
+      AND b.vec_id <> a.vec_id
+      AND b.label % 2 = 0
+),
+ranked AS (
+    SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id
+    ) AS rank
+    FROM scored
+)
+SELECT query_id, neighbor_id, cos_sim, rank
+FROM ranked WHERE rank <= {TOPK}
+ORDER BY query_id, rank
+""",
+)
+def q145_filtered_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-filtered vector search: top-{TOPK} cosine neighbors
+    among corpus vectors satisfying a metadata predicate (label even —
+    standing in for any tenant/language/licence filter).
+
+    This is PRE-filtering, the correct side of the vector-search
+    pre/post-filter trade: the predicate is applied in the SCAN
+    (Catalyst pushes `label % 2 = 0`'s column scan + filter ahead of
+    the scoring join), so every scored candidate is eligible and the
+    result is exactly k rows whenever k survivors exist. Post-filtering
+    (rank first, filter after) silently returns FEWER than k under
+    selective predicates — the classic production vector-store bug.
+    At IVF/LSH scale the same predicate simply conjoins with the
+    cell/bucket equi-join (q42/q57); nothing else changes.
+    """
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), _f64("embedding").alias("qv")
+    )
+    c = fan_out(e.where(F.col("label") % 2 == 0)).select(
+        F.col("vec_id").alias("neighbor_id"), _f64("embedding").alias("cv")
+    )
+    scored = c.join(
+        F.broadcast(q), F.col("neighbor_id") != F.col("query_id")
+    ).withColumn("cos_sim", F.round(cosine(F.col("qv"), F.col("cv")), 6))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= TOPK)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+        .orderBy("query_id", "rank")
+    )
