@@ -144,16 +144,17 @@ def q141_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from pyspark.sql import Window
 
-    w = Window.orderBy(F.round("score", 6).desc(), "doc_id")
-    return (
-        scored.select(
-            F.row_number().over(w).alias("rank"),
-            "doc_id",
-            F.round("score", 6).alias("score"),
-        )
-        .where(F.col("rank") <= BM25_TOPK)
-        .orderBy("rank")
-    )
+    # global top-k via orderBy().limit() FIRST — Spark executes it as
+    # TakeOrdered (each partition contributes its local top-k, driver
+    # merges k rows), never a single-partition window over the full
+    # candidate set. The rank window then runs over k rows only.
+    topk = scored.select(
+        "doc_id", F.round("score", 6).alias("score")
+    ).orderBy(F.col("score").desc(), "doc_id").limit(BM25_TOPK)
+    w = Window.orderBy(F.col("score").desc(), "doc_id")
+    return topk.select(
+        F.row_number().over(w).alias("rank"), "doc_id", "score"
+    ).orderBy("rank")
 
 
 # ----------------------------------- hashed linear classifier (logreg)

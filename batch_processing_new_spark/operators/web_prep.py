@@ -220,14 +220,18 @@ def q140_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("idx", F.col("idx0") + 1)
         .drop("idx0")
     )
+    # all frequency bookkeeping is keyed on the 8-byte line HASH, never
+    # the line text — at 100 TB the DF aggregation and the join back
+    # shuffle hashes; text stays in the narrow lines relation
+    lines = lines.withColumn("line_h", F.xxhash64("line"))
     docs_per_source = lines.groupBy("source").agg(
         F.countDistinct("doc_id").alias("n_docs")
     )
-    line_df = lines.groupBy("source", "line").agg(
+    line_df = lines.groupBy("source", "line_h").agg(
         F.countDistinct("doc_id").alias("df")
     )
     flagged = (
-        lines.join(line_df, ["source", "line"])
+        lines.join(line_df, ["source", "line_h"])
         .join(F.broadcast(docs_per_source), "source")
         .withColumn(
             "is_boiler", (F.col("df") / F.col("n_docs")) > BOILER_FRAC
