@@ -1154,3 +1154,94 @@ def q133_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("partkey")
     )
+
+
+# ---------------------- sole-late-supplier escalation (Q21 shape)
+
+@query(
+    "q149_sole_late_supplier",
+    oracle="""
+WITH lo AS (
+    SELECT l.l_orderkey, l.l_suppkey,
+           max(CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+                    THEN 1 ELSE 0 END) AS has_late
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderstatus = 'F'
+    GROUP BY l.l_orderkey, l.l_suppkey
+),
+per_order AS (
+    SELECT l_orderkey,
+           count(*)      AS n_supp,
+           sum(has_late) AS n_late
+    FROM lo GROUP BY l_orderkey
+)
+SELECT s.s_name AS s_name,
+       lo.l_suppkey AS suppkey,
+       count(*) AS numwait
+FROM lo
+JOIN per_order p ON p.l_orderkey = lo.l_orderkey
+JOIN supplier s  ON s.s_suppkey = lo.l_suppkey
+WHERE lo.has_late = 1 AND p.n_supp >= 2 AND p.n_late = 1
+GROUP BY s_name, suppkey
+ORDER BY numwait DESC, suppkey
+LIMIT 20
+""",
+)
+def q149_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q21-shaped blame query: suppliers who were the ONLY late
+    shipper (l_shipdate > o_orderdate + 60 days) in finished ('F')
+    multi-supplier orders, ranked by how many such orders they held
+    up. Q21's reference SQL is EXISTS + NOT EXISTS self-joins on
+    lineitem — two extra passes over the fact table; this plan
+    decorrelates them into ONE aggregation: per (order, supplier)
+    late-flags, a per-order rollup counting suppliers and late
+    suppliers, then the qualifying filter (has_late AND n_supp >= 2
+    AND n_late = 1). The oracle states the same decorrelated form so
+    the semantics are pinned row-for-row.
+
+    Scale shape: the per-order rollup is a WINDOW over the already
+    aggregated (order, supplier) set, not a groupBy + self-join back —
+    the join formulation makes Spark recompute the aggregate on both
+    sides (two full fact-table scans, verified in the audited plan);
+    the window reuses one scan and moves only (orderkey, suppkey,
+    flag) rows through its exchange. Final top-20 is a TakeOrdered,
+    not a global sort; the supplier name hop broadcasts.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    o = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey", "o_orderdate")
+    lo = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(
+            F.max(
+                F.when(
+                    F.col("l_shipdate")
+                    > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"),
+                    1,
+                ).otherwise(0)
+            ).alias("has_late")
+        )
+    )
+    w = Window.partitionBy("l_orderkey")
+    s = load_table(spark, sf_dir, "supplier")
+    qual = (
+        lo.withColumn("n_supp", F.count("*").over(w))
+        .withColumn("n_late", F.sum("has_late").over(w))
+        .where(
+            (F.col("has_late") == 1)
+            & (F.col("n_supp") >= 2)
+            & (F.col("n_late") == 1)
+        )
+        .join(F.broadcast(s), lo["l_suppkey"] == s["s_suppkey"])
+    )
+    return (
+        qual.groupBy(F.col("s_name"), F.col("l_suppkey").alias("suppkey"))
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "suppkey")
+        .limit(20)
+    )

@@ -53,6 +53,8 @@ _QUERY_MODULES = [
     "batch_processing_new_spark.operators.udtf_ops",
     "batch_processing_new_spark.operators.scale",
     "batch_processing_new_spark.operators.web_prep",
+    "batch_processing_new_spark.operators.corpus_stats",
+    "batch_processing_new_spark.operators.layout",
     "batch_processing_new_spark.operators.scoring",
     "batch_processing_new_spark.operators.graph",
     "batch_processing_new_spark.operators.clustering",
