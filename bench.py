@@ -93,16 +93,29 @@ def main() -> None:
         if name not in specs:
             continue
         fn = specs[name].fn
-        # one untimed run first: whole-stage-codegen JIT of a query's
-        # generated code happens on its first execution and costs
-        # multiple seconds for wide expressions (hyperplane dots,
-        # minhash mixes) — a compiler cost, not a per-query cost on a
-        # long-lived cluster. Then best of 2: a single run is hostage
-        # to transient machine noise (page-cache misses, GC).
-        fn(spark, SF_DIR).count()
-        gc.collect()  # free the warm-up run's handles BEFORE timing (see below)
-        best, n = float("inf"), 0
+        # two untimed runs first: whole-stage-codegen JIT of a query's
+        # generated code happens on its first execution (multiple
+        # seconds for wide expressions — hyperplane dots, minhash
+        # mixes) and HotSpot only tiers the generated methods up to C2
+        # after further invocations (q37 measured 1.85 s on its second
+        # run decaying to 1.33 s by its eighth) — compiler costs, not
+        # per-query costs on a long-lived cluster. Then best of 3: a
+        # single run is hostage to transient machine noise (page-cache
+        # misses, GC) — the min is the reproducible figure.
         for _ in range(2):
+            fn(spark, SF_DIR).count()
+        # free the warm-up run's handles AND its localCheckpoint blocks
+        # BEFORE timing (see the boundary-GC comment below) — the
+        # warm-up run of a checkpoint-heavy query otherwise gets its
+        # blocks cleaned in the middle of that query's own timed runs
+        gc.collect()
+        try:
+            spark._jvm.System.gc()
+        except Exception:
+            pass
+        time.sleep(0.5)
+        best, n = float("inf"), 0
+        for _ in range(3):
             t0 = time.perf_counter()
             df = fn(spark, SF_DIR)
             n = df.count()
@@ -118,7 +131,20 @@ def main() -> None:
         # alarming "attempted to access non-existent accumulator" stack
         # trace into the bench tail (seen in BENCH_r01.json between q30
         # and q37; rc stayed 0 and all rows/timings were unaffected).
+        #
+        # Then force a JVM GC and let the ContextCleaner drain: the
+        # localCheckpoint blocks of checkpoint-heavy queries (q37's
+        # shingle arrays) are otherwise removed asynchronously DURING
+        # the next query's timed runs, and the block-manager removals
+        # steal 1.5-3 s from whichever query they land on (measured:
+        # q37/q42 traded a 3-4 s outlier across bench runs; with the
+        # boundary GC both sit at their isolated-run times).
         gc.collect()
+        try:
+            spark._jvm.System.gc()
+        except Exception:
+            pass
+        time.sleep(0.5)
 
     total = round(sum(timings.values()), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
