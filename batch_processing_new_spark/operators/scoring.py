@@ -47,10 +47,9 @@ BM25_QUERY = ("data", "table", "row")
 _Q_SQL = "(" + ", ".join(f"'{t}'" for t in BM25_QUERY) + ")"
 
 
-@query(
-    "q141_bm25_topk",
-    oracle=f"""
-WITH tok AS (
+#: shared CTE chain producing scored(doc_id, score) — q141's ranking
+#: and q151's lexical leg state the identical BM25 pipeline.
+_BM25_SCORED_CTE = f"""tok AS (
     SELECT doc_id, unnest(string_split(trim(text), ' ')) AS t
     FROM documents
 ),
@@ -79,7 +78,57 @@ scored AS (
     JOIN df USING (t)
     JOIN dl USING (doc_id), stats
     GROUP BY tf.doc_id
-),
+)"""
+
+
+def bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25-scored candidates: (doc_id, score), unrounded, one row per
+    document containing at least one query term. The Spark twin of
+    ``_BM25_SCORED_CTE`` — see q141's docstring for the plan shape."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    base = fan_out(d.select("doc_id", toks.alias("toks")))
+    dl = base.select("doc_id", F.size("toks").alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    q_terms = list(BM25_QUERY)
+    hits = base.select(
+        "doc_id",
+        F.explode(
+            F.filter(F.col("toks"), lambda x: x.isin(*q_terms))
+        ).alias("t"),
+    )
+    tf = hits.groupBy("doc_id", "t").agg(F.count(F.lit(1)).alias("tf"))
+    df = hits.groupBy("t").agg(F.countDistinct("doc_id").alias("df"))
+    return (
+        tf.join(F.broadcast(df), "t")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.log(
+                    (F.col("n_docs") - F.col("df") + 0.5)
+                    / (F.col("df") + 0.5)
+                    + 1
+                )
+                * F.col("tf")
+                * (BM25_K1 + 1)
+                / (
+                    F.col("tf")
+                    + BM25_K1
+                    * (1 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))
+                )
+            ).alias("score")
+        )
+    )
+
+
+@query(
+    "q141_bm25_topk",
+    oracle=f"""
+WITH {_BM25_SCORED_CTE},
 ranked AS (
     SELECT doc_id, round(score, 6) AS score,
            row_number() OVER (ORDER BY round(score, 6) DESC, doc_id) AS rank
@@ -104,44 +153,7 @@ def q141_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     cut is (round(score,6) DESC, doc_id) so the top-k row SET is
     engine-independent even under float-ordering ties.
     """
-    d = load_table(spark, sf_dir, "documents")
-    toks = tokens(F.col("text"))
-    base = fan_out(d.select("doc_id", toks.alias("toks")))
-    dl = base.select("doc_id", F.size("toks").alias("dl"))
-    stats = dl.agg(
-        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
-    )
-    q_terms = list(BM25_QUERY)
-    hits = base.select(
-        "doc_id",
-        F.explode(
-            F.filter(F.col("toks"), lambda x: x.isin(*q_terms))
-        ).alias("t"),
-    )
-    tf = hits.groupBy("doc_id", "t").agg(F.count(F.lit(1)).alias("tf"))
-    df = hits.groupBy("t").agg(F.countDistinct("doc_id").alias("df"))
-    scored = (
-        tf.join(F.broadcast(df), "t")
-        .join(dl, "doc_id")
-        .crossJoin(F.broadcast(stats))
-        .groupBy("doc_id")
-        .agg(
-            F.sum(
-                F.log(
-                    (F.col("n_docs") - F.col("df") + 0.5)
-                    / (F.col("df") + 0.5)
-                    + 1
-                )
-                * F.col("tf")
-                * (BM25_K1 + 1)
-                / (
-                    F.col("tf")
-                    + BM25_K1
-                    * (1 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))
-                )
-            ).alias("score")
-        )
-    )
+    scored = bm25_scored(spark, sf_dir)
     from pyspark.sql import Window
 
     # global top-k via orderBy().limit() FIRST — Spark executes it as
@@ -245,3 +257,148 @@ def q142_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ------------------------------------- hybrid retrieval (RRF fusion)
+
+RRF_K = 60        # the standard reciprocal-rank-fusion constant
+HYBRID_DEPTH = 50  # per-ranker candidate depth fed into the fusion
+HYBRID_TOPK = 20
+HYBRID_QVEC = 0    # query vector: the embedding of vec_id 0
+
+# cosine(query a, corpus b) in DuckDB (embeddings are FLOAT[64])
+_HY_COS_SQL = """
+    (SELECT sum(a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)
+     FROM generate_series(1, 64) g(i))
+    / (sqrt((SELECT sum(a.embedding[i]::DOUBLE * a.embedding[i]::DOUBLE)
+             FROM generate_series(1, 64) g(i)))
+       * sqrt((SELECT sum(b.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)
+               FROM generate_series(1, 64) g(i))))
+"""
+
+
+@query(
+    "q151_hybrid_rrf",
+    oracle=f"""
+WITH {_BM25_SCORED_CTE},
+lex AS (
+    SELECT doc_id, round(score, 6) AS score FROM scored
+    ORDER BY round(score, 6) DESC, doc_id LIMIT {HYBRID_DEPTH}
+),
+lexr AS (
+    SELECT doc_id,
+           row_number() OVER (ORDER BY score DESC, doc_id) AS bm25_rank
+    FROM lex
+),
+cos AS (
+    SELECT b.vec_id AS doc_id, round({_HY_COS_SQL}, 6) AS cos_sim
+    FROM embeddings b, embeddings a
+    WHERE a.vec_id = {HYBRID_QVEC}
+    ORDER BY round({_HY_COS_SQL}, 6) DESC, b.vec_id LIMIT {HYBRID_DEPTH}
+),
+cosr AS (
+    SELECT doc_id,
+           row_number() OVER (ORDER BY cos_sim DESC, doc_id) AS cos_rank
+    FROM cos
+),
+fused AS (
+    SELECT coalesce(l.doc_id, c.doc_id) AS doc_id,
+           l.bm25_rank, c.cos_rank,
+           round(coalesce(1.0 / ({RRF_K} + l.bm25_rank), 0)
+                 + coalesce(1.0 / ({RRF_K} + c.cos_rank), 0), 6) AS rrf_score
+    FROM lexr l FULL OUTER JOIN cosr c ON l.doc_id = c.doc_id
+),
+cut AS (
+    SELECT * FROM fused ORDER BY rrf_score DESC, doc_id LIMIT {HYBRID_TOPK}
+)
+SELECT row_number() OVER (ORDER BY rrf_score DESC, doc_id) AS rank,
+       doc_id, rrf_score, bm25_rank, cos_rank
+FROM cut
+ORDER BY rank
+""",
+)
+def q151_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval with reciprocal-rank fusion: the BM25 lexical
+    ranking (q141's pipeline, depth {HYBRID_DEPTH}) and a cosine
+    vector ranking against the embedding of vec_id {HYBRID_QVEC}
+    (depth {HYBRID_DEPTH}) are fused by rrf = sum 1/({RRF_K}+rank),
+    top-{HYBRID_TOPK} returned with both per-ranker ranks exposed
+    (NULL when a document appears in only one list). This is the
+    standard two-tower retrieval recipe (RRF is rank-only, so no
+    score-scale calibration between BM25 and cosine is needed).
+
+    Scale shape: each leg is its own proven plan — BM25's single
+    corpus shuffle (see q141) and the ANN broadcast scan (see q40;
+    the brute-force leg swaps for q42/q57's bucketed LSH/IVF at
+    corpus scale with nothing downstream changing). Both legs cut to
+    {HYBRID_DEPTH} rows via TakeOrdered BEFORE the fusion, so the
+    full-outer join and re-rank run on 2x{HYBRID_DEPTH} rows — the
+    fusion cost is independent of corpus size.
+    """
+    from pyspark.sql import Window
+
+    from batch_processing_new_spark.operators.similarity import (
+        _f64,
+        cosine,
+    )
+
+    # lexical leg: TakeOrdered cut, then rank the k survivors
+    lex = (
+        bm25_scored(spark, sf_dir)
+        .select("doc_id", F.round("score", 6).alias("score"))
+        .orderBy(F.col("score").desc(), "doc_id")
+        .limit(HYBRID_DEPTH)
+    )
+    lexr = lex.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.col("score").desc(), "doc_id"))
+        .alias("bm25_rank"),
+    )
+
+    # vector leg: broadcast the 1-row query vector against the corpus
+    e = load_table(spark, sf_dir, "embeddings")
+    qv = e.where(F.col("vec_id") == HYBRID_QVEC).select(
+        _f64("embedding").alias("qv")
+    )
+    cos = (
+        fan_out(e.select(F.col("vec_id").alias("doc_id"), "embedding"))
+        .crossJoin(F.broadcast(qv))
+        .select(
+            "doc_id",
+            F.round(cosine(F.col("qv"), _f64("embedding")), 6).alias(
+                "cos_sim"
+            ),
+        )
+        .orderBy(F.col("cos_sim").desc(), "doc_id")
+        .limit(HYBRID_DEPTH)
+    )
+    cosr = cos.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.col("cos_sim").desc(), "doc_id"))
+        .alias("cos_rank"),
+    )
+
+    fused = lexr.join(cosr, "doc_id", "full_outer").select(
+        "doc_id",
+        "bm25_rank",
+        "cos_rank",
+        F.round(
+            F.coalesce(1.0 / (RRF_K + F.col("bm25_rank")), F.lit(0.0))
+            + F.coalesce(1.0 / (RRF_K + F.col("cos_rank")), F.lit(0.0)),
+            6,
+        ).alias("rrf_score"),
+    )
+    cut = fused.orderBy(F.col("rrf_score").desc(), "doc_id").limit(
+        HYBRID_TOPK
+    )
+    return cut.select(
+        F.row_number()
+        .over(Window.orderBy(F.col("rrf_score").desc(), "doc_id"))
+        .alias("rank"),
+        "doc_id",
+        "rrf_score",
+        "bm25_rank",
+        "cos_rank",
+    ).orderBy("rank")

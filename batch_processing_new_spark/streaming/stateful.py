@@ -61,3 +61,127 @@ def running_user_stats(events_stream: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+# ---------------- Spark 4 transformWithStateInPandas (typed state)
+
+#: output: one row per user per micro-batch (update semantics)
+TWS_OUTPUT_SCHEMA = (
+    "user_id bigint, n_events bigint, total_value double, "
+    "n_types bigint, top_type string"
+)
+
+
+class UserTypeProfileProcessor:
+    """Per-user event-type profile via the Spark 4 StatefulProcessor
+    API (transformWithStateInPandas) — the successor to
+    applyInPandasWithState with TYPED state primitives instead of one
+    opaque tuple: a ValueState for the running (count, sum) and a
+    MapState keyed by event_type for per-type counts. The MapState is
+    the capability applyInPandasWithState can't express incrementally:
+    updating one type's count doesn't rewrite (or even read) the other
+    types' entries — at 100 TB of events that's the difference between
+    O(types-in-batch) and O(types-ever-seen) state I/O per user per
+    micro-batch.
+
+    Emits (user_id, n_events, total_value, n_types, top_type) per
+    micro-batch; top_type is the max-count type with alphabetical
+    tiebreak, so every emission is deterministic.
+
+    GATED CAPABILITY (same policy as the multimodal real codec,
+    operators/multimodal.py): Spark's transformWithState Python worker
+    speaks protobuf to the JVM state server, and ``google.protobuf`` is
+    broken in this image (ImportError at
+    pyspark/sql/streaming/proto/StateMessage_pb2.py:23; installs are
+    off-limits). The operator is therefore NOT a registry query — it
+    would fail even the rows-only driver check here — but the full
+    implementation + batch-equivalence test ship now and activate
+    unchanged on any standard Spark 4 cluster (protobuf is a stock
+    pyspark dependency). tests/test_streaming.py skips the test when
+    the protobuf import fails, q78 remains the driver-checked stateful
+    operator.
+    """
+
+    # subclassing StatefulProcessor happens lazily in build() so that
+    # importing this module never hard-requires the Spark 4 API.
+
+    @staticmethod
+    def build():
+        from pyspark.sql.streaming.stateful_processor import (
+            StatefulProcessor,
+            StatefulProcessorHandle,
+        )
+
+        class _Proc(StatefulProcessor):
+            def init(self, handle: StatefulProcessorHandle) -> None:
+                self.totals = handle.getValueState(
+                    "totals", "n bigint, total double"
+                )
+                self.type_counts = handle.getMapState(
+                    "type_counts", "event_type string", "n bigint"
+                )
+
+            def handleInputRows(self, key, rows, timerValues):
+                (user_id,) = key
+                n, total = (
+                    tuple(self.totals.get())
+                    if self.totals.exists()
+                    else (0, 0.0)
+                )
+                for pdf in rows:
+                    n += len(pdf)
+                    total += float(pdf["value"].sum())
+                    # touch ONLY the types present in this batch
+                    for etype, cnt in (
+                        pdf.groupby("event_type").size().items()
+                    ):
+                        prev = (
+                            self.type_counts.getValue((etype,))[0]
+                            if self.type_counts.containsKey((etype,))
+                            else 0
+                        )
+                        self.type_counts.updateValue(
+                            (etype,), (prev + int(cnt),)
+                        )
+                self.totals.update((n, total))
+                counts = {
+                    k[0]: v[0]
+                    for k, v in self.type_counts.iterator()
+                }
+                top = min(
+                    counts, key=lambda t: (-counts[t], t)
+                )
+                import pandas as pd  # executor-local import
+
+                yield pd.DataFrame(
+                    {
+                        "user_id": [user_id],
+                        "n_events": [n],
+                        "total_value": [total],
+                        "n_types": [len(counts)],
+                        "top_type": [top],
+                    }
+                )
+
+            def close(self) -> None:
+                pass
+
+        return _Proc()
+
+
+def user_type_profile(events_stream: DataFrame) -> DataFrame:
+    """Per-user type profile with typed state (Spark 4
+    transformWithStateInPandas)."""
+    from batch_processing_new_spark.shipping import ensure_package_on_executors
+
+    ensure_package_on_executors(events_stream.sparkSession)
+    return (
+        events_stream.select("user_id", "event_id", "event_type", "value")
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            UserTypeProfileProcessor.build(),
+            outputStructType=TWS_OUTPUT_SCHEMA,
+            outputMode="Update",
+            timeMode="None",
+        )
+    )

@@ -65,3 +65,42 @@ def test_classifier_keep_consistent_with_threshold(spark):
         assert r.keep == (1 if r.p_good > 0.5 else 0) or abs(
             r.p_good - 0.5
         ) < 1e-6
+
+
+# -------------------------------------------------- hybrid RRF fusion
+
+def test_hybrid_rrf_math_and_membership(spark):
+    """Every fused row's rrf_score equals the two-term reciprocal sum
+    of its exposed ranks, and every row carries at least one rank
+    (a doc in neither list can't appear)."""
+    from batch_processing_new_spark.operators.scoring import (
+        RRF_K,
+        q151_hybrid_rrf,
+    )
+    from tests.conftest import SF_CORRECT
+
+    rows = q151_hybrid_rrf(spark, SF_CORRECT).collect()
+    assert rows and rows[0].rank == 1
+    for r in rows:
+        assert r.bm25_rank is not None or r.cos_rank is not None
+        expect = 0.0
+        if r.bm25_rank is not None:
+            expect += 1.0 / (RRF_K + r.bm25_rank)
+        if r.cos_rank is not None:
+            expect += 1.0 / (RRF_K + r.cos_rank)
+        assert abs(r.rrf_score - round(expect, 6)) < 1e-9
+
+
+def test_hybrid_rrf_prefers_docs_in_both_lists(spark):
+    """A document ranked in BOTH legs must outscore one holding only a
+    deep single-leg rank — the property fusion exists for."""
+    from batch_processing_new_spark.operators.scoring import q151_hybrid_rrf
+    from tests.conftest import SF_CORRECT
+
+    rows = q151_hybrid_rrf(spark, SF_CORRECT).collect()
+    both = [r for r in rows if r.bm25_rank is not None and r.cos_rank is not None]
+    single = [r for r in rows if (r.bm25_rank is None) != (r.cos_rank is None)]
+    if both and single:
+        assert max(r.rrf_score for r in both) > min(
+            r.rrf_score for r in single
+        )

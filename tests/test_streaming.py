@@ -397,3 +397,56 @@ def test_stream_left_outer_join_equals_batch_on_closed_region(spark):
         assert batch[pid] == n
     # and zero-view purchases actually appear (the outer side is real)
     assert any(n == 0 for pid, n in stream.items() if pid in closed)
+
+
+def test_transform_with_state_converges_to_batch(spark):
+    """Spark 4 transformWithStateInPandas (typed ValueState + MapState):
+    the final emission per user must equal the batch groupBy truth.
+    Skipped where google.protobuf is unavailable (the Python state
+    server's wire protocol — see streaming/stateful.py gate note)."""
+    import pytest
+
+    pytest.importorskip("google.protobuf.descriptor")
+    from batch_processing_new_spark.streaming.stateful import user_type_profile
+
+    stream = read_events_stream(spark, SF_CORRECT)
+    updates = run_update_to_memory(user_type_profile(stream), "tws")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    final = (
+        updates.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("user_id", "n_events", "total_value", "n_types", "top_type")
+    )
+    got = {
+        r.user_id: (r.n_events, round(r.total_value, 4), r.n_types, r.top_type)
+        for r in final.collect()
+    }
+    e = load_table(spark, SF_CORRECT, "events")
+    top = (
+        e.groupBy("user_id", "event_type")
+        .count()
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("user_id").orderBy(
+                    F.col("count").desc(), "event_type"
+                )
+            ),
+        )
+        .where(F.col("rn") == 1)
+        .select("user_id", F.col("event_type").alias("top_type"))
+    )
+    exp = {
+        r.user_id: (r.n, round(r.tv, 4), r.nt, r.top_type)
+        for r in e.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("value").alias("tv"),
+            F.countDistinct("event_type").alias("nt"),
+        )
+        .join(top, "user_id")
+        .collect()
+    }
+    assert got == exp
