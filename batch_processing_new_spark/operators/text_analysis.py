@@ -923,3 +923,71 @@ def q138_unicode_nfc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("text_nfc").alias("n_nfc"),
         (F.col("raw") != F.col("text_nfc")).alias("changed"),
     ).orderBy("doc_id")
+
+
+# ------------------------------------ overlapping (RAG) chunking
+
+CHUNK_W = 32   # window: tokens per chunk (matches q60's model-size unit)
+CHUNK_S = 24   # stride: W - S = 8 tokens of overlap between neighbors
+
+
+@query(
+    "q152_chunk_overlap",
+    oracle=f"""
+WITH toked AS (
+    SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents
+),
+ids AS (
+    SELECT doc_id, toks,
+           unnest(range(0, CAST(ceil(greatest(len(toks) - {CHUNK_W}, 0)
+                                     / {CHUNK_S}.0) AS BIGINT) + 1)) AS chunk_id
+    FROM toked
+)
+SELECT doc_id, chunk_id,
+       chunk_id * {CHUNK_S} AS chunk_start,
+       len(list_slice(toks, chunk_id * {CHUNK_S} + 1,
+                      chunk_id * {CHUNK_S} + {CHUNK_W}))          AS n_tokens,
+       array_to_string(list_slice(toks, chunk_id * {CHUNK_S} + 1,
+                                  chunk_id * {CHUNK_S} + {CHUNK_W}), ' ')
+                                                                   AS chunk_text
+FROM ids
+ORDER BY doc_id, chunk_id
+""",
+)
+def q152_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking with overlap (the RAG indexing shape):
+    {CHUNK_W}-token windows at a {CHUNK_S}-token stride, so neighboring
+    chunks share {CHUNK_W - CHUNK_S} tokens of context and no retrieval
+    hit dies at an arbitrary chunk boundary. Chunk count per document
+    is ceil(max(len-W,0)/S)+1 — the final window always reaches the
+    document end without emitting pure-suffix tail fragments.
+
+    Same plan as q60 (non-overlapping): explode chunk INDEXES (ints),
+    slice the in-row token array per index — the text bytes never
+    shuffle and the kernel is all JVM array expressions inside the
+    scan stage. Overlap multiplies output bytes by W/S (~1.33x), a
+    sink-side cost, not a shuffle cost; at 100 TB the emitted chunks
+    stream straight to the (partitioned) writer.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toked = fan_out(d.select("doc_id", "text")).select(
+        "doc_id", tokens(F.col("text")).alias("_toks")
+    )
+    toks = F.col("_toks")
+    n_chunks = (
+        F.ceil(F.greatest(F.size(toks) - CHUNK_W, F.lit(0)) / CHUNK_S) + 1
+    ).cast("long")
+    ids = toked.select(
+        "doc_id",
+        toks.alias("toks"),
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_id"),
+    )
+    start = F.col("chunk_id") * CHUNK_S
+    piece = F.slice(F.col("toks"), start + 1, CHUNK_W)
+    return ids.select(
+        "doc_id",
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        start.cast("long").alias("chunk_start"),
+        F.size(piece).cast("long").alias("n_tokens"),
+        F.concat_ws(" ", piece).alias("chunk_text"),
+    ).orderBy("doc_id", "chunk_id")

@@ -323,3 +323,65 @@ def q70_jsonl_roundtrip(spark, sf_dir: str):
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "q153_schema_evolution",
+    oracle="""
+WITH unioned AS (
+    SELECT o_orderkey, o_totalprice,
+           CASE WHEN o_orderkey % 2 = 1 THEN o_orderpriority END AS o_orderpriority
+    FROM orders
+)
+SELECT coalesce(o_orderpriority, 'MISSING')                  AS priority,
+       count(*)                                              AS n_orders,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(30,8))) AS DOUBLE) AS total_price
+FROM unioned
+GROUP BY priority
+ORDER BY priority
+""",
+)
+def q153_schema_evolution(spark, sf_dir: str):
+    """Schema evolution on read: a v1 parquet batch written WITHOUT
+    ``o_orderpriority`` (even orderkeys) and a v2 batch WITH it (odd
+    orderkeys) land in one directory; ``mergeSchema`` unifies them on
+    scan, null-filling the missing column, and the aggregate buckets
+    the nulls as 'MISSING'. This is the landing-zone reality at 100 TB
+    — producers add columns mid-stream and historical files are never
+    rewritten. Scale note: mergeSchema footer-merges ALL file schemas
+    at planning time, so production tables pin the merged schema in a
+    catalog/metastore instead of re-deriving it per query; the
+    null-fill-on-read semantics verified here are identical.
+    """
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    o = load_table(spark, sf_dir, "orders")
+    base = os.path.join(tempfile.mkdtemp(prefix="schema_evo_"), "orders")
+    o.where(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", "o_totalprice"
+    ).write.mode("overwrite").parquet(os.path.join(base, "v1"))
+    o.where(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    ).write.mode("append").parquet(os.path.join(base, "v2"))
+    back = (
+        spark.read.option("mergeSchema", "true")
+        .option("recursiveFileLookup", "true")
+        .parquet(base)
+    )
+    return (
+        back.groupBy(
+            F.coalesce(F.col("o_orderpriority"), F.lit("MISSING")).alias(
+                "priority"
+            )
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(30,8)"))
+            .cast("double")
+            .alias("total_price"),
+        )
+        .orderBy("priority")
+    )
