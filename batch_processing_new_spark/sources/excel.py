@@ -385,3 +385,195 @@ def q153_schema_evolution(spark, sf_dir: str):
         )
         .orderBy("priority")
     )
+
+
+@query(
+    "q154_corrupt_records",
+    oracle="""
+WITH sim AS (
+    SELECT o_orderkey,
+           CASE WHEN o_orderkey % 10 = 7 THEN NULL ELSE o_totalprice END AS price,
+           (o_orderkey % 10 = 7) AS is_corrupt
+    FROM orders
+)
+SELECT CASE WHEN is_corrupt THEN 'corrupt' ELSE 'good' END AS status,
+       count(*)                                            AS n_rows,
+       CAST(sum(CAST(price AS DECIMAL(30,8))) AS DOUBLE)   AS total_price,
+       min(o_orderkey)                                     AS min_orderkey
+FROM sim
+GROUP BY status
+ORDER BY status
+""",
+)
+def q154_corrupt_records(spark, sf_dir: str):
+    """PERMISSIVE schema-on-read over a dirty CSV: every 10th order row
+    lands with a non-numeric price ('N/A'); the typed read must parse
+    the clean rows, null the broken field, and capture each broken
+    row's RAW LINE in ``_corrupt_record`` — from which the pipeline
+    still recovers the orderkey. This is the reference's CSV contract
+    (SURVEY §2A op 2: arbitrary user uploads, inferSchema, PERMISSIVE
+    mode) under actually-malformed input: the job degrades per-row and
+    reports, never aborts — the same no-fail discipline as the enrich
+    sentinel (§2A.1 rule 3). The corrupt lines are written and parsed
+    distributed; nothing funnels through the driver.
+    """
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    line = F.concat_ws(
+        ",",
+        F.col("o_orderkey").cast("string"),
+        F.when(F.col("o_orderkey") % 10 == 7, F.lit("N/A")).otherwise(
+            F.col("o_totalprice").cast("string")
+        ),
+    )
+    path = os.path.join(tempfile.mkdtemp(prefix="dirty_csv_"), "orders")
+    o.select(line.alias("value")).write.mode("overwrite").text(path)
+    back = (
+        spark.read.schema(
+            "o_orderkey long, o_totalprice double, _corrupt_record string"
+        )
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(path)
+    )
+    status = F.when(
+        F.col("_corrupt_record").isNotNull(), F.lit("corrupt")
+    ).otherwise(F.lit("good"))
+    # the corrupt row's key comes back out of the RAW captured line —
+    # the recovery path a production quarantine sink needs
+    okey = F.coalesce(
+        F.col("o_orderkey"),
+        F.split(F.col("_corrupt_record"), ",")[0].cast("long"),
+    )
+    return (
+        back.select(status.alias("status"), okey.alias("okey"), "o_totalprice")
+        .groupBy("status")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("o_totalprice").cast("decimal(30,8)"))
+            .cast("double")
+            .alias("total_price"),
+            F.min("okey").alias("min_orderkey"),
+        )
+        .orderBy("status")
+    )
+
+
+@query(
+    "q155_gzip_csv_roundtrip",
+    oracle="""
+SELECT o_orderpriority,
+       count(*)                                                 AS n_orders,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(30,8))) AS DOUBLE) AS total_price
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+)
+def q155_gzip_csv_roundtrip(spark, sf_dir: str):
+    """Compressed-source handling: orders -> gzip CSV -> typed scan ->
+    agg, values identical to the direct parquet path. Spark resolves
+    the codec from the ``.gz`` extension on read; nothing else changes.
+
+    Scale note (the reason this is a query and not a footnote): gzip
+    is NOT splittable — each .gz file is one task no matter its size,
+    so a landing zone of few huge gzip files serializes the scan. The
+    distributed writer here emits one .gz per input partition (many
+    small files — the workable layout); at 100 TB prefer zstd/bzip2 or
+    decompress-on-land so maxPartitionBytes can split the scan.
+    """
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    path = os.path.join(tempfile.mkdtemp(prefix="gz_csv_"), "orders")
+    o.write.mode("overwrite").option("header", "true").option(
+        "compression", "gzip"
+    ).csv(path)
+    back = (
+        spark.read.schema(
+            "o_orderkey long, o_orderpriority string, o_totalprice double"
+        )
+        .option("header", "true")
+        .csv(path)
+    )
+    return (
+        back.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(30,8)"))
+            .cast("double")
+            .alias("total_price"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
+    "q156_quoted_multiline_csv",
+    oracle="""
+WITH noisy AS (
+    SELECT doc_id,
+           'a,"b' || chr(10) || substr(text, 1, 40) AS payload
+    FROM documents
+)
+SELECT count(*)                                   AS n_docs,
+       sum(length(payload))                       AS total_chars,
+       sum(CASE WHEN contains(payload, chr(10))
+                THEN 1 ELSE 0 END)                AS n_multiline
+FROM noisy
+""",
+)
+def q156_quoted_multiline_csv(spark, sf_dir: str):
+    """Quoting-edge-case CSV roundtrip: payloads containing commas,
+    double quotes, AND embedded newlines written by the CSV sink
+    (which must quote+escape them) and read back with
+    ``multiLine=true`` — the reader must reassemble records across
+    physical lines. Arbitrary user CSVs (reference §2A op 2) contain
+    exactly this; a naive line-splitting reader shreds them. The
+    aggregate proves byte-exact payload survival (count, total chars,
+    rows still containing a newline).
+
+    Scale note: multiLine CSV, like gzip, makes files non-splittable
+    (records cross line boundaries, so Spark can't chunk by newline
+    offsets) — one task per file; fine for many modest landing files,
+    a serialization hazard for single huge ones.
+    """
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    d = load_table(spark, sf_dir, "documents")
+    payload = F.concat(
+        F.lit('a,"b\n'), F.substring(F.col("text"), 1, 40)
+    )
+    src = d.select(F.col("doc_id"), payload.alias("payload"))
+    path = os.path.join(tempfile.mkdtemp(prefix="quoted_csv_"), "docs")
+    # the CSV WRITER trims field whitespace by default
+    # (ignoreLeading/TrailingWhiteSpace default TRUE for writes, false
+    # for reads) — byte-exact roundtrip requires turning that off
+    src.write.mode("overwrite").option("header", "true").option(
+        "ignoreLeadingWhiteSpace", "false"
+    ).option("ignoreTrailingWhiteSpace", "false").csv(path)
+    back = (
+        spark.read.schema("doc_id long, payload string")
+        .option("header", "true")
+        .option("multiLine", "true")
+        .csv(path)
+    )
+    return back.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.length("payload")).alias("total_chars"),
+        F.sum(
+            F.when(F.col("payload").contains("\n"), 1).otherwise(0)
+        ).alias("n_multiline"),
+    )
