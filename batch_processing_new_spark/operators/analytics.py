@@ -1319,3 +1319,126 @@ def q134_timed_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+# ------------------------------- jackknife uncertainty estimation
+
+_JK_SHARDS = 8
+
+
+@query(
+    "q157_jackknife_ci",
+    oracle=f"""
+WITH sharded AS (
+    SELECT ('0x' || substr(md5(o_orderkey::VARCHAR), 1, 15))::BIGINT
+               % {_JK_SHARDS} AS shard,
+           CAST(o_totalprice AS DECIMAL(30,8)) AS price
+    FROM orders
+),
+per_shard AS (
+    SELECT shard, count(*) AS cnt, sum(price) AS s FROM sharded GROUP BY shard
+),
+tot AS (
+    SELECT sum(cnt) AS n, sum(s) AS total FROM per_shard
+),
+loo AS (
+    SELECT shard,
+           CAST(tot.total - per_shard.s AS DOUBLE)
+               / (tot.n - per_shard.cnt) AS m
+    FROM per_shard, tot
+),
+mb AS (
+    SELECT CAST(sum(CAST(m AS DECIMAL(38,15))) AS DOUBLE)
+               / {_JK_SHARDS} AS mbar
+    FROM loo
+),
+vr AS (
+    SELECT CAST(sum(CAST((m - mbar) * (m - mbar) AS DECIMAL(38,18)))
+               AS DOUBLE)
+           * ({_JK_SHARDS} - 1.0) / {_JK_SHARDS} AS var_jk
+    FROM loo, mb
+)
+SELECT tot.n                                            AS n,
+       round(CAST(tot.total AS DOUBLE) / tot.n, 4)      AS mean_price,
+       round(sqrt(vr.var_jk), 4)                        AS jk_se,
+       round(CAST(tot.total AS DOUBLE) / tot.n
+             - 1.96 * sqrt(vr.var_jk), 4)               AS ci_lo,
+       round(CAST(tot.total AS DOUBLE) / tot.n
+             + 1.96 * sqrt(vr.var_jk), 4)               AS ci_hi
+FROM tot, vr
+""",
+)
+def q157_jackknife_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delete-a-group jackknife: the mean order price with a standard
+    error and 95% CI estimated by leaving out each of {_JK_SHARDS}
+    hash shards in turn — the distributed-uncertainty recipe (one pass
+    for per-shard sums, closed-form leave-one-out means from the
+    totals) that costs one small aggregation instead of B resampling
+    passes. On a pipeline this is how you put error bars on any
+    corpus statistic (dedup rate, quality-score mean) without a
+    second scan.
+
+    Determinism discipline: per-shard sums are DECIMAL-exact; the
+    leave-one-out means are double ratios of exact decimals (one
+    deterministic rounding each); cross-shard sums of those doubles
+    go through DECIMAL(38,15/18) casts so no {_JK_SHARDS}-term float
+    sum depends on partition order. The md5 shard id reuses the
+    engine's portable hash, so the oracle assigns identical shards.
+    """
+    from batch_processing_new_spark.functions.text_funcs import hash60
+    from batch_processing_new_spark.operators.relational import DEC, dsum
+
+    o = load_table(spark, sf_dir, "orders")
+    per_shard = (
+        o.select(
+            (hash60(F.col("o_orderkey").cast("string")) % _JK_SHARDS).alias(
+                "shard"
+            ),
+            F.col("o_totalprice").cast(DEC).alias("price"),
+        )
+        .groupBy("shard")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.sum("price").alias("s"))
+    )
+    tot = per_shard.agg(
+        F.sum("cnt").alias("n"), F.sum("s").alias("total")
+    )
+    loo = per_shard.crossJoin(F.broadcast(tot)).select(
+        "shard",
+        "n",
+        "total",
+        (
+            (F.col("total") - F.col("s")).cast("double")
+            / (F.col("n") - F.col("cnt"))
+        ).alias("m"),
+    )
+    mb = loo.agg(
+        (
+            F.sum(F.col("m").cast("decimal(38,15)")).cast("double")
+            / _JK_SHARDS
+        ).alias("mbar")
+    )
+    vr = (
+        loo.crossJoin(F.broadcast(mb))
+        .agg(
+            (
+                F.sum(
+                    ((F.col("m") - F.col("mbar")) * (F.col("m") - F.col("mbar")))
+                    .cast("decimal(38,18)")
+                ).cast("double")
+                * (_JK_SHARDS - 1.0)
+                / _JK_SHARDS
+            ).alias("var_jk")
+        )
+    )
+    mean = F.col("total").cast("double") / F.col("n")
+    se = F.sqrt(F.col("var_jk"))
+    return (
+        tot.crossJoin(F.broadcast(vr))
+        .select(
+            F.col("n"),
+            F.round(mean, 4).alias("mean_price"),
+            F.round(se, 4).alias("jk_se"),
+            F.round(mean - 1.96 * se, 4).alias("ci_lo"),
+            F.round(mean + 1.96 * se, 4).alias("ci_hi"),
+        )
+    )

@@ -61,3 +61,30 @@ def test_weighted_sample_rate_tracks_length(spark):
         sum(v) / len(v) for _, v in sorted(by_bucket.items()) if len(v) >= 20
     ]
     assert all(b >= a - 0.1 for a, b in zip(rates, rates[1:])), rates
+
+
+# ------------------------------------------------ jackknife variance
+
+def test_jackknife_se_matches_classic_se(spark):
+    """For the MEAN, the delete-a-group jackknife SE must agree with
+    the classic stddev/sqrt(n) estimate (they are asymptotically
+    identical; at 15k orders across 8 balanced hash shards they agree
+    to a few percent), and the CI must bracket the mean."""
+    import math
+
+    from batch_processing_new_spark.operators.analytics import (
+        q157_jackknife_ci,
+    )
+    from tests.conftest import SF_CORRECT
+
+    [r] = q157_jackknife_ci(spark, SF_CORRECT).collect()
+    o = load_table(spark, SF_CORRECT, "orders")
+    stats = o.agg(
+        F.avg("o_totalprice").alias("mu"),
+        F.stddev_samp("o_totalprice").alias("sd"),
+        F.count(F.lit(1)).alias("n"),
+    ).collect()[0]
+    classic_se = stats.sd / math.sqrt(stats.n)
+    assert abs(r.mean_price - stats.mu) < 1e-2
+    assert abs(r.jk_se - classic_se) / classic_se < 0.10
+    assert r.ci_lo < r.mean_price < r.ci_hi
