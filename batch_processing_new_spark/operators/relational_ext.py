@@ -1245,3 +1245,97 @@ def q149_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("numwait").desc(), "suppkey")
         .limit(20)
     )
+
+
+# ----------------------- market-share conditional ratio (Q8 shape)
+
+@query(
+    "q158_market_share",
+    oracle=f"""
+WITH rev AS (
+    SELECT year(o.o_orderdate) AS o_year,
+           CAST(l.l_extendedprice * (1 - l.l_discount)
+                AS DECIMAL(30,8))                       AS volume,
+           sn.n_name                                    AS supp_nation
+    FROM lineitem l
+    JOIN orders o    ON l.l_orderkey  = o.o_orderkey
+    JOIN customer c  ON o.o_custkey   = c.c_custkey
+    JOIN nation cn   ON c.c_nationkey = cn.n_nationkey
+    JOIN region r    ON cn.n_regionkey = r.r_regionkey
+    JOIN supplier s  ON l.l_suppkey   = s.s_suppkey
+    JOIN nation sn   ON s.s_nationkey = sn.n_nationkey
+    WHERE r.r_name = 'ASIA'
+)
+SELECT o_year,
+       round(CAST(sum(CASE WHEN supp_nation = 'NATION_3'
+                           THEN volume ELSE 0 END) AS DOUBLE)
+             / CAST(sum(volume) AS DOUBLE), 6)          AS mkt_share,
+       CAST(sum(volume) AS DOUBLE)                      AS total_volume
+FROM rev
+GROUP BY o_year
+ORDER BY o_year
+""",
+)
+def q158_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q8-shaped market share: NATION_3 suppliers' fraction of
+    the revenue from orders placed by ASIA-region customers, per order
+    year — the conditional-ratio-within-group reporting shape (two
+    independent dimension chains: customer -> nation -> region gates
+    the rows, supplier -> nation labels them).
+
+    Scale shape: the only fact-sized exchange is lineitem ⋈ orders;
+    all four dimension hops broadcast (nation/region/supplier are
+    dimension-sized at any SF, customer broadcasts at fixture scale
+    and falls back to a shuffle join via AQE beyond the threshold).
+    Both the numerator and the denominator come out of ONE aggregate
+    pass (conditional sum), not two scans; sums are DECIMAL-exact, the
+    final ratio is one double division per year-row.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    cn = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    sn = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("sn_nationkey"),
+        F.col("n_name").alias("supp_nation"),
+    )
+    asia_cust = (
+        c.join(F.broadcast(cn), c["c_nationkey"] == cn["n_nationkey"])
+        .join(F.broadcast(r), cn["n_regionkey"] == r["r_regionkey"])
+        .select("c_custkey")
+    )
+    rev = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(asia_cust), o["o_custkey"] == asia_cust["c_custkey"])
+        .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(sn), s["s_nationkey"] == sn["sn_nationkey"])
+        .select(
+            F.year("o_orderdate").alias("o_year"),
+            (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            .cast(DEC)
+            .alias("volume"),
+            "supp_nation",
+        )
+    )
+    num = F.sum(
+        F.when(F.col("supp_nation") == "NATION_3", F.col("volume")).otherwise(
+            F.lit(0).cast(DEC)
+        )
+    )
+    den = F.sum("volume")
+    return (
+        rev.groupBy("o_year")
+        .agg(
+            F.round(num.cast("double") / den.cast("double"), 6).alias(
+                "mkt_share"
+            ),
+            den.cast("double").alias("total_volume"),
+        )
+        .orderBy("o_year")
+    )
