@@ -1442,3 +1442,61 @@ def q157_jackknife_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(mean + 1.96 * se, 4).alias("ci_hi"),
         )
     )
+
+
+# -------------------------------------- SCD2 as-of snapshot (q88's read)
+
+_SNAP_TS = "1997-06-01 00:00:00"
+
+
+@query(
+    "q159_scd2_snapshot",
+    oracle=f"""
+WITH scd AS (
+    SELECT user_id, value AS attr_value,
+           CAST(ts AS TIMESTAMP) AS valid_from,
+           lead(CAST(ts AS TIMESTAMP)) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
+    FROM events
+)
+SELECT user_id, attr_value,
+       strftime(valid_from, '%Y-%m-%d %H:%M:%S') AS valid_from
+FROM scd
+WHERE valid_from <= TIMESTAMP '{_SNAP_TS}'
+  AND (valid_to IS NULL OR valid_to > TIMESTAMP '{_SNAP_TS}')
+ORDER BY user_id
+""",
+)
+def q159_scd2_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-travel read over the SCD2 dimension: every user's attribute
+    value as of {_SNAP_TS} — the interval containing the cutoff
+    (valid_from <= D < valid_to, open current interval included).
+
+    The oracle states the interval-lookup form over q88's SCD2 CTE;
+    the Spark plan uses the EQUIVALENT keep-latest form — filter the
+    change stream to ts <= D (pushed into the scan) and take each
+    user's last change — because building intervals just to probe one
+    cutoff does a window over ALL history, while keep-latest windows
+    only the pre-cutoff slice and never materializes valid_to. Same
+    rows, one shuffle, and at 100 TB the D-filter prunes partitions
+    when the stream lands date-partitioned (q150's layout argument).
+    Ties on equal ts resolve by event_id in both forms.
+    """
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events").where(
+        F.col("ts") <= F.lit(_SNAP_TS).cast("timestamp")
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("value").alias("attr_value"),
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("valid_from"),
+        )
+        .orderBy("user_id")
+    )
