@@ -338,3 +338,108 @@ def q114_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "cluster")
         .orderBy("vec_id")
     )
+
+
+# --------------------------- embedding covariance (gram) matrix
+
+_COV_DIM = 64
+
+
+@query(
+    "q160_embedding_covariance",
+    oracle=f"""
+WITH mu AS (
+    SELECT i,
+           CAST(sum(CAST(embedding[i]::DOUBLE AS DECIMAL(38,12)))
+                AS DOUBLE) / (SELECT count(*) FROM embeddings) AS m
+    FROM embeddings, generate_series(1, {_COV_DIM}) g(i)
+    GROUP BY i
+),
+prods AS (
+    SELECT gi.i AS i, gj.i AS j,
+           CAST(sum(CAST(e.embedding[gi.i]::DOUBLE * e.embedding[gj.i]::DOUBLE
+                         AS DECIMAL(38,12))) AS DOUBLE) AS s
+    FROM embeddings e,
+         generate_series(1, {_COV_DIM}) gi(i),
+         generate_series(1, {_COV_DIM}) gj(i)
+    WHERE gj.i >= gi.i
+    GROUP BY gi.i, gj.i
+)
+SELECT p.i - 1 AS i, p.j - 1 AS j,
+       -- "+ 0" folds IEEE negative zero to +0.0: round() can emit -0.0
+       -- on one engine and +0.0 on the other (equal floats, different
+       -- canonicalizer strings)
+       round(p.s / (SELECT count(*) FROM embeddings)
+             - mi.m * mj.m, 6) + 0 AS cov
+FROM prods p
+JOIN mu mi ON mi.i = p.i
+JOIN mu mj ON mj.i = p.j
+ORDER BY i, j
+""",
+)
+def q160_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed covariance (gram) matrix of the embedding corpus —
+    the PCA/whitening precursor: cov[i,j] = E[x_i x_j] - E[x_i]E[x_j]
+    over all {_COV_DIM}-dim vectors, upper triangle (the matrix is
+    symmetric), 0-indexed.
+
+    Plan shape: each vector explodes to its upper-triangle index pairs
+    IN THE SCAN STAGE (posexplode x 2 with j >= i), and the single
+    shuffle carries one partially-aggregated row per (i, j) pair per
+    mapper — {_COV_DIM}*({_COV_DIM}+1)/2 = {_COV_DIM * (_COV_DIM + 1) // 2}
+    cells regardless of corpus size, the same partial-sum scaling as
+    q113's Lloyd step. Per-row products compute in double then sum as
+    DECIMAL(38,12), so the reduction is partition-order-exact; the
+    final n-division and mean-product subtraction are one deterministic
+    double op per cell. At 100 TB this is the textbook one-pass
+    covariance; a mapInPandas numpy X^T X partial would cut the
+    explode fan-out constant, at the cost of leaving whole-stage
+    codegen — measured unnecessary at fixture scale.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    n = e.count()
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    pairs = (
+        fan_out(e.select(v.alias("v")))
+        .select(F.posexplode("v").alias("i", "xi"), F.col("v"))
+        .select(
+            "i",
+            "xi",
+            F.posexplode(F.slice(F.col("v"), F.col("i") + 1, _COV_DIM)).alias(
+                "dj", "xj"
+            ),
+        )
+        .select(
+            "i",
+            (F.col("i") + F.col("dj")).alias("j"),
+            (F.col("xi") * F.col("xj")).cast("decimal(38,12)").alias("p"),
+            F.col("xi").cast("decimal(38,12)").alias("x"),
+        )
+    )
+    sums = pairs.groupBy("i", "j").agg(
+        F.sum("p").alias("s"),
+    )
+    mu = (
+        pairs.where(F.col("i") == F.col("j"))
+        .groupBy("i")
+        .agg((F.sum("x").cast("double") / n).alias("m"))
+    )
+    mi = mu.select(F.col("i").alias("mi_i"), F.col("m").alias("m_i"))
+    mj = mu.select(F.col("i").alias("mj_j"), F.col("m").alias("m_j"))
+    return (
+        sums.join(F.broadcast(mi), sums["i"] == mi["mi_i"])
+        .join(F.broadcast(mj), sums["j"] == mj["mj_j"])
+        .select(
+            "i",
+            "j",
+            (
+                F.round(
+                    F.col("s").cast("double") / n
+                    - F.col("m_i") * F.col("m_j"),
+                    6,
+                )
+                + F.lit(0.0)  # fold -0.0 to +0.0 (see oracle comment)
+            ).alias("cov"),
+        )
+        .orderBy("i", "j")
+    )

@@ -150,3 +150,167 @@ def q147_seeded_sample_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("sample_rank") <= _K)
         .orderBy("source", "sample_rank")
     )
+
+
+# ----------------------- source-level vocabulary similarity
+
+
+@query(
+    "q161_source_vocab_jaccard",
+    oracle="""
+WITH vocab AS (
+    SELECT DISTINCT source,
+           unnest(list_distinct(string_split(trim(text), ' '))) AS term
+    FROM documents
+),
+sizes AS (
+    SELECT source, count(*) AS n FROM vocab GROUP BY source
+),
+inter AS (
+    SELECT a.source AS src_a, b.source AS src_b, count(*) AS n_common
+    FROM vocab a JOIN vocab b
+      ON a.term = b.term AND a.source < b.source
+    GROUP BY a.source, b.source
+)
+SELECT i.src_a, i.src_b, i.n_common,
+       sa.n AS vocab_a, sb.n AS vocab_b,
+       round(i.n_common * 1.0 / (sa.n + sb.n - i.n_common), 6) AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.source = i.src_a
+JOIN sizes sb ON sb.source = i.src_b
+ORDER BY src_a, src_b
+""",
+)
+def q161_source_vocab_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset diffing: vocabulary Jaccard between every pair of
+    sources — the corpus-mix analysis that tells you whether two feeds
+    contribute distinct or redundant text before you weight them
+    (training_mix.py's token-budget allocator is the consumer).
+
+    Scale shape: the unit of work is the DISTINCT (source, term) set —
+    one dedup shuffle from the scan — and the pair counts come from a
+    term-keyed self-equi-join of that set: hot terms fan out only
+    |sources|^2 pairs, and with single-digit sources the join output
+    is bounded by |vocab| x pairs, never all-pairs of documents.
+    Source count is small by construction; at many-source scale the
+    same query runs per source-bucket or on MinHash signatures of the
+    vocabularies (q36's machinery) instead of exact sets.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    from batch_processing_new_spark.functions.text_funcs import distinct_tokens
+
+    vocab = (
+        fan_out(d.select("source", "text"))
+        .select("source", F.explode(distinct_tokens(F.col("text"))).alias("term"))
+        .distinct()
+    )
+    sizes = vocab.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    a = vocab.select(F.col("source").alias("src_a"), "term")
+    b = vocab.select(F.col("source").alias("src_b"), "term")
+    inter = (
+        a.join(b, ["term"])
+        .where(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("source").alias("sa_s"), F.col("n").alias("vocab_a"))
+    sb = sizes.select(F.col("source").alias("sb_s"), F.col("n").alias("vocab_b"))
+    return (
+        inter.join(F.broadcast(sa), F.col("src_a") == F.col("sa_s"))
+        .join(F.broadcast(sb), F.col("src_b") == F.col("sb_s"))
+        .select(
+            "src_a",
+            "src_b",
+            "n_common",
+            "vocab_a",
+            "vocab_b",
+            F.round(
+                F.col("n_common")
+                / (F.col("vocab_a") + F.col("vocab_b") - F.col("n_common")),
+                6,
+            ).alias("jaccard"),
+        )
+        .orderBy("src_a", "src_b")
+    )
+
+
+# ------------------- two-sample KS distance between sources
+
+
+_KS_A = "'src0'"
+_KS_B = "'src1'"
+
+
+@query(
+    "q162_ks_statistic",
+    oracle=f"""
+WITH pts AS (
+    SELECT n_chars AS x,
+           CASE WHEN source = {_KS_A} THEN 1 ELSE 0 END AS is_a
+    FROM documents WHERE source IN ({_KS_A}, {_KS_B})
+),
+tot AS (
+    SELECT sum(is_a) AS na, sum(1 - is_a) AS nb FROM pts
+),
+cdf AS (
+    SELECT x,
+           sum(sum(is_a)) OVER (ORDER BY x) AS ca,
+           sum(sum(1 - is_a)) OVER (ORDER BY x) AS cb
+    FROM pts GROUP BY x
+)
+SELECT round(max(abs(ca * 1.0 / tot.na - cb * 1.0 / tot.nb)), 6) AS ks_d,
+       tot.na AS n_a, tot.nb AS n_b
+FROM cdf, tot
+GROUP BY tot.na, tot.nb
+""",
+)
+def q162_ks_statistic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov distance between the document-
+    length distributions of two sources: D = max over x of
+    |CDF_a(x) - CDF_b(x)| — the standard drift/shift test between two
+    corpus slices (complements q94's quantile drift and q157's
+    jackknife error bars in the distribution-audit toolkit).
+
+    Scale shape: group by the VALUE first (one partial-agg shuffle to
+    |distinct x| rows carrying two counts), then a single running-sum
+    window over that compacted set. The window is unpartitioned by
+    nature (a CDF is a global order) but runs over distinct values,
+    not rows — for real-valued x at 100 TB, bucket x to a fine grid
+    first (the D statistic is then exact on grid edges), keeping the
+    windowed set bounded.
+    """
+    from pyspark.sql import Window
+
+    ka, kb = _KS_A.strip("'"), _KS_B.strip("'")
+    d = load_table(spark, sf_dir, "documents").where(
+        F.col("source").isin(ka, kb)
+    )
+    pts = d.select(
+        F.col("n_chars").alias("x"),
+        F.when(F.col("source") == ka, 1).otherwise(0).alias("is_a"),
+    )
+    per_x = pts.groupBy("x").agg(
+        F.sum("is_a").alias("da"), F.sum(1 - F.col("is_a")).alias("db")
+    )
+    w = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, 0)
+    cdf = per_x.select(
+        F.sum("da").over(w).alias("ca"), F.sum("db").over(w).alias("cb")
+    )
+    tot = pts.agg(
+        F.sum("is_a").alias("n_a"), F.sum(1 - F.col("is_a")).alias("n_b")
+    )
+    return (
+        cdf.crossJoin(F.broadcast(tot))
+        .agg(
+            F.round(
+                F.max(
+                    F.abs(
+                        F.col("ca") / F.col("n_a") - F.col("cb") / F.col("n_b")
+                    )
+                ),
+                6,
+            ).alias("ks_d"),
+            F.first("n_a").alias("n_a"),
+            F.first("n_b").alias("n_b"),
+        )
+    )

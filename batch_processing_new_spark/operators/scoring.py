@@ -96,7 +96,9 @@ def bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     array, not O(corpus bytes), so the checkpoint stays cheap at any
     scale. tf explodes the checkpointed hits, df is a row count over
     tf (tf already holds one row per (doc, term)), and dl/avgdl read
-    the checkpointed ints. Measured at sf0.1: 1.43 s -> 0.99 s (q151's fused total: 2.20 s -> 1.31 s)."""
+    the checkpointed ints. Measured at sf0.1: q141 1.43 s -> ~1.0 s (steady state; the
+    single-warm-up SCALE.md row reads 1.06 s), q151's fused total
+    2.2 s -> ~1.3 s steady / ~2.0 s single-warm-up."""
     d = load_table(spark, sf_dir, "documents")
     toks = tokens(F.col("text"))
     base = fan_out(d.select("doc_id", toks.alias("toks")))

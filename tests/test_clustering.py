@@ -99,3 +99,56 @@ def test_semantic_dedup_keeps_cluster_minimum(spark):
     for c in set(assign.values()):
         members = [v for v, cl in assign.items() if cl == c]
         assert min(members) in surv_ids
+
+
+# --------------------------------------------- covariance matrix
+
+def test_covariance_matrix_is_psd(spark):
+    """The reconstructed 64x64 covariance matrix must be symmetric
+    positive semi-definite (any true covariance is): all eigenvalues
+    >= -1e-6 after the round-to-6dp, and diagonal entries positive."""
+    import numpy as np
+
+    from batch_processing_new_spark.operators.clustering import (
+        _COV_DIM,
+        q160_embedding_covariance,
+    )
+    from tests.conftest import SF_CORRECT
+
+    rows = q160_embedding_covariance(spark, SF_CORRECT).collect()
+    m = np.zeros((_COV_DIM, _COV_DIM))
+    for r in rows:
+        m[r.i, r.j] = r.cov
+        m[r.j, r.i] = r.cov
+    assert (np.diag(m) > 0).all()
+    eig = np.linalg.eigvalsh(m)
+    assert eig.min() > -1e-6, eig.min()
+
+
+def test_covariance_matches_numpy(spark):
+    """Spot-check a handful of cells against numpy's covariance of the
+    collected embedding matrix (population covariance, ddof=0)."""
+    import numpy as np
+
+    from batch_processing_new_spark.operators.clustering import (
+        q160_embedding_covariance,
+    )
+    from batch_processing_new_spark.sources.readers import load_table
+    from tests.conftest import SF_SMOKE
+
+    x = np.array(
+        [
+            r.embedding
+            for r in load_table(spark, SF_SMOKE, "embeddings")
+            .select("embedding")
+            .collect()
+        ],
+        dtype=np.float64,
+    )
+    ref = np.cov(x, rowvar=False, ddof=0)
+    got = {
+        (r.i, r.j): r.cov
+        for r in q160_embedding_covariance(spark, SF_SMOKE).collect()
+    }
+    for i, j in [(0, 0), (0, 1), (5, 9), (31, 63), (63, 63)]:
+        assert abs(got[(i, j)] - ref[i, j]) < 5e-6, (i, j)

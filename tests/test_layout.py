@@ -134,3 +134,49 @@ def test_seeded_sample_k_per_group(spark):
     assert per
     for r in per:
         assert r["count"] <= 20
+
+
+# ------------------------------------- source similarity + KS test
+
+def test_vocab_jaccard_bounds_and_symmetric_pairs(spark):
+    """Jaccard in (0, 1]; exactly one row per unordered source pair;
+    n_common never exceeds either vocabulary."""
+    from batch_processing_new_spark.operators.corpus_stats import (
+        q161_source_vocab_jaccard,
+    )
+
+    rows = q161_source_vocab_jaccard(spark, SF_CORRECT).collect()
+    assert rows
+    seen = set()
+    for r in rows:
+        assert r.src_a < r.src_b
+        assert (r.src_a, r.src_b) not in seen
+        seen.add((r.src_a, r.src_b))
+        assert 0 < r.jaccard <= 1
+        assert r.n_common <= min(r.vocab_a, r.vocab_b)
+
+
+def test_ks_statistic_matches_scipy_style_reference(spark):
+    """The D statistic must equal a direct two-sample KS computation
+    over the collected values (numpy reference, no scipy needed)."""
+    import numpy as np
+
+    from batch_processing_new_spark.operators.corpus_stats import (
+        q162_ks_statistic,
+    )
+    from batch_processing_new_spark.sources.readers import load_table
+
+    [r] = q162_ks_statistic(spark, SF_CORRECT).collect()
+    docs = (
+        load_table(spark, SF_CORRECT, "documents")
+        .select("source", "n_chars")
+        .collect()
+    )
+    a = np.sort([d.n_chars for d in docs if d.source == "src0"])
+    b = np.sort([d.n_chars for d in docs if d.source == "src1"])
+    grid = np.union1d(a, b)
+    ca = np.searchsorted(a, grid, side="right") / len(a)
+    cb = np.searchsorted(b, grid, side="right") / len(b)
+    d_ref = np.abs(ca - cb).max()
+    assert (r.n_a, r.n_b) == (len(a), len(b))
+    assert abs(r.ks_d - round(float(d_ref), 6)) < 1e-9
