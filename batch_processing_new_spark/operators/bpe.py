@@ -1,0 +1,143 @@
+"""Distributed BPE (byte-pair-encoding) vocabulary induction — the
+tokenizer-training step of an LLM data pipeline, run as an iterative
+DataFrame algorithm.
+
+Classic BPE (Sennrich et al. 2016): start from characters (plus an
+end-of-word marker), repeatedly find the most frequent adjacent symbol
+pair over the word-frequency table and merge it, recording the merge
+list in order. The merge list IS the tokenizer artifact.
+
+Distributed shape (the k-means/PageRank discipline from
+clustering.py / graph.py):
+
+- the corpus collapses to the WORD-FREQUENCY table first (one shuffle;
+  at 100 TB the distinct-word table is orders of magnitude smaller
+  than the corpus, and real tokenizer training samples the corpus
+  anyway — q89's weighted sampler is the feed);
+- each merge round is: in-row adjacent-pair generation (zip_with over
+  the symbol array — no explode of positions), an aggregate keyed on
+  the pair (map-side combine collapses hot pairs), and a SINGLE-ROW
+  driver collect of the argmax — the same bounded k×dim-style driver
+  traffic as Lloyd centroids, never data-scale;
+- the chosen merge is applied to every word's symbol array with a
+  sequential left-to-right fold (F.aggregate) — non-overlapping,
+  leftmost-first, exactly the reference algorithm's replacement rule;
+- lineage is cut per round (localCheckpoint) so the plan does not grow
+  superlinearly with merge count.
+
+Ties break (count desc, left asc, right asc) — fully deterministic
+across partitionings and engines; pair counts are exact integers.
+
+No SQL oracle: the merge loop's fold-update is not expressible in
+one DuckDB query (same policy as the other genuinely-iterative or
+stateful rows-only queries); tests/test_bpe.py pins the full merge
+list and the final segmentation against an independent pure-Python
+reference implementation on the same fixture.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from batch_processing_new_spark.functions.text_funcs import tokens
+from batch_processing_new_spark.registry import query
+from batch_processing_new_spark.sources.readers import fan_out, load_table
+
+N_MERGES = 12
+_EOW = "</w>"  # end-of-word marker: lets merges learn suffixes
+
+
+def _chars_plus_eow(word: Column | str) -> Column:
+    c = F.col(word) if isinstance(word, str) else word
+    return F.concat(F.split(c, ""), F.array(F.lit(_EOW)))
+
+
+def _adjacent_pairs(syms: Column) -> Column:
+    """array<struct<l,r>> of adjacent symbol pairs (in-row, no explode
+    of an index sequence)."""
+    n = F.size(syms)
+    return F.zip_with(
+        F.slice(syms, 1, n - 1),
+        F.slice(syms, 2, n - 1),
+        lambda a, b: F.struct(a.alias("l"), b.alias("r")),
+    )
+
+
+def _apply_merge(syms: Column, left: str, right: str) -> Column:
+    """Replace adjacent (left, right) with left+right, leftmost-first,
+    non-overlapping — a sequential fold, the exact BPE replacement
+    rule ("aaa" under (a,a) -> ["aa","a"])."""
+    merged = left + right
+    return F.aggregate(
+        syms,
+        F.array().cast("array<string>"),
+        lambda acc, s: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == left)
+            & (s == right),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(merged))
+            ),
+        ).otherwise(F.concat(acc, F.array(s))),
+    )
+
+
+def learn_bpe(
+    words: DataFrame, n_merges: int = N_MERGES
+) -> list[tuple[int, str, str, int]]:
+    """BPE merge list [(rank, left, right, pair_count)] from a
+    (word, cnt) frequency table."""
+    state = words.select(
+        _chars_plus_eow("word").alias("syms"), F.col("cnt")
+    ).localCheckpoint(eager=False)
+    merges: list[tuple[int, str, str, int]] = []
+    for rank in range(1, n_merges + 1):
+        top = (
+            state.where(F.size("syms") >= 2)
+            .select(F.explode(_adjacent_pairs(F.col("syms"))).alias("p"), "cnt")
+            .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+            .agg(F.sum("cnt").alias("pc"))
+            .orderBy(F.col("pc").desc(), "l", "r")
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        l, r, pc = top[0]["l"], top[0]["r"], int(top[0]["pc"])
+        merges.append((rank, l, r, pc))
+        state = state.select(
+            _apply_merge(F.col("syms"), l, r).alias("syms"), "cnt"
+        ).localCheckpoint(eager=False)
+    return merges
+
+
+def segment(words: DataFrame, merges: list[tuple[int, str, str, int]]) -> DataFrame:
+    """Apply a learned merge list in order: (word, pieces array)."""
+    syms = _chars_plus_eow("word")
+    for _, l, r, _ in merges:
+        syms = _apply_merge(syms, l, r)
+    return words.select("word", syms.alias("pieces"))
+
+
+@query(
+    "q169_bpe_vocab",
+    doc="rows-only: iterative merge loop (no single-query SQL oracle); "
+    "merge list + segmentation pinned against a pure-Python reference "
+    "in tests/test_bpe.py",
+)
+def q169_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First {N_MERGES} BPE merges learned from the documents corpus:
+    (merge_rank, left, right, pair_count), in learned order."""
+    d = load_table(spark, sf_dir, "documents")
+    words = (
+        fan_out(d.select("text"))
+        .select(F.explode(tokens(F.col("text"))).alias("word"))
+        .where(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+    )
+    merges = learn_bpe(words, N_MERGES)
+    return spark.createDataFrame(
+        merges, "merge_rank INT, left STRING, right STRING, pair_count BIGINT"
+    )

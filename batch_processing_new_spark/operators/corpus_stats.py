@@ -314,3 +314,70 @@ def q162_ks_statistic(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.first("n_b").alias("n_b"),
         )
     )
+
+
+@query(
+    "q164_source_lang_pmi",
+    oracle="""
+WITH cells AS (
+    SELECT source, lang, count(*) AS n_xy FROM documents GROUP BY source, lang
+),
+mx AS (SELECT source, sum(n_xy) AS n_x FROM cells GROUP BY source),
+my AS (SELECT lang,   sum(n_xy) AS n_y FROM cells GROUP BY lang),
+tot AS (SELECT sum(n_xy) AS n FROM cells)
+SELECT c.source, c.lang, c.n_xy::BIGINT AS n_xy,
+       mx.n_x::BIGINT AS n_x, my.n_y::BIGINT AS n_y,
+       round(ln((c.n_xy * t.n)::DOUBLE / (mx.n_x * my.n_y)), 6) AS pmi,
+       round(ln((c.n_xy * t.n)::DOUBLE / (mx.n_x * my.n_y))
+             / -ln(c.n_xy::DOUBLE / t.n), 6) AS npmi
+FROM cells c
+JOIN mx USING (source)
+JOIN my USING (lang)
+CROSS JOIN tot t
+ORDER BY c.source, c.lang
+""",
+)
+def q164_source_lang_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise mutual information between the source and lang
+    attributes: for every observed (source, lang) cell its joint count,
+    both marginals, PMI = ln(p(x,y) / (p(x) p(y))), and normalized PMI
+    (npmi in [-1, 1]) — the association audit for "does this source
+    skew toward a language?" that drives per-(source, lang) mix
+    decisions; the identical shape computes word-association PMI over
+    (word, context) pairs for phrase mining.
+
+    Shapes: one groupBy(source, lang) over the scan [the only
+    data-scale shuffle; map-side combine collapses to |cells| rows],
+    then marginals re-aggregate the CELL table (tiny) — the raw table
+    is scanned ONCE. Marginal/total joins run on the cell table and
+    are broadcast at any scale (|sources| x |langs| rows). All floats
+    derive from exact integer counts via scalar expressions, so both
+    engines produce bit-identical doubles.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    cells = d.groupBy("source", "lang").agg(F.count("*").alias("n_xy"))
+    cells = cells.localCheckpoint(eager=False)  # 3 consumers, 1 scan
+    mx = cells.groupBy("source").agg(F.sum("n_xy").alias("n_x"))
+    my = cells.groupBy("lang").agg(F.sum("n_xy").alias("n_y"))
+    tot = cells.agg(F.sum("n_xy").alias("n"))
+    pmi = F.log(
+        (F.col("n_xy") * F.col("n")).cast("double")
+        / (F.col("n_x") * F.col("n_y"))
+    )
+    return (
+        cells.join(F.broadcast(mx), "source")
+        .join(F.broadcast(my), "lang")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "lang",
+            "n_xy",
+            "n_x",
+            "n_y",
+            F.round(pmi, 6).alias("pmi"),
+            F.round(
+                pmi / -F.log(F.col("n_xy").cast("double") / F.col("n")), 6
+            ).alias("npmi"),
+        )
+        .orderBy("source", "lang")
+    )

@@ -211,3 +211,249 @@ def q116_hierarchy_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("steps").alias("depth"),
         path.alias("path"),
     ).orderBy("doc_id")
+
+
+_SIM_TOPK = 5
+
+
+@query(
+    "q166_item_similarity",
+    oracle=f"""
+WITH baskets AS (
+    SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+),
+n_per_item AS (
+    SELECT l_partkey AS part, count(*) AS n FROM baskets GROUP BY l_partkey
+),
+co AS (
+    SELECT a.l_partkey AS pa, b.l_partkey AS pb, count(*) AS co_orders
+    FROM baskets a
+    JOIN baskets b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY a.l_partkey, b.l_partkey
+),
+directed AS (
+    SELECT pa AS part, pb AS neighbor, co_orders FROM co
+    UNION ALL
+    SELECT pb AS part, pa AS neighbor, co_orders FROM co
+),
+scored AS (
+    SELECT d.part, d.neighbor, d.co_orders,
+           round(d.co_orders / (na.n + nb.n - d.co_orders), 6) AS jaccard
+    FROM directed d
+    JOIN n_per_item na ON na.part = d.part
+    JOIN n_per_item nb ON nb.part = d.neighbor
+),
+ranked AS (
+    SELECT *, row_number() OVER (
+        PARTITION BY part ORDER BY jaccard DESC, neighbor
+    ) AS rank
+    FROM scored
+)
+SELECT part, neighbor, co_orders, jaccard, rank
+FROM ranked WHERE rank <= {_SIM_TOPK} AND part < 200
+ORDER BY part, rank
+""",
+)
+def q166_item_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item collaborative-filtering similarity: for each part the
+    top-{_SIM_TOPK} co-purchased neighbors by Jaccard over order
+    baskets (|orders with both| / |orders with either|), reported for
+    parts < 200 to keep the checked slice small.
+
+    Scale shape: baskets are collect_set per order (ONE lineitem scan
+    + shuffle with map-side combine), canonical pairs are generated
+    IN-ROW from the sorted basket (bounded by basket size squared —
+    baskets are small; a per-basket cap guards pathological carts),
+    and the pair aggregate is the only pair-scale shuffle. Per-item
+    order counts re-aggregate the basket table and join the pair table
+    on part keys — plain equi-shuffles, broadcast when small (AQE).
+    The top-k is a per-part window over the aggregated pair set, never
+    over raw co-occurrence events. This is the inverted-index
+    formulation of item-CF that survives 100 TB of orders; the
+    all-pairs-of-rows formulation does not.
+    """
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    baskets = li.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("l_partkey")).alias("p")
+    )
+    p = F.col("p")
+    pairs = F.flatten(
+        F.transform(
+            p,
+            lambda x, i: F.transform(
+                F.slice(p, i + 2, F.greatest(F.size(p) - i - 1, F.lit(0))),
+                lambda y: F.struct(x.alias("pa"), y.alias("pb")),
+            ),
+        )
+    )
+    co = (
+        baskets.select(F.explode(pairs).alias("e"))
+        .groupBy(F.col("e.pa").alias("pa"), F.col("e.pb").alias("pb"))
+        .agg(F.count("*").alias("co_orders"))
+    )
+    directed = co.selectExpr(
+        "pa AS part", "pb AS neighbor", "co_orders"
+    ).unionByName(co.selectExpr("pb AS part", "pa AS neighbor", "co_orders"))
+    n_per_item = (
+        baskets.select(F.explode("p").alias("part"))
+        .groupBy("part")
+        .agg(F.count("*").alias("n"))
+    )
+    nb = n_per_item.select(
+        F.col("part").alias("neighbor"), F.col("n").alias("n_b")
+    )
+    scored = (
+        directed.join(n_per_item, "part")
+        .join(nb, "neighbor")
+        .select(
+            "part",
+            "neighbor",
+            "co_orders",
+            F.round(
+                F.col("co_orders")
+                / (F.col("n") + F.col("n_b") - F.col("co_orders")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+    w = Window.partitionBy("part").orderBy(
+        F.col("jaccard").desc(), F.col("neighbor")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where((F.col("rank") <= _SIM_TOPK) & (F.col("part") < 200))
+        .orderBy("part", "rank")
+    )
+
+
+_TRI_TOP = 20
+# orientation key: degree-major, id-minor — bounds per-source wedge
+# fan-out by O(sqrt(edges)) (the compact-forward bound)
+_OKEY = 10_000_000
+
+
+@query(
+    "q167_triangle_count",
+    oracle=f"""
+WITH und AS (
+    SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+    FROM lineitem a
+    JOIN lineitem b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+deg AS (
+    SELECT node, count(*) AS d
+    FROM (SELECT u AS node FROM und UNION ALL SELECT v AS node FROM und)
+    GROUP BY node
+),
+keyed AS (
+    SELECT und.u, und.v,
+           du.d * {_OKEY} + und.u AS uk,
+           dv.d * {_OKEY} + und.v AS vk
+    FROM und
+    JOIN deg du ON du.node = und.u
+    JOIN deg dv ON dv.node = und.v
+),
+oriented AS (
+    SELECT CASE WHEN uk < vk THEN u ELSE v END AS src,
+           CASE WHEN uk < vk THEN v ELSE u END AS dst,
+           CASE WHEN uk < vk THEN uk ELSE vk END AS sk,
+           CASE WHEN uk < vk THEN vk ELSE uk END AS dk
+    FROM keyed
+),
+wedges AS (
+    SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+    FROM oriented e1
+    JOIN oriented e2 ON e1.src = e2.src AND e1.dk < e2.dk
+),
+tri AS (
+    SELECT w.a, w.b, w.c
+    FROM wedges w
+    JOIN oriented e3 ON e3.src = w.b AND e3.dst = w.c
+),
+per_node AS (
+    SELECT node, count(*) AS triangles
+    FROM (SELECT a AS node FROM tri UNION ALL
+          SELECT b AS node FROM tri UNION ALL
+          SELECT c AS node FROM tri)
+    GROUP BY node
+)
+SELECT node AS part, triangles
+FROM per_node
+ORDER BY triangles DESC, part
+LIMIT {_TRI_TOP}
+""",
+)
+def q167_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts in the part co-purchase graph (top
+    {_TRI_TOP} by participation): the local-clustering signal that
+    flags tightly-bundled catalog cliques.
+
+    Degree-oriented ("compact-forward") enumeration — the distributed
+    triangle algorithm that scales: every undirected edge is oriented
+    from its lower to its higher (degree, id) endpoint, wedges are
+    generated only from each node's ORIENTED out-neighborhood (out-
+    degree is O(sqrt(E)) under this orientation, so per-node wedge
+    fan-out is bounded even for hub nodes — the classic fix for the
+    star-graph blowup), and a wedge becomes a triangle iff its closing
+    edge exists (one equi-join against the oriented edge list). Each
+    triangle is found exactly once. Shuffles: edge build, two equi-
+    joins keyed on node ids, one count — all hash-partitionable; no
+    all-pairs stage anywhere.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    und = copurchase_edges(li).where(F.col("src") < F.col("dst"))
+    und = und.localCheckpoint(eager=False)  # feeds deg + orientation
+    deg = (
+        und.select(F.col("src").alias("node"))
+        .unionByName(und.select(F.col("dst").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("d"))
+    )
+    keyed = (
+        und.join(deg.withColumnRenamed("node", "src"), "src")
+        .withColumnRenamed("d", "du")
+        .join(
+            deg.select(F.col("node").alias("dst"), F.col("d").alias("dv")),
+            "dst",
+        )
+        .select(
+            "src",
+            "dst",
+            (F.col("du") * _OKEY + F.col("src")).alias("uk"),
+            (F.col("dv") * _OKEY + F.col("dst")).alias("vk"),
+        )
+    )
+    lt = F.col("uk") < F.col("vk")
+    oriented = keyed.select(
+        F.when(lt, F.col("src")).otherwise(F.col("dst")).alias("src"),
+        F.when(lt, F.col("dst")).otherwise(F.col("src")).alias("dst"),
+        F.when(lt, F.col("vk")).otherwise(F.col("uk")).alias("dk"),
+    ).localCheckpoint(eager=False)  # feeds wedges twice + closing join
+    e2 = oriented.select(
+        F.col("src"), F.col("dst").alias("c"), F.col("dk").alias("dk2")
+    )
+    wedges = (
+        oriented.join(e2, "src")
+        .where(F.col("dk") < F.col("dk2"))
+        .select(F.col("src").alias("a"), F.col("dst").alias("b"), "c")
+    )
+    closing = oriented.select(
+        F.col("src").alias("b"), F.col("dst").alias("c")
+    )
+    tri = wedges.join(closing, ["b", "c"])
+    per_node = (
+        tri.select(F.col("a").alias("node"))
+        .unionByName(tri.select(F.col("b").alias("node")))
+        .unionByName(tri.select(F.col("c").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("triangles"))
+    )
+    return (
+        per_node.select(F.col("node").alias("part"), "triangles")
+        .orderBy(F.col("triangles").desc(), "part")
+        .limit(_TRI_TOP)
+    )

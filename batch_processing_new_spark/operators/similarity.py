@@ -676,3 +676,84 @@ def q145_filtered_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "neighbor_id", "cos_sim", "rank")
         .orderBy("query_id", "rank")
     )
+
+
+_NEG_K = 5
+
+
+@query(
+    "q168_hard_negatives",
+    oracle=f"""
+WITH q AS (
+    SELECT vec_id AS query_id, label AS query_label, embedding
+    FROM embeddings WHERE vec_id < {N_QUERIES}
+),
+scored AS (
+    SELECT q.query_id, q.query_label,
+           b.vec_id AS neighbor_id, b.label AS neighbor_label,
+           round((SELECT sum(q.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)
+                  FROM generate_series(1, 64) g(i))
+                 / (sqrt((SELECT sum(q.embedding[i]::DOUBLE * q.embedding[i]::DOUBLE)
+                          FROM generate_series(1, 64) g(i)))
+                    * sqrt((SELECT sum(b.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)
+                            FROM generate_series(1, 64) g(i)))), 6) AS cos_sim
+    FROM q, embeddings b
+    WHERE b.label <> q.query_label
+),
+ranked AS (
+    SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id
+    ) AS rank
+    FROM scored
+)
+SELECT query_id, query_label, neighbor_id, neighbor_label, cos_sim, rank
+FROM ranked WHERE rank <= {_NEG_K}
+ORDER BY query_id, rank
+""",
+)
+def q168_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each anchor
+    (vec_id < {N_QUERIES}) the top-{_NEG_K} most-similar vectors with a
+    DIFFERENT label — near-misses in embedding space, the negatives
+    that actually move a contrastive/reranker loss (random negatives
+    are trivially separable; these are not).
+
+    Plan: anchors broadcast against one corpus scan with the label-
+    mismatch predicate applied IN the join (Catalyst pushes it below
+    the cosine), per-anchor window top-k. Same exactness-baseline
+    shape as q40; at corpus scale the ANN path (q42/q57 buckets,
+    filtered to label <> anchor's) replaces the scan, and this query
+    stays as its recall oracle.
+    """
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("query_label"),
+        _f64("embedding").alias("qv"),
+    )
+    c = fan_out(e).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("neighbor_label"),
+        _f64("embedding").alias("cv"),
+    )
+    scored = c.join(
+        F.broadcast(q), F.col("neighbor_label") != F.col("query_label")
+    ).withColumn("cos_sim", F.round(cosine(F.col("qv"), F.col("cv")), 6))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= _NEG_K)
+        .select(
+            "query_id",
+            "query_label",
+            "neighbor_id",
+            "neighbor_label",
+            "cos_sim",
+            "rank",
+        )
+        .orderBy("query_id", "rank")
+    )

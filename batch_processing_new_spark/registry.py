@@ -57,6 +57,9 @@ _QUERY_MODULES = [
     "batch_processing_new_spark.operators.layout",
     "batch_processing_new_spark.operators.scoring",
     "batch_processing_new_spark.operators.graph",
+    "batch_processing_new_spark.operators.experiments",
+    "batch_processing_new_spark.operators.bpe",
+    "batch_processing_new_spark.operators.versioning",
     "batch_processing_new_spark.operators.clustering",
     "batch_processing_new_spark.plans.corpus_pipeline",
     "batch_processing_new_spark.sources.excel",

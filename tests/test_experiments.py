@@ -1,0 +1,152 @@
+"""Invariant tests for the round-2 experiment/graph/versioning batch
+(q163-q168): closed-form recomputation, brute-force cross-checks on
+the smoke fixture, and structural invariants the SQL oracles can't
+state."""
+
+from __future__ import annotations
+
+import math
+from itertools import combinations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from batch_processing_new_spark.operators.experiments import q163_ab_ztest
+from batch_processing_new_spark.operators.graph import (
+    q166_item_similarity,
+    q167_triangle_count,
+)
+from batch_processing_new_spark.operators.similarity import q168_hard_negatives
+from batch_processing_new_spark.operators.versioning import q165_snapshot_diff
+from batch_processing_new_spark.sources.readers import load_table
+from tests.conftest import SF_CORRECT, SF_SMOKE
+
+
+def test_ab_ztest_closed_form(spark):
+    row = q163_ab_ztest(spark, SF_CORRECT).collect()[0]
+    n_a, n_b, c_a, c_b = row["n_a"], row["n_b"], row["conv_a"], row["conv_b"]
+    assert n_a + n_b > 0 and 0 <= c_a <= n_a and 0 <= c_b <= n_b
+    p_a, p_b = c_a / n_a, c_b / n_b
+    pooled = (c_a + c_b) / (n_a + n_b)
+    z = (p_b - p_a) / math.sqrt(
+        pooled * (1 - pooled) * (1 / n_a + 1 / n_b)
+    )
+    assert abs(row["z_score"] - round(z, 6)) < 1e-9
+    assert row["significant"] == (abs(z) > 1.959963985)
+    # hash split should be roughly balanced (50/50 binomial, 6 sigma)
+    assert abs(n_a - n_b) < 6 * math.sqrt(n_a + n_b)
+
+
+def test_snapshot_diff_classification(spark):
+    rows = q165_snapshot_diff(spark, SF_CORRECT).collect()
+    by_type: dict[str, set] = {"added": set(), "removed": set(), "updated": set()}
+    for r in rows:
+        by_type[r["change_type"]].add(r["doc_id"])
+        if r["change_type"] == "added":
+            assert r["old_hash"] is None and r["new_hash"] is not None
+        elif r["change_type"] == "removed":
+            assert r["new_hash"] is None and r["old_hash"] is not None
+        else:
+            assert r["old_hash"] != r["new_hash"]
+    ids = [
+        r["doc_id"]
+        for r in load_table(spark, SF_CORRECT, "documents")
+        .select("doc_id")
+        .collect()
+    ]
+    exp_added = {i for i in ids if i % 11 == 3 and i % 13 != 5}
+    exp_removed = {i for i in ids if i % 11 != 3 and i % 13 == 5}
+    exp_updated = {
+        i for i in ids if i % 11 != 3 and i % 13 != 5 and i % 7 == 2
+    }
+    assert by_type["added"] == exp_added
+    assert by_type["removed"] == exp_removed
+    assert by_type["updated"] == exp_updated
+
+
+def test_item_similarity_matches_bruteforce(spark):
+    li = (
+        load_table(spark, SF_SMOKE, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .collect()
+    )
+    baskets: dict[int, set] = {}
+    for r in li:
+        baskets.setdefault(r["l_orderkey"], set()).add(r["l_partkey"])
+    n: dict[int, int] = {}
+    co: dict[tuple[int, int], int] = {}
+    for parts in baskets.values():
+        for p in parts:
+            n[p] = n.get(p, 0) + 1
+        for a, b in combinations(sorted(parts), 2):
+            co[(a, b)] = co.get((a, b), 0) + 1
+    rows = q166_item_similarity(spark, SF_SMOKE).collect()
+    assert rows, "smoke fixture should produce co-purchased parts"
+    for r in rows:
+        a, b = sorted((r["part"], r["neighbor"]))
+        assert co[(a, b)] == r["co_orders"]
+        jac = co[(a, b)] / (n[r["part"]] + n[r["neighbor"]] - co[(a, b)])
+        assert abs(r["jaccard"] - round(jac, 6)) < 1e-9
+        assert 1 <= r["rank"] <= 5 and r["part"] < 200
+
+
+def test_triangle_count_matches_bruteforce(spark):
+    li = (
+        load_table(spark, SF_SMOKE, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .collect()
+    )
+    baskets: dict[int, set] = {}
+    for r in li:
+        baskets.setdefault(r["l_orderkey"], set()).add(r["l_partkey"])
+    edges: set[tuple[int, int]] = set()
+    adj: dict[int, set] = {}
+    for parts in baskets.values():
+        for a, b in combinations(sorted(parts), 2):
+            edges.add((a, b))
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+    per_node: dict[int, int] = {}
+    for a, b in edges:
+        for c in adj[a] & adj[b]:
+            if c > b:  # count each triangle once (a < b < c)
+                for v in (a, b, c):
+                    per_node[v] = per_node.get(v, 0) + 1
+    expected = sorted(per_node.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    got = [
+        (r["part"], r["triangles"])
+        for r in q167_triangle_count(spark, SF_SMOKE).collect()
+    ]
+    assert got == expected
+
+
+def test_hard_negatives_labels_and_cosines(spark):
+    e = {
+        r["vec_id"]: (np.array(r["embedding"], dtype=np.float64), r["label"])
+        for r in load_table(spark, SF_CORRECT, "embeddings").collect()
+    }
+    rows = q168_hard_negatives(spark, SF_CORRECT).collect()
+    assert len(rows) == 25  # 5 anchors x 5 negatives
+    for r in rows:
+        qv, ql = e[r["query_id"]]
+        nv, nl = e[r["neighbor_id"]]
+        assert ql == r["query_label"] and nl == r["neighbor_label"]
+        assert ql != nl
+        cos = float(
+            qv @ nv / (np.linalg.norm(qv) * np.linalg.norm(nv))
+        )
+        assert abs(r["cos_sim"] - cos) < 1e-5
+    # each anchor's negatives are its best cross-label matches:
+    # verify top-1 per anchor against numpy argmax
+    best = {}
+    for r in rows:
+        if r["rank"] == 1:
+            best[r["query_id"]] = r["neighbor_id"]
+    for qid, (qv, ql) in ((k, v) for k, v in e.items() if k < 5):
+        cands = {
+            vid: float(qv @ nv / (np.linalg.norm(qv) * np.linalg.norm(nv)))
+            for vid, (nv, nl) in e.items()
+            if nl != ql
+        }
+        top = max(cands.items(), key=lambda kv: (round(kv[1], 6), -kv[0]))
+        assert best[qid] == top[0]
