@@ -133,3 +133,133 @@ def q163_ab_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(z, 6).alias("z_score"),
         (F.abs(z) > _Z_CRIT).alias("significant"),
     )
+
+
+_CUPED_CUTOFF = "2024-01-16"  # pre-period: events before this day
+
+
+@query(
+    "q172_cuped",
+    oracle=f"""
+WITH per_user AS (
+    SELECT user_id,
+           {_arm_sql("user_id::VARCHAR")} AS arm,
+           CAST(sum(CASE WHEN ts <  TIMESTAMP '{_CUPED_CUTOFF}'
+                         THEN CAST(value AS DECIMAL(30,8)) ELSE 0 END) AS DOUBLE) AS pre,
+           CAST(sum(CASE WHEN ts >= TIMESTAMP '{_CUPED_CUTOFF}'
+                          AND event_type = 'purchase'
+                         THEN CAST(value AS DECIMAL(30,8)) ELSE 0 END) AS DOUBLE) AS post
+    FROM events
+    GROUP BY user_id
+),
+moments AS (
+    SELECT count(*) AS n,
+           CAST(sum(CAST(pre  AS DECIMAL(30,8))) AS DOUBLE) AS sx,
+           CAST(sum(CAST(post AS DECIMAL(30,8))) AS DOUBLE) AS sy,
+           CAST(sum(CAST(pre * post AS DECIMAL(30,8))) AS DOUBLE) AS sxy,
+           CAST(sum(CAST(pre * pre  AS DECIMAL(30,8))) AS DOUBLE) AS sxx
+    FROM per_user
+),
+theta AS (
+    SELECT n, sx / n AS mx,
+           (sxy - sx * sy / n) / (sxx - sx * sx / n) AS th
+    FROM moments
+),
+adjusted AS (
+    SELECT u.arm, u.post - t.th * (u.pre - t.mx) AS adj, u.post, t.th
+    FROM per_user u CROSS JOIN theta t
+)
+SELECT arm,
+       count(*) AS n_users,
+       round(CAST(sum(CAST(post AS DECIMAL(30,8))) AS DOUBLE) / count(*), 6) AS mean_post,
+       round(CAST(sum(CAST(adj  AS DECIMAL(30,8))) AS DOUBLE) / count(*), 6) AS mean_adjusted,
+       round(any_value(th), 6) AS theta
+FROM adjusted
+GROUP BY arm
+ORDER BY arm
+""",
+)
+def q172_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance reduction for the q163 experiment: per-user
+    pre-period covariate (all event value before {_CUPED_CUTOFF}) and
+    post-period metric (purchase value after), theta =
+    cov(pre, post)/var(pre) estimated once over ALL users (the
+    standard assignment-independent estimator), adjusted metric
+    post - theta*(pre - mean(pre)), reported per arm.
+
+    Distributed shape: user-grain conditional aggregate (one shuffle),
+    then a single-row moment aggregate — sums of pre, post, pre*post,
+    pre^2 reduced under the DECIMAL(30,8) dsum discipline so theta is
+    a deterministic scalar of exact sums (partition-order-independent,
+    engine-identical); the adjustment is a broadcast of that 1-row
+    theta back across users. The per-arm re-aggregate is the q163
+    two-row collapse. Nothing driver-side at any scale.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    dec = "decimal(30,8)"
+    cutoff = F.lit(_CUPED_CUTOFF).cast("timestamp_ntz")
+    per_user = (
+        ev.groupBy("user_id")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("ts") < cutoff, F.col("value").cast(dec)
+                ).otherwise(F.lit(0).cast(dec))
+            )
+            .cast("double")
+            .alias("pre"),
+            F.sum(
+                F.when(
+                    (F.col("ts") >= cutoff)
+                    & (F.col("event_type") == "purchase"),
+                    F.col("value").cast(dec),
+                ).otherwise(F.lit(0).cast(dec))
+            )
+            .cast("double")
+            .alias("post"),
+        )
+        .withColumn("arm", arm_of(F.col("user_id")))
+    )
+    per_user = per_user.localCheckpoint(eager=False)  # moments + adjust
+    moments = per_user.agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("pre").cast(dec)).cast("double").alias("sx"),
+        F.sum(F.col("post").cast(dec)).cast("double").alias("sy"),
+        F.sum((F.col("pre") * F.col("post")).cast(dec))
+        .cast("double")
+        .alias("sxy"),
+        F.sum((F.col("pre") * F.col("pre")).cast(dec))
+        .cast("double")
+        .alias("sxx"),
+    )
+    theta = moments.select(
+        (F.col("sx") / F.col("n")).alias("mx"),
+        (
+            (F.col("sxy") - F.col("sx") * F.col("sy") / F.col("n"))
+            / (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n"))
+        ).alias("th"),
+    )
+    adjusted = per_user.crossJoin(F.broadcast(theta)).select(
+        "arm",
+        "post",
+        (F.col("post") - F.col("th") * (F.col("pre") - F.col("mx"))).alias(
+            "adj"
+        ),
+        "th",
+    )
+    return (
+        adjusted.groupBy("arm")
+        .agg(
+            F.count("*").alias("n_users"),
+            F.round(
+                F.sum(F.col("post").cast(dec)).cast("double") / F.count("*"),
+                6,
+            ).alias("mean_post"),
+            F.round(
+                F.sum(F.col("adj").cast(dec)).cast("double") / F.count("*"),
+                6,
+            ).alias("mean_adjusted"),
+            F.round(F.first("th"), 6).alias("theta"),
+        )
+        .orderBy("arm")
+    )

@@ -1339,3 +1339,64 @@ def q158_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_year")
     )
+
+
+@query(
+    "q175_top_supplier_revenue",
+    oracle="""
+WITH revenue AS (
+    SELECT l_suppkey AS supplier_no,
+           CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,8))) AS DOUBLE)
+               AS total_revenue
+    FROM lineitem
+    WHERE l_shipdate >= DATE '1996-01-01'
+      AND l_shipdate <  DATE '1996-04-01'
+    GROUP BY l_suppkey
+)
+SELECT s.s_suppkey, s.s_name, r.total_revenue
+FROM supplier s
+JOIN revenue r ON s.s_suppkey = r.supplier_no
+WHERE r.total_revenue = (SELECT max(total_revenue) FROM revenue)
+ORDER BY s.s_suppkey
+""",
+)
+def q175_top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: the supplier(s) whose Q1-1996 shipped revenue
+    equals the maximum over all suppliers — a scalar subquery against
+    an aggregate VIEW, decorrelated to one aggregate + a broadcast
+    1-row max + an equality join (keeping ties, per the spec).
+
+    The revenue table is built ONCE (localCheckpoint) and feeds both
+    the max and the equality filter — the naive form recomputes the
+    window aggregate twice. Revenue reduces under the DECIMAL dsum
+    discipline, so the max-equality comparison is exact on both
+    engines (double equality is safe here because both sides are THE
+    SAME deterministically-derived value, not independently-rounded
+    math). Shape at scale: one filtered scan + supplier-key aggregate,
+    a 1-row broadcast, and a broadcast-able dimension join.
+    """
+    from batch_processing_new_spark.operators.relational import dsum
+
+    li = load_table(spark, sf_dir, "lineitem")
+    revenue = (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("date"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("date"))
+        )
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "total_revenue"
+            )
+        )
+        .localCheckpoint(eager=False)
+    )
+    mx = revenue.agg(F.max("total_revenue").alias("mx"))
+    sup = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        revenue.crossJoin(F.broadcast(mx))
+        .where(F.col("total_revenue") == F.col("mx"))
+        .join(sup, F.col("supplier_no") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )

@@ -59,6 +59,8 @@ _QUERY_MODULES = [
     "batch_processing_new_spark.operators.graph",
     "batch_processing_new_spark.operators.experiments",
     "batch_processing_new_spark.operators.bpe",
+    "batch_processing_new_spark.operators.activity",
+    "batch_processing_new_spark.operators.quality_audit",
     "batch_processing_new_spark.operators.versioning",
     "batch_processing_new_spark.operators.clustering",
     "batch_processing_new_spark.plans.corpus_pipeline",

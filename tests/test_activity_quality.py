@@ -1,0 +1,160 @@
+"""Invariant tests for q170-q175: brute-force recomputation on the
+smoke fixture and structural guarantees (episode disjointness, audit
+zero-orphans, Q15 tie semantics)."""
+
+from __future__ import annotations
+
+from collections import defaultdict
+from datetime import timedelta
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from batch_processing_new_spark.operators.activity import (
+    q170_rolling_active_users,
+    q171_interval_coalesce,
+)
+from batch_processing_new_spark.operators.experiments import q172_cuped
+from batch_processing_new_spark.operators.quality_audit import (
+    FK_EDGES,
+    q173_expectations_audit,
+    q174_fk_orphan_audit,
+)
+from batch_processing_new_spark.operators.relational_ext import (
+    q175_top_supplier_revenue,
+)
+from batch_processing_new_spark.sources.readers import load_table
+from tests.conftest import SF_CORRECT, SF_SMOKE
+
+
+def _events(spark, sf):
+    return load_table(spark, sf, "events").collect()
+
+
+def test_wau_bruteforce(spark):
+    ev = _events(spark, SF_SMOKE)
+    act = {(r["user_id"], r["ts"].date()) for r in ev}
+    days = sorted({d for _, d in act})
+    got = {
+        r["day"]: r["wau"]
+        for r in q170_rolling_active_users(spark, SF_SMOKE).collect()
+    }
+    assert set(got) == set(days)
+    for d in days:
+        lo = d - timedelta(days=6)
+        expect = len({u for u, ad in act if lo <= ad <= d})
+        assert got[d] == expect
+
+
+def test_interval_coalesce_episodes_disjoint_and_cover(spark):
+    rows = q171_interval_coalesce(spark, SF_SMOKE).collect()
+    ev = _events(spark, SF_SMOKE)
+    by_user = defaultdict(list)
+    for r in rows:
+        by_user[r["user_id"]].append(r)
+    # conservation: every interval lands in exactly one episode
+    assert sum(r["n_intervals"] for r in rows) == len(ev)
+    per_user_events = defaultdict(int)
+    for e in ev:
+        per_user_events[e["user_id"]] += 1
+    for u, eps in by_user.items():
+        eps = sorted(eps, key=lambda r: r["episode"])
+        assert [r["episode"] for r in eps] == list(range(1, len(eps) + 1))
+        assert sum(r["n_intervals"] for r in eps) == per_user_events[u]
+        for a, b in zip(eps, eps[1:]):
+            # maximal episodes: a strict gap separates consecutive ones
+            assert a["episode_end"] < b["episode_start"]
+        for r in eps:
+            span = (
+                r["episode_end"] - r["episode_start"]
+            ).total_seconds() / 60.0
+            assert span >= 30.0  # at least one 30-minute hold
+
+
+def test_cuped_reduces_or_preserves_variance_and_theta(spark):
+    ev = _events(spark, SF_CORRECT)
+    cutoff = np.datetime64("2024-01-16T00:00:00")
+    pre = defaultdict(float)
+    post = defaultdict(float)
+    for r in ev:
+        t = np.datetime64(r["ts"])
+        if t < cutoff:
+            pre[r["user_id"]] += r["value"]
+        elif r["event_type"] == "purchase":
+            post[r["user_id"]] += r["value"]
+    users = sorted(set(r["user_id"] for r in ev))
+    x = np.array([pre[u] for u in users])
+    y = np.array([post[u] for u in users])
+    th = ((x * y).sum() - x.sum() * y.sum() / len(x)) / (
+        (x * x).sum() - x.sum() ** 2 / len(x)
+    )
+    rows = q172_cuped(spark, SF_CORRECT).collect()
+    assert len(rows) == 2 and [r["arm"] for r in rows] == [0, 1]
+    for r in rows:
+        assert abs(r["theta"] - round(th, 6)) < 1e-4
+    # adjusted metric has (weakly) smaller variance than raw post
+    adj = y - th * (x - x.mean())
+    assert adj.var() <= y.var() + 1e-9
+    # grand mean is preserved by CUPED (sum over arms weighted)
+    n = sum(r["n_users"] for r in rows)
+    mean_adj = sum(r["mean_adjusted"] * r["n_users"] for r in rows) / n
+    assert abs(mean_adj - y.mean()) < 1e-3
+
+
+def test_expectations_audit_pandas_recompute(spark):
+    import json
+
+    ev = _events(spark, SF_CORRECT)
+    n = len(ev)
+    exp = {
+        "value_nonneg": sum(1 for r in ev if not (r["value"] >= 0)),
+        "value_upper_bound": sum(1 for r in ev if not (r["value"] <= 1000)),
+        "event_type_domain": sum(
+            1
+            for r in ev
+            if r["event_type"]
+            not in ("click", "view", "purchase", "signup", "error")
+        ),
+        "user_id_present": sum(1 for r in ev if r["user_id"] is None),
+        "props_has_k": sum(
+            1
+            for r in ev
+            if r["props"] is None or "k" not in json.loads(r["props"])
+        ),
+    }
+    got = {
+        r["rule_id"]: r
+        for r in q173_expectations_audit(spark, SF_CORRECT).collect()
+    }
+    assert len(got) == 6
+    for rid, v in exp.items():
+        assert got[rid]["n_violations"] == v
+        assert got[rid]["n_rows"] == n
+        assert abs(got[rid]["violation_rate"] - round(v / n, 6)) < 1e-9
+
+
+def test_fk_orphan_audit_zero_orphans_and_counts(spark):
+    rows = {r["edge"]: r for r in q174_fk_orphan_audit(spark, SF_SMOKE).collect()}
+    assert set(rows) == {e[0] for e in FK_EDGES}
+    for name, child, fk, parent, pk in FK_EDGES:
+        c = load_table(spark, SF_SMOKE, child)
+        assert rows[name]["child_rows"] == c.count()
+        assert rows[name]["orphan_rows"] == 0  # fixture is referentially intact
+
+
+def test_top_supplier_is_argmax(spark):
+    li = load_table(spark, SF_SMOKE, "lineitem").collect()
+    rev = defaultdict(float)
+    for r in li:
+        d = r["l_shipdate"]
+        d = d.date() if hasattr(d, "date") else d
+        if d.year == 1996 and d.month in (1, 2, 3):
+            rev[r["l_suppkey"]] += r["l_extendedprice"] * (
+                1 - r["l_discount"]
+            )
+    best = max(rev.values())
+    winners = {k for k, v in rev.items() if abs(v - best) < 1e-6}
+    got = q175_top_supplier_revenue(spark, SF_SMOKE).collect()
+    assert {r["s_suppkey"] for r in got} == winners
+    for r in got:
+        assert abs(r["total_revenue"] - best) < 1e-6
