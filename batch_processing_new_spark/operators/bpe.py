@@ -113,11 +113,15 @@ def learn_bpe(
 
 
 def segment(words: DataFrame, merges: list[tuple[int, str, str, int]]) -> DataFrame:
-    """Apply a learned merge list in order: (word, pieces array)."""
+    """Apply a learned merge list in order: input columns + ``pieces``.
+
+    The fold chain for ALL merges composes into one expression, so
+    applying an n-merge tokenizer is a single projection pass.
+    """
     syms = _chars_plus_eow("word")
     for _, l, r, _ in merges:
         syms = _apply_merge(syms, l, r)
-    return words.select("word", syms.alias("pieces"))
+    return words.withColumn("pieces", syms)
 
 
 @query(
@@ -140,4 +144,54 @@ def q169_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     merges = learn_bpe(words, N_MERGES)
     return spark.createDataFrame(
         merges, "merge_rank INT, left STRING, right STRING, pair_count BIGINT"
+    )
+
+
+_PIECE_TOP = 20
+
+
+@query(
+    "q180_bpe_tokenize_corpus",
+    doc="rows-only: applies the learned (iterative) merge list; piece "
+    "counts pinned against the pure-Python reference in tests/test_bpe.py",
+)
+def q180_bpe_tokenize_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenize the corpus with the learned BPE merges (train ->
+    apply, the full tokenizer loop): top {_PIECE_TOP} vocabulary
+    pieces by corpus frequency after {N_MERGES} merges, with the
+    fraction of all pieces each accounts for.
+
+    The merge list is learned once (q169's loop), then APPLIED in a
+    single pass: the fold chain for all merges composes into one
+    in-scan expression over the word-frequency table — tokenizing the
+    corpus costs one scan + one |vocab|-sized aggregate regardless of
+    merge count, because piece counts weight by word frequency instead
+    of re-walking raw text.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    words = (
+        fan_out(d.select("text"))
+        .select(F.explode(tokens(F.col("text"))).alias("word"))
+        .where(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+        .localCheckpoint(eager=False)  # feeds learn + apply
+    )
+    merges = learn_bpe(words, N_MERGES)
+    pieces = (
+        segment(words, merges)
+        .select(F.explode("pieces").alias("piece"), F.col("cnt"))
+        .groupBy("piece")
+        .agg(F.sum("cnt").alias("n"))
+    )
+    tot = pieces.agg(F.sum("n").alias("tot"))
+    return (
+        pieces.crossJoin(F.broadcast(tot))
+        .select(
+            "piece",
+            "n",
+            F.round(F.col("n") / F.col("tot"), 6).alias("frac"),
+        )
+        .orderBy(F.col("n").desc(), "piece")
+        .limit(_PIECE_TOP)
     )

@@ -25,7 +25,7 @@ queries carry exact DuckDB oracles.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from batch_processing_new_spark.registry import query
@@ -201,7 +201,7 @@ _W_SQL = (
 )
 
 
-def _weights(spark: SparkSession) -> list[float]:
+def _weights(spark: SparkSession | None = None) -> list[float]:
     """Driver-side twin of _W_SQL (CLS_DIM floats — the model)."""
     import hashlib
 
@@ -421,3 +421,110 @@ def q151_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bm25_rank",
         "cos_rank",
     ).orderBy("rank")
+
+
+# ------------------------------------- classifier calibration (q179)
+
+_CAL_LABEL_SQL = "n_chars >= 200"  # proxy "good" label for reliability
+_CAL_BUCKETS = 10
+
+
+def _cls_p_good(text_col: Column) -> Column:
+    """q142's classifier probability as a reusable expression."""
+    weights = _weights()
+    wmap = F.create_map(
+        *[F.lit(x) for j, w in enumerate(weights) for x in (j, float(w))]
+    )
+    dot = F.aggregate(
+        F.transform(
+            tokens(text_col),
+            lambda t: F.element_at(wmap, (hash60(t) % CLS_DIM).cast("int")),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return 1 / (1 + F.exp(-(F.lit(CLS_BIAS) + dot)))
+
+
+@query(
+    "q179_calibration_table",
+    oracle=f"""
+WITH w AS (
+    SELECT j, {_W_SQL} AS w
+    FROM generate_series(0, {CLS_DIM - 1}) g(j)
+),
+tok AS (
+    SELECT doc_id, unnest(string_split(trim(text), ' ')) AS t
+    FROM documents
+),
+feat AS (
+    SELECT doc_id, {hash60_sql('t')} % {CLS_DIM} AS j, count(*) AS cnt
+    FROM tok GROUP BY doc_id, j
+),
+dotted AS (
+    SELECT f.doc_id, sum(f.cnt * w.w) AS dot
+    FROM feat f JOIN w USING (j) GROUP BY f.doc_id
+),
+scored AS (
+    SELECT d.doc_id,
+           round(1 / (1 + exp(-({CLS_BIAS} + dotted.dot))), 6) AS p,
+           CASE WHEN d.{_CAL_LABEL_SQL} THEN 1 ELSE 0 END AS label
+    FROM documents d JOIN dotted USING (doc_id)
+),
+bucketed AS (
+    SELECT least(floor(p * {_CAL_BUCKETS}), {_CAL_BUCKETS - 1})::BIGINT
+               AS bucket,
+           p, label
+    FROM scored
+)
+SELECT bucket,
+       count(*)::BIGINT AS n_docs,
+       round(CAST(sum(CAST(p AS DECIMAL(30,8))) AS DOUBLE) / count(*), 6)
+           AS mean_p,
+       round(sum(label) / count(*), 6) AS frac_good,
+       round(abs(CAST(sum(CAST(p AS DECIMAL(30,8))) AS DOUBLE) / count(*)
+                 - sum(label) / count(*)), 6) AS gap
+FROM bucketed
+GROUP BY bucket
+ORDER BY bucket
+""",
+)
+def q179_calibration_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability (calibration) table for the q142 quality
+    classifier: documents bucketed by predicted probability into
+    {_CAL_BUCKETS} deciles; per bucket the mean prediction, the
+    empirical rate of the proxy label ({_CAL_LABEL_SQL!r}), and the
+    |gap| — the per-bucket term of Expected Calibration Error, the
+    standard audit before a classifier's threshold gates a corpus.
+
+    Shapes: scoring is q142's zero-shuffle in-scan fold (the model is
+    a broadcast literal map); the only shuffle is the groupBy(bucket)
+    over {_CAL_BUCKETS} keys with map-side combine. Probabilities are
+    rounded to 6dp BEFORE bucketing/averaging (engine-identical), and
+    bucket means reduce under the DECIMAL dsum discipline.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    p = F.round(_cls_p_good(F.col("text")), 6)
+    scored = fan_out(d.select("doc_id", "text", "n_chars")).select(
+        p.alias("p"),
+        F.when(F.expr(_CAL_LABEL_SQL), 1).otherwise(0).alias("label"),
+    )
+    bucketed = scored.withColumn(
+        "bucket",
+        F.least(
+            F.floor(F.col("p") * _CAL_BUCKETS), F.lit(_CAL_BUCKETS - 1)
+        ).cast("bigint"),
+    )
+    dec = "decimal(30,8)"
+    mean_p = F.sum(F.col("p").cast(dec)).cast("double") / F.count("*")
+    frac = F.sum("label") / F.count("*")
+    return (
+        bucketed.groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(mean_p, 6).alias("mean_p"),
+            F.round(frac, 6).alias("frac_good"),
+            F.round(F.abs(mean_p - frac), 6).alias("gap"),
+        )
+        .orderBy("bucket")
+    )

@@ -757,3 +757,84 @@ def q168_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id", "rank")
     )
+
+
+_DECON_EVAL_LO, _DECON_EVAL_HI = 5, 15  # eval-set vectors: 5 <= vec_id < 15
+_DECON_TAU = 0.5
+
+
+@query(
+    "q176_semantic_decontam",
+    oracle=f"""
+WITH ev AS (
+    SELECT vec_id AS eval_id, embedding
+    FROM embeddings
+    WHERE vec_id >= {_DECON_EVAL_LO} AND vec_id < {_DECON_EVAL_HI}
+),
+scored AS (
+    SELECT b.vec_id, e.eval_id,
+           round((SELECT sum(e.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)
+                  FROM generate_series(1, 64) g(i))
+                 / (sqrt((SELECT sum(e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE)
+                          FROM generate_series(1, 64) g(i)))
+                    * sqrt((SELECT sum(b.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)
+                            FROM generate_series(1, 64) g(i)))), 6) AS cos_sim
+    FROM embeddings b, ev e
+    WHERE b.vec_id < {_DECON_EVAL_LO} OR b.vec_id >= {_DECON_EVAL_HI}
+),
+best AS (
+    SELECT vec_id, eval_id AS best_eval_id, cos_sim AS max_cos,
+           row_number() OVER (
+               PARTITION BY vec_id ORDER BY cos_sim DESC, eval_id
+           ) AS rn
+    FROM scored
+)
+SELECT vec_id, best_eval_id, max_cos,
+       max_cos >= {_DECON_TAU} AS contaminated
+FROM best WHERE rn = 1
+ORDER BY vec_id
+""",
+)
+def q176_semantic_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic (embedding-space) eval-set decontamination: every
+    corpus vector annotated with its nearest eval-set vector, the max
+    cosine, and the contaminated verdict (max >= {_DECON_TAU}) — the
+    embedding-similarity complement to q95's n-gram decontamination
+    (catches paraphrased leakage that exact n-grams miss; the
+    filter drops `contaminated` rows before training).
+
+    Plan: the eval set is SMALL by definition — broadcast it against
+    one corpus scan, per-vector argmax via window. One shuffle (the
+    window repartition by vec_id); at real scale the ANN bucket path
+    (q42) pre-filters candidates and this exact pass runs only on
+    bucket-mates, same as q114's cluster-then-prune discipline.
+    """
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "embeddings")
+    in_eval = (F.col("vec_id") >= _DECON_EVAL_LO) & (
+        F.col("vec_id") < _DECON_EVAL_HI
+    )
+    ev = e.where(in_eval).select(
+        F.col("vec_id").alias("eval_id"), _f64("embedding").alias("evv")
+    )
+    corpus = fan_out(e.where(~in_eval)).select(
+        "vec_id", _f64("embedding").alias("cv")
+    )
+    scored = corpus.crossJoin(F.broadcast(ev)).withColumn(
+        "cos_sim", F.round(cosine(F.col("evv"), F.col("cv")), 6)
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("cos_sim").desc(), F.col("eval_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "vec_id",
+            F.col("eval_id").alias("best_eval_id"),
+            F.col("cos_sim").alias("max_cos"),
+            (F.col("cos_sim") >= _DECON_TAU).alias("contaminated"),
+        )
+        .orderBy("vec_id")
+    )

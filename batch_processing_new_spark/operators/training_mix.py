@@ -459,3 +459,137 @@ def q112_seeded_shuffle_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return part.mapInPandas(
         assign, schema="doc_id bigint, source string, pos bigint, shard bigint"
     ).orderBy("pos")
+
+
+_TEMP_ALPHA = 0.3     # multilingual-balancing temperature (alpha < 1 upsamples tails)
+_TEMP_BUDGET = 10000  # docs allocated across sources
+
+
+@query(
+    "q177_temperature_mix",
+    oracle=f"""
+WITH per_source AS (
+    SELECT source, sum(n_chars)::BIGINT AS chars, count(*)::BIGINT AS docs
+    FROM documents GROUP BY source
+),
+powed AS (
+    SELECT source, chars, docs,
+           CAST(round(pow(chars, {_TEMP_ALPHA}), 6) AS DECIMAL(30,6)) AS pw
+    FROM per_source
+),
+tot AS (SELECT sum(pw) AS spw FROM powed)
+SELECT p.source, p.chars, p.docs,
+       round(CAST(p.pw / t.spw AS DOUBLE), 6) AS weight,
+       CAST(floor(CAST(p.pw / t.spw AS DOUBLE) * {_TEMP_BUDGET}) AS BIGINT)
+           AS alloc_docs
+FROM powed p CROSS JOIN tot t
+ORDER BY p.source
+""",
+)
+def q177_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based source reweighting (the multilingual-
+    balancing rule: w_i proportional to c_i^alpha, alpha={_TEMP_ALPHA}): per
+    source its exact char mass, the normalized sampling weight, and
+    the floor-allocated doc budget out of {_TEMP_BUDGET}. Alpha < 1
+    flattens the head and upsamples low-resource sources — the
+    mBERT/XLM-R exponential-smoothing recipe, and the knob q98's
+    token-budget sampler consumes.
+
+    Determinism discipline: pow() is the one non-rational step, so it
+    is rounded to 6 decimals BEFORE entering the aggregate and summed
+    as DECIMAL — the normalizing denominator is then exact and
+    partition-order-independent (the dsum rule from relational.py
+    applied to a float intermediate). Shapes: one groupBy(source) over
+    the scan, a 1-row total broadcast back over the |sources| rows.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    per_source = d.groupBy("source").agg(
+        F.sum("n_chars").alias("chars"), F.count("*").alias("docs")
+    )
+    powed = per_source.withColumn(
+        "pw",
+        F.round(F.pow(F.col("chars"), F.lit(_TEMP_ALPHA)), 6).cast(
+            "decimal(30,6)"
+        ),
+    )
+    tot = powed.agg(F.sum("pw").alias("spw"))
+    frac = (F.col("pw") / F.col("spw")).cast("double")
+    return (
+        powed.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "chars",
+            "docs",
+            F.round(frac, 6).alias("weight"),
+            F.floor(frac * _TEMP_BUDGET).cast("bigint").alias("alloc_docs"),
+        )
+        .orderBy("source")
+    )
+
+
+_BUCKET_W = 16  # token-length bucket width
+
+
+@query(
+    "q178_length_bucket_packing",
+    oracle=f"""
+WITH lens AS (
+    SELECT doc_id,
+           len(string_split(trim(text), ' '))::BIGINT AS n_tok
+    FROM documents
+),
+bucketed AS (
+    SELECT doc_id, n_tok, (n_tok // {_BUCKET_W})::BIGINT AS bucket
+    FROM lens
+)
+SELECT bucket,
+       count(*)::BIGINT AS n_docs,
+       min(n_tok) AS min_tok,
+       max(n_tok) AS max_tok,
+       (count(*) * max(n_tok) - sum(n_tok))::BIGINT AS padding_waste,
+       round((count(*) * max(n_tok) - sum(n_tok))
+             / (count(*) * max(n_tok)), 6) AS waste_frac
+FROM bucketed
+GROUP BY bucket
+ORDER BY bucket
+""",
+)
+def q178_length_bucket_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed batching audit: bucket documents by token count
+    (width {_BUCKET_W}), and per bucket report how much padding a
+    pad-to-bucket-max batcher wastes (absolute tokens and fraction) —
+    the decision table for choosing bucket boundaries in a training
+    dataloader (global pad-to-max is the degenerate single bucket;
+    q96's packer is the zero-padding alternative this quantifies
+    against). Waste identity: sum(bucket_max - len) == n*max - sum(len),
+    so one aggregate pass computes it from (count, max, sum) partials.
+
+    One scan -> in-row token count -> groupBy(bucket) — a single
+    shuffle of |buckets| rows, no window pass anywhere.
+    """
+    from batch_processing_new_spark.functions.text_funcs import tokens as _toks
+
+    d = load_table(spark, sf_dir, "documents")
+    lens = fan_out(d.select("doc_id", "text")).select(
+        F.size(_toks(F.col("text"))).cast("bigint").alias("n_tok")
+    )
+    bucketed = lens.withColumn(
+        "bucket", F.floor(F.col("n_tok") / _BUCKET_W).cast("bigint")
+    )
+    agg = bucketed.groupBy("bucket").agg(
+        F.count("*").alias("n_docs"),
+        F.min("n_tok").alias("min_tok"),
+        F.max("n_tok").alias("max_tok"),
+        F.sum("n_tok").alias("sum_tok"),
+    )
+    waste = F.col("n_docs") * F.col("max_tok") - F.col("sum_tok")
+    return agg.select(
+        "bucket",
+        "n_docs",
+        "min_tok",
+        "max_tok",
+        waste.alias("padding_waste"),
+        F.round(waste / (F.col("n_docs") * F.col("max_tok")), 6).alias(
+            "waste_frac"
+        ),
+    ).orderBy("bucket")

@@ -115,3 +115,27 @@ def test_overlapping_replacement_is_leftmost_nonoverlapping(spark):
     }
     assert seg["aaa"] == ("aa", "a", _EOW)
     assert seg["aa"] == ("aa", _EOW)
+
+
+def test_corpus_piece_counts_match_reference(spark):
+    from pyspark.sql import functions as F
+
+    from batch_processing_new_spark.operators.bpe import (
+        q180_bpe_tokenize_corpus,
+    )
+
+    wc = _word_counts(spark, SF_SMOKE)
+    merges = _ref_bpe(wc, N_MERGES)
+    counts: dict[str, int] = {}
+    for w, c in wc.items():
+        syms = tuple(w) + (_EOW,)
+        for _, l, r, _ in merges:
+            syms = _ref_apply(syms, l, r)
+        for s in syms:
+            counts[s] = counts.get(s, 0) + c
+    tot = sum(counts.values())
+    expected = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    got = q180_bpe_tokenize_corpus(spark, SF_SMOKE).collect()
+    assert [(r["piece"], r["n"]) for r in got] == expected
+    for r in got:
+        assert abs(r["frac"] - round(r["n"] / tot, 6)) < 1e-9

@@ -150,3 +150,77 @@ def test_hard_negatives_labels_and_cosines(spark):
         }
         top = max(cands.items(), key=lambda kv: (round(kv[1], 6), -kv[0]))
         assert best[qid] == top[0]
+
+
+def test_semantic_decontam_numpy_parity(spark):
+    from batch_processing_new_spark.operators.similarity import (
+        q176_semantic_decontam,
+    )
+
+    e = {
+        r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+        for r in load_table(spark, SF_CORRECT, "embeddings").collect()
+    }
+    ev = {k: v for k, v in e.items() if 5 <= k < 15}
+    rows = q176_semantic_decontam(spark, SF_CORRECT).collect()
+    assert len(rows) == len(e) - len(ev)
+    for r in rows[:50]:
+        cv = e[r["vec_id"]]
+        sims = {
+            eid: round(
+                float(vv @ cv / (np.linalg.norm(vv) * np.linalg.norm(cv))), 6
+            )
+            for eid, vv in ev.items()
+        }
+        best = max(sims.items(), key=lambda kv: (kv[1], -kv[0]))
+        assert r["best_eval_id"] == best[0]
+        assert abs(r["max_cos"] - best[1]) < 1e-9
+        assert r["contaminated"] == (best[1] >= 0.5)
+
+
+def test_temperature_mix_properties(spark):
+    from batch_processing_new_spark.operators.training_mix import (
+        q177_temperature_mix,
+    )
+
+    rows = q177_temperature_mix(spark, SF_CORRECT).collect()
+    assert abs(sum(r["weight"] for r in rows) - 1.0) < 1e-3
+    assert sum(r["alloc_docs"] for r in rows) <= 10000
+    # alpha < 1 compresses: weight ratio is flatter than char ratio
+    hi = max(rows, key=lambda r: r["chars"])
+    lo = min(rows, key=lambda r: r["chars"])
+    assert hi["weight"] / lo["weight"] < hi["chars"] / lo["chars"]
+    # monotone: more chars -> weakly larger weight
+    by_chars = sorted(rows, key=lambda r: r["chars"])
+    for a, b in zip(by_chars, by_chars[1:]):
+        assert a["weight"] <= b["weight"] + 1e-9
+
+
+def test_length_buckets_partition_docs(spark):
+    from batch_processing_new_spark.operators.training_mix import (
+        q178_length_bucket_packing,
+    )
+
+    rows = q178_length_bucket_packing(spark, SF_CORRECT).collect()
+    n_docs = load_table(spark, SF_CORRECT, "documents").count()
+    assert sum(r["n_docs"] for r in rows) == n_docs
+    for r in rows:
+        # bucket bounds contain [min, max]; width is 16 tokens
+        assert r["bucket"] * 16 <= r["min_tok"] <= r["max_tok"] < (r["bucket"] + 1) * 16
+        # waste identity
+        assert 0 <= r["waste_frac"] < 1
+
+
+def test_calibration_table_weighted_means(spark):
+    from batch_processing_new_spark.operators.scoring import (
+        q179_calibration_table,
+    )
+
+    rows = q179_calibration_table(spark, SF_CORRECT).collect()
+    n_docs = load_table(spark, SF_CORRECT, "documents").count()
+    assert sum(r["n_docs"] for r in rows) == n_docs
+    for r in rows:
+        assert 0 <= r["mean_p"] <= 1 and 0 <= r["frac_good"] <= 1
+        assert abs(r["gap"] - round(abs(r["mean_p"] - r["frac_good"]), 6)) < 2e-6
+        # bucket b contains probabilities in [b/10, (b+1)/10)
+        assert r["bucket"] * 0.1 - 1e-6 <= r["mean_p" ] <= (r["bucket"] + 1) * 0.1 + 1e-6
