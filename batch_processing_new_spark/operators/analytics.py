@@ -1500,3 +1500,173 @@ def q159_scd2_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@query(
+    "q181_event_transitions",
+    oracle="""
+WITH ordered AS (
+    SELECT user_id, event_type,
+           lead(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+           ) AS next_type
+    FROM events
+),
+trans AS (
+    SELECT event_type AS from_type, next_type AS to_type, count(*) AS n
+    FROM ordered WHERE next_type IS NOT NULL
+    GROUP BY event_type, next_type
+),
+totals AS (
+    SELECT from_type, sum(n) AS tot FROM trans GROUP BY from_type
+)
+SELECT t.from_type, t.to_type, t.n::BIGINT AS n,
+       round(t.n / tt.tot, 6) AS p
+FROM trans t JOIN totals tt USING (from_type)
+ORDER BY t.from_type, t.to_type
+""",
+)
+def q181_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: for every (from, to) event-type pair the transition
+    count and conditional probability P(to | from) — the behavioral
+    fingerprint behind next-action prediction, bot detection, and
+    journey simulation (q129's session paths are this matrix's
+    unaggregated form).
+
+    One shuffle to order each user's stream (window lead on the
+    user-partitioned sort — ties broken by event_id, the engine's
+    stable-order discipline), then a groupBy on the tiny (from, to)
+    key space with map-side combine; row-count totals re-aggregate the
+    transition table itself. Probabilities are exact-integer ratios.
+    """
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    trans = (
+        ev.select(
+            F.col("event_type").alias("from_type"),
+            F.lead("event_type").over(w).alias("to_type"),
+        )
+        .where(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count("*").alias("n"))
+    )
+    trans = trans.localCheckpoint(eager=False)  # feeds totals + output
+    totals = trans.groupBy("from_type").agg(F.sum("n").alias("tot"))
+    return (
+        trans.join(F.broadcast(totals), "from_type")
+        .select(
+            "from_type",
+            "to_type",
+            "n",
+            F.round(F.col("n") / F.col("tot"), 6).alias("p"),
+        )
+        .orderBy("from_type", "to_type")
+    )
+
+
+@query(
+    "q182_position_attribution",
+    oracle="""
+WITH clicks AS (
+    SELECT user_id, ts, event_id
+    FROM events WHERE event_type = 'click'
+),
+conv AS (
+    SELECT user_id, min(ts) AS conv_ts
+    FROM events WHERE event_type = 'purchase' GROUP BY user_id
+),
+path AS (
+    SELECT c.user_id, c.ts, c.event_id,
+           row_number() OVER (
+               PARTITION BY c.user_id ORDER BY c.ts, c.event_id
+           ) AS pos,
+           count(*) OVER (PARTITION BY c.user_id) AS path_len
+    FROM clicks c
+    JOIN conv v ON v.user_id = c.user_id AND c.ts < v.conv_ts
+),
+weighted AS (
+    SELECT user_id, event_id, pos, path_len,
+           CASE WHEN path_len = 1 THEN 1.0
+                WHEN path_len = 2 THEN 0.5
+                WHEN pos = 1 THEN 0.4
+                WHEN pos = path_len THEN 0.4
+                ELSE 0.2 / (path_len - 2) END AS credit
+    FROM path
+)
+SELECT user_id,
+       count(*)::BIGINT AS n_touches,
+       round(CAST(sum(CAST(credit AS DECIMAL(30,8))) AS DOUBLE), 6)
+           AS total_credit,
+       round(max(CASE WHEN pos = 1 THEN credit END), 6) AS first_credit,
+       round(max(CASE WHEN pos = path_len THEN credit END), 6)
+           AS last_credit
+FROM weighted
+GROUP BY user_id
+ORDER BY user_id
+""",
+)
+def q182_position_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Position-based (U-shaped) multi-touch attribution: each
+    converting user's pre-conversion click path earns 40% credit at
+    first touch, 40% at last, and the middle 20% split evenly —
+    reported per user with the touch count and the boundary credits
+    (q122 is the last-touch special case of this).
+
+    Shapes: conversions collapse to a per-user min (one shuffle);
+    the path join is user-keyed (co-partitioned with the window that
+    numbers it — ONE exchange serves both); credits are rational
+    expressions of the window ordinals, summed under DECIMAL.
+    Total_credit sums to 1.0 per user by construction — the invariant
+    the test asserts.
+    """
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id"
+    )
+    conv = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("conv_ts"))
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    path = (
+        clicks.join(conv, "user_id")
+        .where(F.col("ts") < F.col("conv_ts"))
+        .withColumn("pos", F.row_number().over(w))
+        .withColumn(
+            "path_len", F.count("*").over(Window.partitionBy("user_id"))
+        )
+    )
+    credit = (
+        F.when(F.col("path_len") == 1, F.lit(1.0))
+        .when(F.col("path_len") == 2, F.lit(0.5))
+        .when(F.col("pos") == 1, F.lit(0.4))
+        .when(F.col("pos") == F.col("path_len"), F.lit(0.4))
+        .otherwise(F.lit(0.2) / (F.col("path_len") - 2))
+    )
+    weighted = path.withColumn("credit", credit)
+    dec = "decimal(30,8)"
+    return (
+        weighted.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_touches"),
+            F.round(
+                F.sum(F.col("credit").cast(dec)).cast("double"), 6
+            ).alias("total_credit"),
+            F.round(
+                F.max(F.when(F.col("pos") == 1, F.col("credit"))), 6
+            ).alias("first_credit"),
+            F.round(
+                F.max(
+                    F.when(F.col("pos") == F.col("path_len"), F.col("credit"))
+                ),
+                6,
+            ).alias("last_credit"),
+        )
+        .orderBy("user_id")
+    )

@@ -158,3 +158,39 @@ def test_top_supplier_is_argmax(spark):
     assert {r["s_suppkey"] for r in got} == winners
     for r in got:
         assert abs(r["total_revenue"] - best) < 1e-6
+
+
+def test_event_transitions_row_stochastic(spark):
+    from batch_processing_new_spark.operators.analytics import (
+        q181_event_transitions,
+    )
+
+    rows = q181_event_transitions(spark, SF_CORRECT).collect()
+    ev = _events(spark, SF_CORRECT)
+    # conservation: transitions = events - users (each user's chain has
+    # len-1 links)
+    n_users = len({r["user_id"] for r in ev})
+    assert sum(r["n"] for r in rows) == len(ev) - n_users
+    by_from = defaultdict(float)
+    for r in rows:
+        assert 0 < r["p"] <= 1
+        by_from[r["from_type"]] += r["p"]
+    for ft, s in by_from.items():
+        assert abs(s - 1.0) < 1e-4, ft
+
+
+def test_position_attribution_credit_sums_to_one(spark):
+    from batch_processing_new_spark.operators.analytics import (
+        q182_position_attribution,
+    )
+
+    rows = q182_position_attribution(spark, SF_CORRECT).collect()
+    assert rows
+    for r in rows:
+        assert abs(r["total_credit"] - 1.0) < 1e-4
+        if r["n_touches"] == 1:
+            assert r["first_credit"] == 1.0 and r["last_credit"] == 1.0
+        elif r["n_touches"] == 2:
+            assert r["first_credit"] == 0.5 and r["last_credit"] == 0.5
+        else:
+            assert r["first_credit"] == 0.4 and r["last_credit"] == 0.4
