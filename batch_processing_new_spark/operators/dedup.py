@@ -14,9 +14,11 @@ fingerprints/shingles/buckets, Python never touches the data path:
   -> sign-pack to one BIGINT per doc
 
 MinHash signatures and SimHash values use the md5-based ``hash60`` so
-DuckDB recomputes them exactly (full value-hash oracles); the LSH
-pair-finding is Spark-only with a recall invariant in tests
-(tests/test_dedup.py) against the exact-Jaccard ground truth.
+DuckDB recomputes them exactly (full value-hash oracles); the SimHash
+pair pipeline (q39) including its chunk blocking is likewise oracled
+end to end. Only the MinHash-LSH pair-finding (q37) is Spark-only —
+its xxhash64 base hash has no DuckDB twin — with a recall invariant in
+tests (tests/test_dedup.py) against the exact-Jaccard ground truth.
 """
 
 from __future__ import annotations
@@ -523,9 +525,53 @@ def simhash_neardup_pairs(docs: DataFrame, max_hamming: int = 12) -> DataFrame:
     )
 
 
-@query("q39_simhash_neardup")  # Spark-only; invariants in tests/test_dedup.py
+@query(
+    "q39_simhash_neardup",
+    oracle=f"""
+WITH tok AS (
+    SELECT doc_id,
+           unnest(list_distinct(string_split(trim(text), ' '))) AS t
+    FROM documents
+),
+th AS (SELECT doc_id, {hash60_sql('t')} AS h FROM tok),
+votes AS (
+    SELECT doc_id, b,
+           sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+    FROM th, generate_series(0, {SIMHASH_BITS - 1}) g(b)
+    GROUP BY doc_id, b
+),
+sh AS (
+    SELECT doc_id,
+           CAST(sum(CASE WHEN vote > 0 THEN (1::BIGINT << b) ELSE 0 END)
+                AS BIGINT) AS simhash
+    FROM votes GROUP BY doc_id
+),
+chunks AS (
+    SELECT doc_id, simhash, c.chunk_id,
+           (simhash >> (c.chunk_id * 15)) & 32767 AS chunk
+    FROM sh, generate_series(0, 3) c(chunk_id)
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+           a.simhash AS sh_a, b.simhash AS sh_b
+    FROM chunks a
+    JOIN chunks b
+      ON a.chunk_id = b.chunk_id AND a.chunk = b.chunk
+     AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, bit_count(xor(sh_a, sh_b))::BIGINT AS hamming
+FROM cand
+WHERE bit_count(xor(sh_a, sh_b)) <= 12
+ORDER BY id_a, id_b
+""",
+)
 def q39_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash-blocked near-dup pairs (Hamming <= 12 of 60 bits)."""
+    """SimHash-blocked near-dup pairs (Hamming <= 12 of 60 bits).
+
+    The chunk blocking is a deterministic function of the (oracle-
+    checked, q38) simhash values, so the ENTIRE pipeline — blocking
+    included — is SQL-expressible; the oracle replays it end to end
+    (upgraded from the original rows-only contract)."""
     d = load_table(spark, sf_dir, "documents")
     return simhash_neardup_pairs(d).orderBy("id_a", "id_b")
 
@@ -616,12 +662,39 @@ def connected_components(
     return labels
 
 
-@query("q69_dedup_clusters")  # Spark-only; transitive-closure check in tests
+@query(
+    "q69_dedup_clusters",
+    oracle=f"""
+WITH RECURSIVE pairs AS ({_Q35_PAIRS_SQL}),
+sym AS (
+    SELECT id_a AS a, id_b AS b FROM pairs
+    UNION
+    SELECT id_b, id_a FROM pairs
+),
+reach(a, b) AS (
+    SELECT a, b FROM sym
+    UNION
+    SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+),
+labels AS (
+    SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+    FROM reach GROUP BY a
+)
+SELECT cluster_id, count(*)::BIGINT AS n_members, min(doc_id) AS keeper_id
+FROM labels
+GROUP BY cluster_id
+ORDER BY cluster_id
+""",
+)
 def q69_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs (exact Jaccard >= 0.8 within source blocks, q35)
     resolved into clusters, one keeper per cluster: the final step of a
     corpus dedup — emit cluster membership + size so the corpus build
-    keeps exactly one representative."""
+    keeps exactly one representative.
+
+    The oracle resolves the same pair graph with q90's recursive-CTE
+    transitive closure, so the pointer-doubling component labels are
+    value-checked (upgraded from the original rows-only contract)."""
     d = load_table(spark, sf_dir, "documents")
     pairs = q35_jaccard_pairs(spark, sf_dir)
     comps = connected_components(pairs.select("id_a", "id_b"))

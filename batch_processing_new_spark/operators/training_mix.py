@@ -314,11 +314,44 @@ def pack_sequences(
 
 
 # non-SQL-expressible: next-fit bin boundaries are a running recursion
-# (each reset depends on the previous one), so the driver's check is
-# rows-only; the packing invariants live in tests/test_training_mix.py
-@query("q96_pack_sequences")
+@query(
+    "q96_pack_sequences",
+    oracle=f"""
+WITH RECURSIVE sized AS (
+    SELECT doc_id,
+           len(string_split(trim(text), ' '))::INT AS tok_count,
+           ({hash60_sql("'shard:' || doc_id::VARCHAR")} % {PACK_SHARDS})::INT
+               AS shard,
+           {hash60_sql("'pack:' || doc_id::VARCHAR")} AS h
+    FROM documents
+),
+numbered AS (
+    SELECT doc_id, tok_count, shard,
+           row_number() OVER (PARTITION BY shard ORDER BY h, doc_id) AS pos
+    FROM sized
+),
+rec(shard, pos, doc_id, tok_count, bin_id, cum) AS (
+    SELECT shard, pos, doc_id, tok_count, 0::BIGINT, tok_count::BIGINT
+    FROM numbered WHERE pos = 1
+    UNION ALL
+    SELECT n.shard, n.pos, n.doc_id, n.tok_count,
+           CASE WHEN r.cum + n.tok_count > {PACK_CAPACITY} AND r.cum > 0
+                THEN r.bin_id + 1 ELSE r.bin_id END,
+           CASE WHEN r.cum + n.tok_count > {PACK_CAPACITY} AND r.cum > 0
+                THEN n.tok_count ELSE r.cum + n.tok_count END
+    FROM rec r JOIN numbered n ON n.shard = r.shard AND n.pos = r.pos + 1
+)
+SELECT doc_id, shard, bin_id, tok_count FROM rec
+ORDER BY doc_id
+""",
+)
 def q96_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sequence packing of the documents corpus into 512-token bins."""
+    """Sequence packing of the documents corpus into 512-token bins.
+
+    The oracle replays the same next-fit recurrence as a per-shard
+    recursive CTE (one step per position — the capacity-reset chain is
+    linear, so it IS SQL-expressible after all; upgraded from the
+    original rows-only contract)."""
     d = load_table(spark, sf_dir, "documents")
     return pack_sequences(d).orderBy("doc_id")
 

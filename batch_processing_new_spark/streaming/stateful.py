@@ -17,7 +17,11 @@ from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 OUTPUT_SCHEMA = "user_id bigint, n_events bigint, total_value double, max_event_id bigint"
-STATE_SCHEMA = "n bigint, total double, max_id bigint"
+# the running sum is held in integer CENTS: event values are 2-decimal
+# currency, so cents are exact — the state is then order-independent
+# (float accumulation across micro-batches would drift by arrival
+# order and defeat an exact cross-engine oracle for q78)
+STATE_SCHEMA = "n bigint, total_cents bigint, max_id bigint"
 
 
 def _update_user_state(
@@ -27,19 +31,19 @@ def _update_user_state(
 ) -> Iterator[pd.DataFrame]:
     (user_id,) = key
     if state.exists:
-        n, total, max_id = state.get
+        n, cents, max_id = state.get
     else:
-        n, total, max_id = 0, 0.0, -1
+        n, cents, max_id = 0, 0, -1
     for pdf in batches:
         n += len(pdf)
-        total += float(pdf["value"].sum())
+        cents += int((pdf["value"] * 100).round().astype("int64").sum())
         max_id = max(max_id, int(pdf["event_id"].max()))
-    state.update((n, total, max_id))
+    state.update((n, cents, max_id))
     yield pd.DataFrame(
         {
             "user_id": [user_id],
             "n_events": [n],
-            "total_value": [total],
+            "total_value": [cents / 100.0],
             "max_event_id": [max_id],
         }
     )

@@ -199,7 +199,30 @@ def q51_stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("window_start")
 
 
-@query("q52_stream_session_window")  # Spark-only; batch equivalence in tests
+@query(
+    "q52_stream_session_window",
+    oracle="""
+WITH ordered AS (
+    SELECT user_id, ts,
+           lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev_ts
+    FROM events
+),
+flagged AS (
+    SELECT user_id,
+           CASE WHEN prev_ts IS NULL
+                  OR ts >= prev_ts + INTERVAL 30 MINUTE
+                THEN 1 ELSE 0 END AS new_s
+    FROM ordered
+)
+SELECT user_id,
+       sum(new_s)::BIGINT AS n_sessions,
+       count(*)::BIGINT AS n_events
+FROM flagged
+GROUP BY user_id
+ORDER BY user_id
+""",
+)  # oracle states the BATCH gaps-and-islands the finished stream must equal
 def q52_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Session windows (30-min gap) per user via F.session_window —
     the streaming twin of batch q21_sessionize (equivalence asserted in
@@ -237,7 +260,21 @@ def q53_stream_dedupe(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("user_id")
 
 
-@query("q67_stream_stream_join")  # Spark-only; batch equivalence in tests
+@query(
+    "q67_stream_stream_join",
+    oracle="""
+SELECT p.event_id AS purchase_id, count(*)::BIGINT AS n_views_1h
+FROM events p
+JOIN events v
+  ON v.user_id = p.user_id
+ AND v.event_type = 'view'
+ AND v.ts > p.ts - INTERVAL 1 HOUR
+ AND v.ts <= p.ts
+WHERE p.event_type = 'purchase'
+GROUP BY p.event_id
+ORDER BY purchase_id
+""",
+)  # oracle states the BATCH semantics the finished stream must equal
 def q67_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-stream inner join: purchases joined to views of the same
     user within the preceding hour — the streaming twin of the batch
@@ -284,7 +321,19 @@ def q67_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q78_stateful_running_stats")  # Spark-only; batch equivalence in tests
+@query(
+    "q78_stateful_running_stats",
+    oracle="""
+SELECT user_id,
+       count(*)::BIGINT AS n_events,
+       sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS total_value,
+       max(event_id) AS max_event_id
+FROM events
+GROUP BY user_id
+ORDER BY user_id
+""",
+)  # oracle states the batch aggregate the final state must equal;
+# exactness holds because the state accumulates integer cents
 def q78_stateful_running_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful operator (applyInPandasWithState): per-user
     running count/sum/max carried across micro-batches; the final state
