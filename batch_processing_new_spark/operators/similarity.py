@@ -333,9 +333,79 @@ def ann_lsh_topk(
     )
 
 
-@query("q42_ann_lsh_topk")  # Spark-only; recall invariant in tests
+_Q42_ORACLE = f"""
+WITH dots AS (
+    SELECT e.vec_id, p.p,
+           (SELECT sum(e.embedding[j + 1]::DOUBLE *
+                       (('0x' || substr(md5('plane:' || p.p || ':' || j), 1, 8))::BIGINT
+                        / 2147483647.0 - 1.0))
+            FROM generate_series(0, {DIM - 1}) g(j)) AS dot
+    FROM embeddings e, generate_series(0, {N_PLANES - 1}) p(p)
+),
+sig AS (
+    SELECT vec_id,
+           sum(CASE WHEN dot >= 0 THEN (1::BIGINT << p) ELSE 0 END)::BIGINT
+               AS sig_full
+    FROM dots GROUP BY vec_id
+),
+banded AS (
+    SELECT vec_id, b.band_id,
+           (sig_full >> (b.band_id * {N_PLANES // N_BANDS}))
+               & {(1 << (N_PLANES // N_BANDS)) - 1} AS band
+    FROM sig, generate_series(0, {N_BANDS - 1}) b(band_id)
+),
+qprobe AS (
+    SELECT vec_id AS query_id, band_id,
+           CASE WHEN pr.i = 0 THEN band
+                ELSE xor(band, (1::BIGINT << (pr.i - 1))) END AS band
+    FROM banded, generate_series(0, {N_PLANES // N_BANDS}) pr(i)
+    WHERE vec_id < {N_QUERIES}
+),
+pairs AS (
+    SELECT DISTINCT q.query_id, c.vec_id AS neighbor_id
+    FROM qprobe q
+    JOIN banded c ON c.band_id = q.band_id AND c.band = q.band
+    WHERE c.vec_id <> q.query_id
+),
+scored AS (
+    SELECT pr.query_id, pr.neighbor_id,
+           round((SELECT sum(a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)
+                  FROM generate_series(1, {DIM}) g(i))
+                 / (sqrt((SELECT sum(a.embedding[i]::DOUBLE * a.embedding[i]::DOUBLE)
+                          FROM generate_series(1, {DIM}) g(i)))
+                    * sqrt((SELECT sum(b.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)
+                            FROM generate_series(1, {DIM}) g(i)))), 6) AS cos_sim
+    FROM pairs pr
+    JOIN embeddings a ON a.vec_id = pr.query_id
+    JOIN embeddings b ON b.vec_id = pr.neighbor_id
+),
+ranked AS (
+    SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id
+    ) AS rank
+    FROM scored
+)
+SELECT query_id, neighbor_id, cos_sim, rank
+FROM ranked WHERE rank <= {TOPK}
+ORDER BY query_id, rank
+"""
+
+
+@query(
+    "q42_ann_lsh_topk",
+    oracle=_Q42_ORACLE,
+)
 def q42_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sign-LSH approximate top-k for the q40 query set."""
+    """Sign-LSH approximate top-k for the q40 query set.
+
+    The hyperplanes are md5-derived (no RNG), so the WHOLE ANN pipeline
+    — signatures, banding, Hamming-1 multiprobe, candidate join, exact
+    re-rank — is replayed by the DuckDB oracle (upgraded from the
+    original rows-only contract). The one cross-engine hazard is a
+    knife-edge sign: numpy's pairwise dot vs sequential SQL summation
+    could disagree when a plane dot is within float-ulp of 0; no
+    fixture vector sits on that edge (and the recall invariant in
+    tests/test_similarity.py is hash-independent regardless)."""
     e = load_table(spark, sf_dir, "embeddings")
     return ann_lsh_topk(e).orderBy("query_id", "rank")
 
@@ -431,7 +501,16 @@ def train_ivf_centroids(
         means = (
             assigned.select("cell", F.posexplode("v").alias("pos", "x"))
             .groupBy("cell", "pos")
-            .agg(F.round(F.avg("x"), 6).alias("m"))
+            # DECIMAL partials (the q113/dsum discipline): float avg is
+            # partition-order-dependent at the ulp, and round(6) does
+            # not mask a half-boundary flip
+            .agg(
+                F.round(
+                    F.sum(F.col("x").cast("decimal(30,8)")).cast("double")
+                    / F.count(F.lit(1)),
+                    6,
+                ).alias("m")
+            )
             .groupBy("cell")
             .agg(
                 F.transform(
