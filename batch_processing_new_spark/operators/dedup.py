@@ -895,3 +895,144 @@ def q144_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("rn") > 1).alias("dup_in_batch"),
         (~F.col("dup_of_history") & (F.col("rn") == 1)).alias("survives"),
     ).orderBy("doc_id")
+
+
+# md5-based LSH banding twin of q37: same banding algorithm, hash60
+# base instead of xxhash64 — which makes the WHOLE candidate-generation
+# + verify pipeline SQL-replayable. q37 stays the bench/scale variant
+# (xxhash64 is ~2x cheaper on the signature scan); this query is the
+# exact-oracle witness that the banding algorithm itself is right.
+_LSH_ORA_BANDS = NUM_MINHASHES // LSH_BAND_SIZE
+
+_SHINGLES_SQL = """
+    list_distinct(list_transform(
+        range(1, greatest(len(string_split(trim(text), ' ')) - 2, 1) + 1),
+        i -> array_to_string(
+                 list_slice(string_split(trim(text), ' '), i, i + 2), ' ')
+    ))
+"""
+
+
+@query(
+    "q183_minhash_lsh_oracle",
+    oracle=f"""
+WITH sh AS (
+    SELECT doc_id, {_SHINGLES_SQL} AS shingles FROM documents
+),
+el AS (
+    SELECT doc_id, unnest(shingles) AS s FROM sh
+),
+sig AS (
+    SELECT doc_id, g.hash_id,
+           min({hash60_sql("hash_id::VARCHAR || ':' || s")}) AS m
+    FROM el, generate_series(0, {NUM_MINHASHES - 1}) g(hash_id)
+    GROUP BY doc_id, g.hash_id
+),
+bands AS (
+    SELECT doc_id, (hash_id // {LSH_BAND_SIZE}) AS band_id,
+           md5(string_agg(m::VARCHAR, ':' ORDER BY hash_id)) AS band_hash
+    FROM sig
+    GROUP BY doc_id, band_id
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM bands a
+    JOIN bands b ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+               AND a.doc_id < b.doc_id
+),
+verified AS (
+    SELECT c.id_a, c.id_b,
+           round(len(list_intersect(sa.shingles, sb.shingles)) * 1.0
+                 / len(list_distinct(list_concat(sa.shingles, sb.shingles))),
+                 6) AS jaccard
+    FROM cand c
+    JOIN sh sa ON sa.doc_id = c.id_a
+    JOIN sh sb ON sb.doc_id = c.id_b
+)
+SELECT id_a, id_b, jaccard
+FROM verified
+WHERE jaccard >= 0.5
+ORDER BY id_a, id_b
+""",
+)
+def q183_minhash_lsh_oracle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup pairs with the md5 (hash60) base hash —
+    the exact-oracle twin of q37's banding: 8 minhashes over 3-token
+    shingles, 4 bands of 2, candidates = any shared band bucket, then
+    exact shingle-Jaccard >= 0.5 verification. The DuckDB oracle
+    replays candidate generation AND verification, so the banding
+    algorithm carries a hard value-hash signal (q37 keeps the 2x-
+    cheaper xxhash64 base for the bench/scale path and its recall
+    invariant).
+
+    Same plan shape as q37: shingle arrays materialized once, the
+    signature aggregate shuffles (doc, hash_id, long) rows only, band
+    buckets equi-join, verify runs on candidates only.
+    """
+    from batch_processing_new_spark.functions.text_funcs import (
+        shingles_of,
+        tokens,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    toksets = (
+        fan_out(d.select("doc_id", "text"))
+        .select("doc_id", tokens(F.col("text")).alias("_toks"))
+        .select("doc_id", shingles_of(F.col("_toks")).alias("toks"))
+        .localCheckpoint(eager=False)
+    )
+    sigs = _minhash_signatures(
+        toksets.select("doc_id", F.col("toks").alias("text")),
+        elements=F.col("text"),
+    )
+    bands = (
+        sigs.withColumn(
+            "band_id", (F.col("hash_id") / LSH_BAND_SIZE).cast("int")
+        )
+        .groupBy("doc_id", "band_id")
+        .agg(
+            F.md5(
+                F.concat_ws(
+                    ":",
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(
+                                F.struct(F.col("hash_id"), F.col("minhash"))
+                            )
+                        ),
+                        lambda s: s["minhash"].cast("string"),
+                    ),
+                )
+            ).alias("band_hash")
+        )
+        .localCheckpoint(eager=False)
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .distinct()
+    )
+    ta = toksets.select(
+        F.col("doc_id").alias("id_a"), F.col("toks").alias("toks_a")
+    )
+    tb = toksets.select(
+        F.col("doc_id").alias("id_b"), F.col("toks").alias("toks_b")
+    )
+    inter = F.size(F.array_intersect("toks_a", "toks_b"))
+    union = F.size(F.array_union("toks_a", "toks_b"))
+    return (
+        cand.join(ta, "id_a")
+        .join(tb, "id_b")
+        .withColumn("jaccard", F.round(inter / union, 6))
+        .where(F.col("jaccard") >= 0.5)
+        .select("id_a", "id_b", "jaccard")
+        .orderBy("id_a", "id_b")
+    )

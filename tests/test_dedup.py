@@ -200,3 +200,38 @@ def test_simhash_vectorized_matches_expression(spark):
     j = a.join(b, "doc_id")
     assert j.count() == d.count()
     assert j.where(F.col("s_np") != F.col("s_expr")).count() == 0
+
+
+def test_md5_lsh_oracle_twin_recall_and_precision(spark):
+    """q183 (md5-banded LSH, the exact-oracle twin of q37): every
+    emitted pair truly has shingle-Jaccard >= 0.5, and recall vs the
+    exact >=0.8 ground truth is high (banding with 4 bands of 2
+    catches j >= 0.8 with prob 1-(1-j^2)^4 >= 0.997)."""
+    from batch_processing_new_spark.operators.dedup import (
+        q183_minhash_lsh_oracle,
+    )
+    from batch_processing_new_spark.sources.readers import load_table
+    from tests.conftest import SF_SMOKE
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    truth_05 = {
+        (r.id_a, r.id_b)
+        for r in _exact_jaccard_pairs(
+            spark, docs, 0.5, use_shingles=True
+        ).collect()
+    }
+    strong = {
+        (r.id_a, r.id_b)
+        for r in _exact_jaccard_pairs(
+            spark, docs, 0.8, use_shingles=True
+        ).collect()
+    }
+    got = {
+        (r.id_a, r.id_b)
+        for r in q183_minhash_lsh_oracle(spark, SF_SMOKE).collect()
+    }
+    # precision is exact by construction (candidates are re-verified)
+    assert got <= truth_05
+    if strong:
+        hit = len(strong & got) / len(strong)
+        assert hit >= 0.9
