@@ -913,9 +913,7 @@ _SHINGLES_SQL = """
 """
 
 
-@query(
-    "q183_minhash_lsh_oracle",
-    oracle=f"""
+_Q183_ORACLE = f"""
 WITH sh AS (
     SELECT doc_id, {_SHINGLES_SQL} AS shingles FROM documents
 ),
@@ -953,30 +951,23 @@ SELECT id_a, id_b, jaccard
 FROM verified
 WHERE jaccard >= 0.5
 ORDER BY id_a, id_b
-""",
-)
-def q183_minhash_lsh_oracle(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH near-dup pairs with the md5 (hash60) base hash —
-    the exact-oracle twin of q37's banding: 8 minhashes over 3-token
-    shingles, 4 bands of 2, candidates = any shared band bucket, then
-    exact shingle-Jaccard >= 0.5 verification. The DuckDB oracle
-    replays candidate generation AND verification, so the banding
-    algorithm carries a hard value-hash signal (q37 keeps the 2x-
-    cheaper xxhash64 base for the bench/scale path and its recall
-    invariant).
+"""
 
-    Same plan shape as q37: shingle arrays materialized once, the
-    signature aggregate shuffles (doc, hash_id, long) rows only, band
-    buckets equi-join, verify runs on candidates only.
-    """
+
+def minhash_lsh_pairs_md5(
+    docs: DataFrame, threshold: float = 0.5
+) -> DataFrame:
+    """q37's banding with the md5 (hash60) base hash — fully
+    SQL-replayable; used by q183 and the q106 composed pipeline so
+    both carry exact oracles. ~2x the signature-scan cost of the
+    xxhash64 path; q37 remains the bench/scale variant."""
     from batch_processing_new_spark.functions.text_funcs import (
         shingles_of,
         tokens,
     )
 
-    d = load_table(spark, sf_dir, "documents")
     toksets = (
-        fan_out(d.select("doc_id", "text"))
+        fan_out(docs.select("doc_id", "text"))
         .select("doc_id", tokens(F.col("text")).alias("_toks"))
         .select("doc_id", shingles_of(F.col("_toks")).alias("toks"))
         .localCheckpoint(eager=False)
@@ -1032,7 +1023,25 @@ def q183_minhash_lsh_oracle(spark: SparkSession, sf_dir: str) -> DataFrame:
         cand.join(ta, "id_a")
         .join(tb, "id_b")
         .withColumn("jaccard", F.round(inter / union, 6))
-        .where(F.col("jaccard") >= 0.5)
+        .where(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
-        .orderBy("id_a", "id_b")
     )
+
+
+@query("q183_minhash_lsh_oracle", oracle=_Q183_ORACLE)
+def q183_minhash_lsh_oracle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup pairs with the md5 (hash60) base hash —
+    the exact-oracle twin of q37's banding: 8 minhashes over 3-token
+    shingles, 4 bands of 2, candidates = any shared band bucket, then
+    exact shingle-Jaccard >= 0.5 verification. The DuckDB oracle
+    replays candidate generation AND verification, so the banding
+    algorithm carries a hard value-hash signal (q37 keeps the 2x-
+    cheaper xxhash64 base for the bench/scale path and its recall
+    invariant).
+
+    Same plan shape as q37: shingle arrays materialized once, the
+    signature aggregate shuffles (doc, hash_id, long) rows only, band
+    buckets equi-join, verify runs on candidates only.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    return minhash_lsh_pairs_md5(d, threshold=0.5).orderBy("id_a", "id_b")

@@ -23,7 +23,7 @@ from pyspark.sql import functions as F
 
 from batch_processing_new_spark.operators.dedup import (
     dedup_apply,
-    minhash_lsh_pairs,
+    minhash_lsh_pairs_md5,
 )
 from batch_processing_new_spark.operators.training_mix import (
     DOMAIN_CAP,
@@ -54,9 +54,11 @@ def assemble_corpus(
         (F.size(toks) >= 30) & (stop_ratio >= 0.05) & (stop_ratio <= 0.6)
     )
 
-    # 2. near-dup removal (MinHash-LSH pairs at Jaccard >= 0.5, q37;
-    #    cluster + keep min-id representative, q90 machinery)
-    deduped = dedup_apply(quality, minhash_lsh_pairs(quality, threshold=0.5))
+    # 2. near-dup removal (MinHash-LSH banding at Jaccard >= 0.5 with
+    #    the md5 base hash — q183's SQL-replayable variant, so the
+    #    WHOLE pipeline carries an exact oracle; cluster + keep min-id
+    #    representative, q90 machinery)
+    deduped = dedup_apply(quality, minhash_lsh_pairs_md5(quality, threshold=0.5))
 
     # 3. eval decontamination: drop the eval slice itself AND training
     #    docs sharing a 3-gram with it (q95 semantics, applied as a gate)
@@ -107,13 +109,139 @@ def assemble_corpus(
     }
 
 
-# non-SQL-expressible as ONE oracle (the dedup stage alone needs a
-# recursive CTE; q90 value-checks it in isolation) — rows-only driver
-# check; stage-count invariants in tests/test_training_mix.py
-@query("q106_corpus_pipeline")
+from batch_processing_new_spark.functions.text_funcs import hash60_sql
+from batch_processing_new_spark.operators.dedup import (
+    _SHINGLES_SQL,
+    LSH_BAND_SIZE,
+    NUM_MINHASHES,
+)
+
+_Q106_ORACLE = f"""
+WITH RECURSIVE toks0 AS (
+    SELECT doc_id, source, lang, text,
+           string_split(trim(text), ' ') AS t
+    FROM documents
+),
+quality AS (
+    SELECT doc_id, source, lang, text
+    FROM (
+        SELECT *, len(t) AS n,
+               len(list_filter(t,
+                   x -> list_contains(['the', 'a', 'and', 'of'], x))) AS ns
+        FROM toks0
+    )
+    WHERE n >= 30 AND ns * 1.0 / n >= 0.05 AND ns * 1.0 / n <= 0.6
+),
+sh AS (SELECT doc_id, {_SHINGLES_SQL} AS shingles FROM quality),
+el AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+sig AS (
+    SELECT doc_id, g.hash_id,
+           min({hash60_sql("hash_id::VARCHAR || ':' || s")}) AS m
+    FROM el, generate_series(0, {NUM_MINHASHES - 1}) g(hash_id)
+    GROUP BY doc_id, g.hash_id
+),
+bands AS (
+    SELECT doc_id, (hash_id // {LSH_BAND_SIZE}) AS band_id,
+           md5(string_agg(m::VARCHAR, ':' ORDER BY hash_id)) AS band_hash
+    FROM sig GROUP BY doc_id, band_id
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM bands a
+    JOIN bands b ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+               AND a.doc_id < b.doc_id
+),
+pairs AS (
+    SELECT c.id_a, c.id_b
+    FROM cand c
+    JOIN sh sa ON sa.doc_id = c.id_a
+    JOIN sh sb ON sb.doc_id = c.id_b
+    WHERE len(list_intersect(sa.shingles, sb.shingles)) * 1.0
+          / len(list_distinct(list_concat(sa.shingles, sb.shingles))) >= 0.5
+),
+sym AS (
+    SELECT id_a AS a, id_b AS b FROM pairs
+    UNION
+    SELECT id_b, id_a FROM pairs
+),
+reach(a, b) AS (
+    SELECT a, b FROM sym
+    UNION
+    SELECT r.a, s2.b FROM reach r JOIN sym s2 ON r.b = s2.a
+),
+labels AS (
+    SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+    FROM reach GROUP BY a
+),
+deduped AS (
+    SELECT q.* FROM quality q
+    WHERE q.doc_id NOT IN (
+        SELECT doc_id FROM labels WHERE doc_id <> cluster_id
+    )
+),
+gramtok AS (
+    SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents
+),
+grams AS (
+    SELECT doc_id,
+           unnest(list_distinct(list_transform(
+               range(greatest(len(t) - 3, 0) + 1),
+               i -> array_to_string(list_slice(t, i + 1, i + 3), ' ')
+           ))) AS gram
+    FROM gramtok
+),
+ev AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 97 = 0),
+contaminated AS (
+    SELECT DISTINCT g.doc_id
+    FROM grams g JOIN ev USING (gram)
+    WHERE g.doc_id % 97 <> 0
+),
+clean AS (
+    SELECT * FROM deduped
+    WHERE doc_id % 97 <> 0
+      AND doc_id NOT IN (SELECT doc_id FROM contaminated)
+),
+capped AS (
+    SELECT doc_id, source, lang FROM (
+        SELECT *, row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY {hash60_sql("'cap:' || doc_id::VARCHAR")}, doc_id
+               ) AS rn
+        FROM clean
+    ) WHERE rn <= 15
+),
+split AS (
+    SELECT doc_id,
+           CASE WHEN row_number() OVER (
+                     PARTITION BY lang
+                     ORDER BY {hash60_sql("'split:' || doc_id::VARCHAR")},
+                              doc_id)
+                <= ceil(count(*) OVER (PARTITION BY lang) * 0.2)
+                THEN 'validation' ELSE 'train' END AS split
+    FROM capped
+)
+SELECT 0 AS stage_no, 'input' AS stage,
+       (SELECT count(*) FROM documents)::BIGINT AS n_docs
+UNION ALL SELECT 1, 'quality', (SELECT count(*) FROM quality)::BIGINT
+UNION ALL SELECT 2, 'deduped', (SELECT count(*) FROM deduped)::BIGINT
+UNION ALL SELECT 3, 'clean', (SELECT count(*) FROM clean)::BIGINT
+UNION ALL SELECT 4, 'capped', (SELECT count(*) FROM capped)::BIGINT
+UNION ALL SELECT 5, 'train',
+    (SELECT count(*) FROM split WHERE split = 'train')::BIGINT
+ORDER BY stage_no
+"""
+
+
+@query("q106_corpus_pipeline", oracle=_Q106_ORACLE)
 def q106_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stage-by-stage survivor counts of the full corpus assembly — the
-    funnel report a data-curation run logs."""
+    funnel report a data-curation run logs.
+
+    Upgraded from rows-only: with the dedup stage on the md5 LSH
+    variant (q183) every stage is SQL-replayable, and the oracle runs
+    the ENTIRE composed pipeline — quality gate, LSH banding +
+    recursive-CTE closure, n-gram decontamination, per-domain cap,
+    stratified split — in one DuckDB query."""
     stages = assemble_corpus(spark, sf_dir)
     order = ["input", "quality", "deduped", "clean", "capped", "train"]
     counts = [
