@@ -41,7 +41,7 @@ fan AS (
     SELECT a.user_id, a.d + g.i * INTERVAL 1 DAY AS wd
     FROM act a, generate_series(0, {_WAU_DAYS - 1}) g(i)
 )
-SELECT wd::DATE AS day,
+SELECT strftime(wd, '%Y-%m-%d') AS day,
        count(DISTINCT user_id) AS wau
 FROM fan
 WHERE wd::DATE IN (SELECT d FROM act)
@@ -79,6 +79,12 @@ def q170_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         fan.join(F.broadcast(days), "day", "left_semi")
         .groupBy("day")
         .agg(F.countDistinct("user_id").alias("wau"))
+        # dates stringify for the driver canonicalizer (pandas converts
+        # DATE columns to midnight Timestamps asymmetrically between
+        # engines — the q17/q124 date_format convention)
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"), "wau"
+        )
         .orderBy("day")
     )
 

@@ -1670,3 +1670,91 @@ def q182_position_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+_ANOM_Z = 2.0  # seasonal-deviation flag threshold (z-score units)
+
+
+@query(
+    "q185_seasonal_anomaly",
+    oracle=f"""
+WITH cells AS (
+    SELECT event_type,
+           strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+           extract(hour FROM ts)::INT AS hour,
+           count(*)::BIGINT AS n
+    FROM events
+    GROUP BY event_type, day, hour
+),
+base AS (
+    SELECT event_type, hour,
+           count(*)::BIGINT AS n_days,
+           sum(n)::BIGINT AS s,
+           sum(n * n)::BIGINT AS ss
+    FROM cells
+    GROUP BY event_type, hour
+),
+scored AS (
+    SELECT c.event_type, c.day, c.hour, c.n,
+           b.s * 1.0 / b.n_days AS mu,
+           sqrt((b.ss - b.s * b.s * 1.0 / b.n_days) / (b.n_days - 1))
+               AS sigma
+    FROM cells c
+    JOIN base b ON b.event_type = c.event_type AND b.hour = c.hour
+    WHERE b.n_days >= 2
+)
+SELECT event_type, day, hour, n,
+       round(mu, 6) AS mu,
+       round((n - mu) / sigma, 6) AS z
+FROM scored
+WHERE sigma > 0 AND abs((n - mu) / sigma) > {_ANOM_Z}
+ORDER BY event_type, day, hour
+""",
+)
+def q185_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal anomaly detection on event volume: hourly counts per
+    event type, a per-(type, hour-of-day) baseline (mean/std across
+    days — the 'same hour yesterday' seasonality model), and the
+    (type, day, hour) cells whose volume deviates by more than
+    {_ANOM_Z} sigma — the ops alerting shape for traffic spikes and
+    outages.
+
+    Both moments derive from exact integer counts (sum, sum-of-
+    squares), so mu/sigma/z are deterministic scalar math — no float
+    aggregation anywhere. Shapes: one groupBy to the hourly cell grid
+    (the only data-scale shuffle), a re-aggregate of the tiny grid,
+    and a broadcast-size join back.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    cells = ev.groupBy(
+        "event_type",
+        # stringified day: the driver canonicalizer's date convention
+        F.date_format(F.col("ts"), "yyyy-MM-dd").alias("day"),
+        F.hour("ts").alias("hour"),
+    ).agg(F.count("*").alias("n"))
+    cells = cells.localCheckpoint(eager=False)  # grid feeds base + scoring
+    base = cells.groupBy("event_type", "hour").agg(
+        F.count("*").alias("n_days"),
+        F.sum("n").alias("s"),
+        F.sum(F.col("n") * F.col("n")).alias("ss"),
+    )
+    mu = F.col("s") / F.col("n_days")
+    sigma = F.sqrt(
+        (F.col("ss") - F.col("s") * F.col("s") / F.col("n_days"))
+        / (F.col("n_days") - 1)
+    )
+    z = (F.col("n") - mu) / sigma
+    return (
+        cells.join(F.broadcast(base.where(F.col("n_days") >= 2)),
+                   ["event_type", "hour"])
+        .where((sigma > 0) & (F.abs(z) > _ANOM_Z))
+        .select(
+            "event_type",
+            "day",
+            "hour",
+            "n",
+            F.round(mu, 6).alias("mu"),
+            F.round(z, 6).alias("z"),
+        )
+        .orderBy("event_type", "day", "hour")
+    )

@@ -381,3 +381,77 @@ def q164_source_lang_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source", "lang")
     )
+
+
+_TREND_HALF_LIFE_DECAY = 0.5  # per-day decay factor (half-life = 1 day)
+_TREND_TOP = 20
+
+
+@query(
+    "q187_decayed_trending",
+    oracle=f"""
+WITH daily AS (
+    SELECT json_extract(props, '$.k')::BIGINT AS item,
+           date_trunc('day', ts)::DATE AS day,
+           count(*)::BIGINT AS n
+    FROM events
+    GROUP BY item, day
+),
+anchor AS (SELECT max(day) AS last_day FROM daily),
+scored AS (
+    SELECT d.item,
+           sum(d.n * pow({_TREND_HALF_LIFE_DECAY},
+                         date_diff('day', d.day, a.last_day))) AS score,
+           sum(d.n)::BIGINT AS total_n
+    FROM daily d CROSS JOIN anchor a
+    GROUP BY d.item
+)
+SELECT item, round(score, 6) AS score, total_n
+FROM scored
+ORDER BY score DESC, item
+LIMIT {_TREND_TOP}
+""",
+)
+def q187_decayed_trending(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-decayed trending items (half-life one day): each
+    item's daily event counts weighted by 0.5^age and summed — recent
+    activity dominates, history fades; the top {_TREND_TOP} by decayed
+    score. The recency-weighted popularity shape behind trending
+    dashboards and freshness-aware sampling.
+
+    Determinism note: the decay weights are exact powers of two and
+    the daily counts are small integers, so every product is a dyadic
+    rational that a float64 holds EXACTLY — the decayed sum is
+    order-independent without any DECIMAL discipline (the one float
+    aggregation in the engine that is exact by construction).
+
+    Shapes: events collapse to the (item, day) grid (the only
+    data-scale shuffle); the 1-row anchor day broadcasts back; the
+    per-item aggregate runs on the grid.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.get_json_object("props", "$.k").cast("bigint").alias("item"),
+        F.col("ts").cast("date").alias("day"),
+    ).agg(F.count("*").alias("n"))
+    daily = daily.localCheckpoint(eager=False)
+    anchor = daily.agg(F.max("day").alias("last_day"))
+    scored = (
+        daily.crossJoin(F.broadcast(anchor))
+        .groupBy("item")
+        .agg(
+            F.sum(
+                F.col("n")
+                * F.pow(
+                    F.lit(_TREND_HALF_LIFE_DECAY),
+                    F.datediff(F.col("last_day"), F.col("day")),
+                )
+            ).alias("score"),
+            F.sum("n").alias("total_n"),
+        )
+    )
+    return (
+        scored.select("item", F.round("score", 6).alias("score"), "total_n")
+        .orderBy(F.col("score").desc(), "item")
+        .limit(_TREND_TOP)
+    )

@@ -626,3 +626,73 @@ def q178_length_bucket_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
             "waste_frac"
         ),
     ).orderBy("bucket")
+
+
+_LR_SEATS = 1000  # eval/labeling budget to apportion across sources
+
+
+@query(
+    "q186_largest_remainder",
+    oracle=f"""
+WITH per_source AS (
+    SELECT source, count(*)::BIGINT AS n_docs FROM documents GROUP BY source
+),
+tot AS (SELECT sum(n_docs)::BIGINT AS n FROM per_source),
+quotas AS (
+    SELECT p.source, p.n_docs,
+           (p.n_docs * {_LR_SEATS}) // t.n AS base,
+           (p.n_docs * {_LR_SEATS}) % t.n  AS rem
+    FROM per_source p CROSS JOIN tot t
+),
+ranked AS (
+    SELECT *, row_number() OVER (ORDER BY rem DESC, source) AS rr,
+           {_LR_SEATS} - sum(base) OVER () AS leftover
+    FROM quotas
+)
+SELECT source, n_docs, base::BIGINT AS quota_floor,
+       (base + CASE WHEN rr <= leftover THEN 1 ELSE 0 END)::BIGINT AS alloc
+FROM ranked
+ORDER BY source
+""",
+)
+def q186_largest_remainder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Largest-remainder (Hamilton) apportionment of a {_LR_SEATS}-item
+    labeling budget across sources, proportional to document counts:
+    every source gets floor(n_i * S / N); the seats lost to flooring go
+    to the largest fractional remainders (ties by source name). Unlike
+    q177's independent floors, the allocations sum EXACTLY to the
+    budget — the property human-labeling and eval-sampling budgets
+    need.
+
+    All arithmetic is integer (quota remainders are exact modulos), so
+    the ranking is engine-identical. Shapes: one groupBy(source), then
+    window ranking over the |sources|-row table — nothing data-scale
+    after the first aggregate.
+    """
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    per_source = d.groupBy("source").agg(F.count("*").alias("n_docs"))
+    tot = per_source.agg(F.sum("n_docs").alias("n"))
+    quotas = per_source.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        F.floor(F.col("n_docs") * _LR_SEATS / F.col("n")).alias("base"),
+        ((F.col("n_docs") * _LR_SEATS) % F.col("n")).alias("rem"),
+    )
+    w = Window.orderBy(F.col("rem").desc(), "source")
+    wall = Window.partitionBy()
+    ranked = quotas.withColumn("rr", F.row_number().over(w)).withColumn(
+        "leftover", F.lit(_LR_SEATS) - F.sum("base").over(wall)
+    )
+    return ranked.select(
+        "source",
+        "n_docs",
+        F.col("base").cast("bigint").alias("quota_floor"),
+        (
+            F.col("base")
+            + F.when(F.col("rr") <= F.col("leftover"), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("alloc"),
+    ).orderBy("source")

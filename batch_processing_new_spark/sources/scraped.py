@@ -248,3 +248,63 @@ def q137_tweet_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("hashtags").alias("n_hashtags"),
         F.date_trunc("day", F.to_timestamp("created_on")).alias("day"),
     ).orderBy("tweet_id")
+
+
+@query(
+    "q184_xml_ingest",
+    oracle="""
+SELECT event_type,
+       count(*)::BIGINT AS n,
+       CAST(sum(CAST(value AS DECIMAL(30,8))) AS DOUBLE) AS total_value,
+       max(event_id) AS max_id
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+""",
+)
+def q184_xml_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML ingestion surface (Spark 4 native `from_xml`): events are
+    serialized to XML records in-engine (the landing shape of SOAP/RSS
+    /legacy-feed corpora), parsed back through an explicit schema, and
+    aggregated — count, DECIMAL-exact value total, max id per type.
+    The oracle re-derives the same aggregate from the raw columns, so
+    the serialize -> parse -> aggregate loop is proven LOSSLESS (the
+    same roundtrip contract as the q85 Kafka-wire and q137 tweet-JSON
+    sources; this completes the wire-format family: CSV, JSONL, ORC,
+    parquet, Excel, Kafka-JSON, scraped HTML, tweet JSON, XML).
+
+    Plan shape: serialization and parsing are both row-local JVM
+    expressions fused into the scan; the only shuffle is the final
+    tiny groupBy(event_type).
+    """
+    from batch_processing_new_spark.sources.readers import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    xml = ev.select(
+        F.concat(
+            F.lit("<event><id>"),
+            F.col("event_id").cast("string"),
+            F.lit("</id><type>"),
+            F.col("event_type"),
+            F.lit("</type><value>"),
+            F.col("value").cast("string"),
+            F.lit("</value></event>"),
+        ).alias("payload")
+    )
+    parsed = xml.select(
+        F.from_xml(
+            "payload", "id LONG, type STRING, value DOUBLE"
+        ).alias("r")
+    ).select("r.id", "r.type", "r.value")
+    dec = "decimal(30,8)"
+    return (
+        parsed.groupBy(F.col("type").alias("event_type"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast(dec)).cast("double").alias(
+                "total_value"
+            ),
+            F.max("id").alias("max_id"),
+        )
+        .orderBy("event_type")
+    )

@@ -39,11 +39,11 @@ def test_wau_bruteforce(spark):
         r["day"]: r["wau"]
         for r in q170_rolling_active_users(spark, SF_SMOKE).collect()
     }
-    assert set(got) == set(days)
+    assert set(got) == {d.isoformat() for d in days}
     for d in days:
         lo = d - timedelta(days=6)
         expect = len({u for u, ad in act if lo <= ad <= d})
-        assert got[d] == expect
+        assert got[d.isoformat()] == expect
 
 
 def test_interval_coalesce_episodes_disjoint_and_cover(spark):
@@ -194,3 +194,63 @@ def test_position_attribution_credit_sums_to_one(spark):
             assert r["first_credit"] == 0.5 and r["last_credit"] == 0.5
         else:
             assert r["first_credit"] == 0.4 and r["last_credit"] == 0.4
+
+
+def test_xml_roundtrip_lossless(spark):
+    from batch_processing_new_spark.sources.scraped import q184_xml_ingest
+
+    rows = {r["event_type"]: r for r in q184_xml_ingest(spark, SF_CORRECT).collect()}
+    ev = _events(spark, SF_CORRECT)
+    by_type = defaultdict(lambda: [0, 0.0, -1])
+    for e in ev:
+        b = by_type[e["event_type"]]
+        b[0] += 1
+        b[1] += e["value"]
+        b[2] = max(b[2], e["event_id"])
+    assert set(rows) == set(by_type)
+    for t, (n, tv, mx) in by_type.items():
+        assert rows[t]["n"] == n and rows[t]["max_id"] == mx
+        assert abs(rows[t]["total_value"] - tv) < 1e-6
+
+
+def test_largest_remainder_sums_to_budget(spark):
+    from batch_processing_new_spark.operators.training_mix import (
+        q186_largest_remainder,
+    )
+
+    rows = q186_largest_remainder(spark, SF_CORRECT).collect()
+    assert sum(r["alloc"] for r in rows) == 1000
+    for r in rows:
+        assert r["alloc"] in (r["quota_floor"], r["quota_floor"] + 1)
+    # proportionality: allocation within 1 seat of the exact quota
+    n = sum(r["n_docs"] for r in rows)
+    for r in rows:
+        exact = r["n_docs"] * 1000 / n
+        assert abs(r["alloc"] - exact) < 1.0
+
+
+def test_decayed_trending_recency_dominance(spark):
+    from batch_processing_new_spark.operators.corpus_stats import (
+        q187_decayed_trending,
+    )
+
+    rows = q187_decayed_trending(spark, SF_CORRECT).collect()
+    assert len(rows) == 20
+    scores = [r["score"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    # decayed score can never exceed the raw total
+    for r in rows:
+        assert 0 < r["score"] <= r["total_n"]
+
+
+def test_seasonal_anomaly_zscores(spark):
+    from batch_processing_new_spark.operators.analytics import (
+        q185_seasonal_anomaly,
+    )
+
+    rows = q185_seasonal_anomaly(spark, SF_CORRECT).collect()
+    assert rows, "uniform synthetic traffic still yields >2-sigma cells"
+    for r in rows:
+        assert abs(r["z"]) > 2.0
+        # flagged cell deviates from its baseline in absolute terms too
+        assert r["n"] != round(r["mu"])
