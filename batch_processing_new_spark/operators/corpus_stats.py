@@ -455,3 +455,170 @@ def q187_decayed_trending(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("score").desc(), "item")
         .limit(_TREND_TOP)
     )
+
+
+@query(
+    "q188_chi_square_independence",
+    oracle="""
+WITH cells AS (
+    SELECT source, lang, count(*)::BIGINT AS n_xy
+    FROM documents GROUP BY source, lang
+),
+mx AS (SELECT source, sum(n_xy)::BIGINT AS n_x FROM cells GROUP BY source),
+my AS (SELECT lang,   sum(n_xy)::BIGINT AS n_y FROM cells GROUP BY lang),
+tot AS (SELECT sum(n_xy)::BIGINT AS n FROM cells),
+grid AS (
+    SELECT mx.source, my.lang, mx.n_x, my.n_y, t.n,
+           coalesce(c.n_xy, 0) AS n_xy,
+           mx.n_x * my.n_y * 1.0 / t.n AS expected
+    FROM mx CROSS JOIN my CROSS JOIN tot t
+    LEFT JOIN cells c ON c.source = mx.source AND c.lang = my.lang
+),
+terms AS (
+    SELECT CAST(round((n_xy - expected) * (n_xy - expected) / expected, 9)
+                AS DECIMAL(30,9)) AS term
+    FROM grid
+),
+stat AS (
+    SELECT CAST(sum(term) AS DOUBLE) AS chi2,
+           (SELECT (count(*) - 1) FROM mx)
+           * (SELECT (count(*) - 1) FROM my) AS dof
+    FROM terms
+)
+SELECT round(chi2, 6) AS chi2, dof::BIGINT AS dof,
+       round(sqrt(chi2 / ((SELECT n FROM tot)
+             * least((SELECT count(*) - 1 FROM mx),
+                     (SELECT count(*) - 1 FROM my)))), 6) AS cramers_v
+FROM stat
+""",
+)
+def q188_chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square test of independence for the source x lang
+    contingency table, with degrees of freedom and Cramer's V effect
+    size — the hypothesis-test companion to q164's PMI table ("is the
+    source-language association real or noise?"), and the standard
+    gate before per-(source, lang) mix corrections.
+
+    Zero-count cells are filled in (the full |sources| x |langs| grid
+    via the marginals' cross join — broadcast-size at any corpus
+    scale); per-cell terms are rounded then DECIMAL-summed so the
+    statistic is partition-order-independent. One data-scale shuffle:
+    the cell-grid groupBy.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    cells = d.groupBy("source", "lang").agg(F.count("*").alias("n_xy"))
+    cells = cells.localCheckpoint(eager=False)
+    mx = cells.groupBy("source").agg(F.sum("n_xy").alias("n_x"))
+    my = cells.groupBy("lang").agg(F.sum("n_xy").alias("n_y"))
+    tot = cells.agg(F.sum("n_xy").alias("n"))
+    grid = (
+        mx.crossJoin(my)
+        .crossJoin(F.broadcast(tot))
+        .join(cells, ["source", "lang"], "left")
+        .select(
+            "source",
+            "lang",
+            "n_x",
+            "n_y",
+            "n",
+            F.coalesce(F.col("n_xy"), F.lit(0)).alias("n_xy"),
+            (F.col("n_x") * F.col("n_y") / F.col("n")).alias("expected"),
+        )
+    )
+    term = F.round(
+        (F.col("n_xy") - F.col("expected"))
+        * (F.col("n_xy") - F.col("expected"))
+        / F.col("expected"),
+        9,
+    ).cast("decimal(30,9)")
+    n_src = mx.count()
+    n_lang = my.count()
+    stat = grid.agg(F.sum(term).cast("double").alias("chi2"))
+    return stat.crossJoin(F.broadcast(tot)).select(
+        F.round("chi2", 6).alias("chi2"),
+        F.lit((n_src - 1) * (n_lang - 1)).cast("bigint").alias("dof"),
+        F.round(
+            F.sqrt(
+                F.col("chi2")
+                / (F.col("n") * min(n_src - 1, n_lang - 1))
+            ),
+            6,
+        ).alias("cramers_v"),
+    )
+
+
+@query(
+    "q189_concentration_audit",
+    oracle="""
+WITH per_source AS (
+    SELECT source, count(*)::BIGINT AS n FROM documents GROUP BY source
+),
+tot AS (SELECT sum(n)::BIGINT AS total, count(*)::BIGINT AS k FROM per_source),
+ranked AS (
+    SELECT n, row_number() OVER (ORDER BY n, source) AS i
+    FROM per_source
+),
+gini AS (
+    SELECT sum((2 * r.i - t.k - 1) * r.n) * 1.0 / (t.k * t.total) AS g
+    FROM ranked r CROSS JOIN tot t
+    GROUP BY t.k, t.total
+),
+hhi AS (
+    SELECT sum((p.n * 1.0 / t.total) * (p.n * 1.0 / t.total)) AS h
+    FROM per_source p CROSS JOIN tot t GROUP BY t.total
+),
+ent AS (
+    SELECT -sum((p.n * 1.0 / t.total) * ln(p.n * 1.0 / t.total)) AS e,
+           any_value(t.k) AS k
+    FROM per_source p CROSS JOIN tot t GROUP BY t.total
+)
+SELECT round(g.g, 6) AS gini,
+       round(h.h, 6) AS hhi,
+       round(e.e, 6) AS shannon_entropy,
+       round(e.e / ln(e.k), 6) AS evenness
+FROM gini g, hhi h, ent e
+""",
+)
+def q189_concentration_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus concentration audit over source contributions: Gini
+    coefficient (sorted-rank formula), Herfindahl-Hirschman index,
+    Shannon entropy, and Pielou evenness — one row answering "is this
+    corpus dominated by a few sources?", the diversity report every
+    corpus card publishes and the trigger for q177/q186 rebalancing.
+
+    The Gini rank formula needs a total order over sources — computed
+    on the |sources|-row aggregate (single-partition window on ~20
+    rows, NOT on data). All four statistics are scalar functions of
+    exact integer counts; the few-term float sums run over the tiny
+    source table in deterministic single-partition order.
+    """
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    per_source = d.groupBy("source").agg(F.count("*").alias("n"))
+    per_source = per_source.coalesce(1).localCheckpoint(eager=False)
+    tot = per_source.agg(
+        F.sum("n").alias("total"), F.count("*").alias("k")
+    )
+    ranked = per_source.withColumn(
+        "i", F.row_number().over(Window.orderBy("n", "source"))
+    )
+    joined = ranked.crossJoin(F.broadcast(tot))
+    p = F.col("n") / F.col("total")
+    agg = joined.agg(
+        (
+            F.sum((2 * F.col("i") - F.col("k") - 1) * F.col("n"))
+            / F.first(F.col("k") * F.col("total"))
+        ).alias("gini"),
+        F.sum(p * p).alias("hhi"),
+        (-F.sum(p * F.log(p))).alias("shannon_entropy"),
+        F.first("k").alias("k"),
+    )
+    return agg.select(
+        F.round("gini", 6).alias("gini"),
+        F.round("hhi", 6).alias("hhi"),
+        F.round("shannon_entropy", 6).alias("shannon_entropy"),
+        F.round(
+            F.col("shannon_entropy") / F.log(F.col("k").cast("double")), 6
+        ).alias("evenness"),
+    )

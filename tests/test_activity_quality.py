@@ -254,3 +254,47 @@ def test_seasonal_anomaly_zscores(spark):
         assert abs(r["z"]) > 2.0
         # flagged cell deviates from its baseline in absolute terms too
         assert r["n"] != round(r["mu"])
+
+
+def test_chi_square_matches_numpy(spark):
+    from batch_processing_new_spark.operators.corpus_stats import (
+        q188_chi_square_independence,
+    )
+
+    docs = load_table(spark, SF_CORRECT, "documents").collect()
+    cells = defaultdict(int)
+    for d in docs:
+        cells[(d["source"], d["lang"])] += 1
+    srcs = sorted({s for s, _ in cells})
+    langs = sorted({l for _, l in cells})
+    obs = np.array([[cells.get((s, l), 0) for l in langs] for s in srcs], float)
+    n = obs.sum()
+    exp = obs.sum(1, keepdims=True) @ obs.sum(0, keepdims=True) / n
+    chi2 = (np.round((obs - exp) ** 2 / exp, 9)).sum()
+    row = q188_chi_square_independence(spark, SF_CORRECT).collect()[0]
+    assert abs(row["chi2"] - round(chi2, 6)) < 1e-4
+    assert row["dof"] == (len(srcs) - 1) * (len(langs) - 1)
+    v = np.sqrt(chi2 / (n * min(len(srcs) - 1, len(langs) - 1)))
+    assert abs(row["cramers_v"] - v) < 1e-4
+
+
+def test_concentration_bounds_and_numpy(spark):
+    from batch_processing_new_spark.operators.corpus_stats import (
+        q189_concentration_audit,
+    )
+
+    docs = load_table(spark, SF_CORRECT, "documents").collect()
+    counts = defaultdict(int)
+    for d in docs:
+        counts[d["source"]] += 1
+    x = np.array(sorted(counts.values()), float)
+    k, total = len(x), x.sum()
+    gini = ((2 * np.arange(1, k + 1) - k - 1) * x).sum() / (k * total)
+    p = x / total
+    row = q189_concentration_audit(spark, SF_CORRECT).collect()[0]
+    assert abs(row["gini"] - gini) < 1e-4
+    assert abs(row["hhi"] - (p ** 2).sum()) < 1e-6
+    assert abs(row["shannon_entropy"] - (-(p * np.log(p)).sum())) < 1e-4
+    assert 0 <= row["gini"] < 1
+    assert 1 / k <= row["hhi"] <= 1
+    assert 0 <= row["evenness"] <= 1
