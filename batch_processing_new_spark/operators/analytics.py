@@ -1758,3 +1758,64 @@ def q185_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "day", "hour")
     )
+
+
+_AES_K = 50  # weighted-without-replacement sample size
+
+
+@query(
+    "q190_weighted_reservoir",
+    oracle=f"""
+WITH keyed AS (
+    SELECT doc_id, source, n_chars,
+           -ln((('0x' || substr(md5('aes:' || doc_id::VARCHAR), 1, 15))::BIGINT
+                + 1.0) / 1152921504606846977.0) / n_chars AS k
+    FROM documents
+),
+ranked AS (
+    SELECT doc_id, source, n_chars,
+           row_number() OVER (ORDER BY round(k, 9), doc_id) AS draw_rank
+    FROM keyed
+)
+SELECT doc_id, source, n_chars, draw_rank
+FROM ranked
+WHERE draw_rank <= {_AES_K}
+ORDER BY draw_rank
+""",
+)
+def q190_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement (Efraimidis–Spirakis
+    A-ES): each document draws key = -ln(u)/w with weight w = n_chars
+    and u a seeded-hash uniform in (0, 1]; the {_AES_K} smallest keys
+    are the sample. Inclusion probability is proportional to weight,
+    draws never repeat, and — because u is the portable hash60 of the
+    doc_id — the SAME sample reproduces across runs, partitionings,
+    and engines (q89 is the Bernoulli cousin; this one hits an exact
+    sample SIZE).
+
+    Scale shape: the key is an in-scan expression; the top-{_AES_K} is
+    a TakeOrdered (per-partition heaps, no global sort). Keys round to
+    9dp before ranking with doc_id tiebreak, so the libm-vs-JVM ln()
+    ulp can't reorder the sample.
+    """
+    from batch_processing_new_spark.functions.text_funcs import hash60
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    u = (
+        hash60(F.concat(F.lit("aes:"), F.col("doc_id").cast("string")))
+        + 1.0
+    ) / 1152921504606846977.0  # (2^60 + 1): u in (0, 1], ln never sees 0
+    keyed = d.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.round(-F.log(u) / F.col("n_chars"), 9).alias("k"),
+    )
+    w = Window.orderBy("k", "doc_id")
+    return (
+        keyed.withColumn("draw_rank", F.row_number().over(w))
+        .where(F.col("draw_rank") <= _AES_K)
+        .select("doc_id", "source", "n_chars", "draw_rank")
+        .orderBy("draw_rank")
+    )

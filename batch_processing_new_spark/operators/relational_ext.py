@@ -1400,3 +1400,68 @@ def q175_top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey", "s_name", "total_revenue")
         .orderBy("s_suppkey")
     )
+
+
+@query(
+    "q191_dormant_customers",
+    oracle="""
+WITH avg_bal AS (
+    SELECT avg(c_acctbal) AS ab FROM customer WHERE c_acctbal > 0
+),
+dormant AS (
+    SELECT c.c_custkey, c.c_nationkey, c.c_acctbal
+    FROM customer c, avg_bal
+    WHERE c.c_acctbal > avg_bal.ab
+      AND NOT EXISTS (
+          SELECT 1 FROM orders o
+          WHERE o.o_custkey = c.c_custkey
+            AND o.o_orderdate >= TIMESTAMP '2000-01-01'
+      )
+)
+SELECT c_nationkey,
+       count(*)::BIGINT AS n_custs,
+       CAST(sum(CAST(c_acctbal AS DECIMAL(30,8))) AS DOUBLE) AS total_bal
+FROM dormant
+GROUP BY c_nationkey
+ORDER BY c_nationkey
+""",
+)
+def q191_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: high-balance customers (above the positive-
+    balance average) with NO order since 2000 (dormant accounts),
+    grouped by nation — the scalar-subquery + anti-join decorrelation
+    pattern (the last of the
+    classic TPC-H decorrelation family: Q2/q133, Q8/q158, Q15/q175,
+    Q19/q117, Q21/q149, Q22 here).
+
+    Decorrelated plan: the average is a 1-row aggregate broadcast into
+    the filter; NOT EXISTS becomes a left-anti join on the customer
+    key (broadcast or shuffle by AQE's choice); one final tiny
+    aggregate. The balance sum reduces under the DECIMAL discipline.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    avg_bal = cust.where(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("ab")
+    )
+    dormant = (
+        cust.crossJoin(F.broadcast(avg_bal))
+        .where(F.col("c_acctbal") > F.col("ab"))
+        .join(
+            orders.where(
+                F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp_ntz")
+            ).select(F.col("o_custkey").alias("c_custkey")),
+            "c_custkey",
+            "left_anti",
+        )
+    )
+    return (
+        dormant.groupBy("c_nationkey")
+        .agg(
+            F.count("*").alias("n_custs"),
+            F.sum(F.col("c_acctbal").cast("decimal(30,8)"))
+            .cast("double")
+            .alias("total_bal"),
+        )
+        .orderBy("c_nationkey")
+    )

@@ -298,3 +298,60 @@ def test_concentration_bounds_and_numpy(spark):
     assert 0 <= row["gini"] < 1
     assert 1 / k <= row["hhi"] <= 1
     assert 0 <= row["evenness"] <= 1
+
+
+def test_weighted_reservoir_properties(spark):
+    import math
+
+    from batch_processing_new_spark.functions.text_funcs import hash60
+    from batch_processing_new_spark.operators.analytics import (
+        q190_weighted_reservoir,
+    )
+
+    rows = q190_weighted_reservoir(spark, SF_CORRECT).collect()
+    assert len(rows) == 50
+    assert len({r["doc_id"] for r in rows}) == 50  # without replacement
+    # python recompute of the A-ES keys reproduces the exact sample
+    import hashlib
+
+    docs = load_table(spark, SF_CORRECT, "documents").collect()
+    keys = []
+    for d in docs:
+        h = int(hashlib.md5(f"aes:{d['doc_id']}".encode()).hexdigest()[:15], 16)
+        u = (h + 1.0) / 1152921504606846977.0
+        keys.append((round(-math.log(u) / d["n_chars"], 9), d["doc_id"]))
+    expected = [doc for _, doc in sorted(keys)[:50]]
+    assert [r["doc_id"] for r in rows] == expected
+    # weighting bias: sampled docs skew long (mean above corpus mean)
+    corpus_mean = sum(d["n_chars"] for d in docs) / len(docs)
+    sample_mean = sum(r["n_chars"] for r in rows) / len(rows)
+    assert sample_mean > corpus_mean
+
+
+def test_dormant_customers_no_recent_orders(spark):
+    from batch_processing_new_spark.operators.relational_ext import (
+        q191_dormant_customers,
+    )
+
+    rows = q191_dormant_customers(spark, SF_CORRECT).collect()
+    assert rows
+    orders = load_table(spark, SF_CORRECT, "orders").collect()
+    cust = load_table(spark, SF_CORRECT, "customer").collect()
+    recent = {
+        o["o_custkey"]
+        for o in orders
+        if o["o_orderdate"].year >= 2000
+    }
+    pos = [c["c_acctbal"] for c in cust if c["c_acctbal"] > 0]
+    ab = sum(pos) / len(pos)
+    expect = defaultdict(lambda: [0, 0.0])
+    for c in cust:
+        if c["c_acctbal"] > ab and c["c_custkey"] not in recent:
+            e = expect[c["c_nationkey"]]
+            e[0] += 1
+            e[1] += c["c_acctbal"]
+    got = {r["c_nationkey"]: r for r in rows}
+    assert set(got) == set(expect)
+    for nk, (n, tb) in expect.items():
+        assert got[nk]["n_custs"] == n
+        assert abs(got[nk]["total_bal"] - tb) < 1e-4
