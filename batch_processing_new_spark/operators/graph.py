@@ -330,9 +330,6 @@ def q166_item_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _TRI_TOP = 20
-# orientation key: degree-major, id-minor — bounds per-source wedge
-# fan-out by O(sqrt(edges)) (the compact-forward bound)
-_OKEY = 10_000_000
 
 
 @query(
@@ -350,24 +347,24 @@ deg AS (
     GROUP BY node
 ),
 keyed AS (
-    SELECT und.u, und.v,
-           du.d * {_OKEY} + und.u AS uk,
-           dv.d * {_OKEY} + und.v AS vk
+    SELECT und.u, und.v, du.d AS du, dv.d AS dv
     FROM und
     JOIN deg du ON du.node = und.u
     JOIN deg dv ON dv.node = und.v
 ),
 oriented AS (
-    SELECT CASE WHEN uk < vk THEN u ELSE v END AS src,
-           CASE WHEN uk < vk THEN v ELSE u END AS dst,
-           CASE WHEN uk < vk THEN uk ELSE vk END AS sk,
-           CASE WHEN uk < vk THEN vk ELSE uk END AS dk
+    -- orient toward the larger (degree, id) tuple: a true
+    -- lexicographic compare, safe for any id range
+    SELECT CASE WHEN (du, u) < (dv, v) THEN u ELSE v END AS src,
+           CASE WHEN (du, u) < (dv, v) THEN v ELSE u END AS dst,
+           CASE WHEN (du, u) < (dv, v) THEN dv ELSE du END AS ddst
     FROM keyed
 ),
 wedges AS (
     SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
     FROM oriented e1
-    JOIN oriented e2 ON e1.src = e2.src AND e1.dk < e2.dk
+    JOIN oriented e2
+      ON e1.src = e2.src AND (e1.ddst, e1.dst) < (e2.ddst, e2.dst)
 ),
 tri AS (
     SELECT w.a, w.b, w.c
@@ -420,25 +417,29 @@ def q167_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             deg.select(F.col("node").alias("dst"), F.col("d").alias("dv")),
             "dst",
         )
-        .select(
-            "src",
-            "dst",
-            (F.col("du") * _OKEY + F.col("src")).alias("uk"),
-            (F.col("dv") * _OKEY + F.col("dst")).alias("vk"),
-        )
     )
-    lt = F.col("uk") < F.col("vk")
+    # orient toward the larger (degree, id) tuple — a lexicographic
+    # compare (struct <), safe for any id range (an arithmetic
+    # degree*K+id encoding overflows its id field on real catalogs)
+    lt = F.struct(F.col("du"), F.col("src")) < F.struct(
+        F.col("dv"), F.col("dst")
+    )
     oriented = keyed.select(
         F.when(lt, F.col("src")).otherwise(F.col("dst")).alias("src"),
         F.when(lt, F.col("dst")).otherwise(F.col("src")).alias("dst"),
-        F.when(lt, F.col("vk")).otherwise(F.col("uk")).alias("dk"),
+        F.when(lt, F.col("dv")).otherwise(F.col("du")).alias("ddst"),
     ).localCheckpoint(eager=False)  # feeds wedges twice + closing join
     e2 = oriented.select(
-        F.col("src"), F.col("dst").alias("c"), F.col("dk").alias("dk2")
+        F.col("src"),
+        F.col("dst").alias("c"),
+        F.col("ddst").alias("ddst2"),
     )
     wedges = (
         oriented.join(e2, "src")
-        .where(F.col("dk") < F.col("dk2"))
+        .where(
+            F.struct(F.col("ddst"), F.col("dst"))
+            < F.struct(F.col("ddst2"), F.col("c"))
+        )
         .select(F.col("src").alias("a"), F.col("dst").alias("b"), "c")
     )
     closing = oriented.select(
