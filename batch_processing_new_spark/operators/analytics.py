@@ -1485,7 +1485,7 @@ def q159_scd2_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     e = load_table(spark, sf_dir, "events").where(
-        F.col("ts") <= F.lit(_SNAP_TS).cast("timestamp")
+        F.col("ts") <= F.lit(_SNAP_TS).cast("timestamp_ntz")
     )
     w = Window.partitionBy("user_id").orderBy(
         F.col("ts").desc(), F.col("event_id").desc()
@@ -1690,15 +1690,16 @@ base AS (
     SELECT event_type, hour,
            count(*)::BIGINT AS n_days,
            sum(n)::BIGINT AS s,
-           sum(n * n)::BIGINT AS ss
+           -- HUGEINT square: BIGINT*BIGINT would overflow-error at scale
+           sum((n::HUGEINT) * n) AS ss
     FROM cells
     GROUP BY event_type, hour
 ),
 scored AS (
     SELECT c.event_type, c.day, c.hour, c.n,
            b.s * 1.0 / b.n_days AS mu,
-           sqrt((b.ss - b.s * b.s * 1.0 / b.n_days) / (b.n_days - 1))
-               AS sigma
+           sqrt((b.ss::DOUBLE - b.s::DOUBLE * b.s::DOUBLE / b.n_days)
+                / (b.n_days - 1)) AS sigma
     FROM cells c
     JOIN base b ON b.event_type = c.event_type AND b.hour = c.hour
     WHERE b.n_days >= 2
@@ -1733,14 +1734,26 @@ def q185_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.hour("ts").alias("hour"),
     ).agg(F.count("*").alias("n"))
     cells = cells.localCheckpoint(eager=False)  # grid feeds base + scoring
+    # squares as DECIMAL: long*long silently wraps in Spark (ANSI off)
+    # once a cell count passes ~3e9 — at the 100 TB target that is a
+    # real hourly volume, and a wrapped ss makes sigma garbage with no
+    # error. The final arithmetic runs in double on both engines (an
+    # IEEE product of exact operands equals the rounded exact integer
+    # product, so the engines agree at any magnitude).
+    n_dec = F.col("n").cast("decimal(19,0)")
     base = cells.groupBy("event_type", "hour").agg(
         F.count("*").alias("n_days"),
         F.sum("n").alias("s"),
-        F.sum(F.col("n") * F.col("n")).alias("ss"),
+        F.sum((n_dec * n_dec).cast("decimal(38,0)")).alias("ss"),
     )
     mu = F.col("s") / F.col("n_days")
     sigma = F.sqrt(
-        (F.col("ss") - F.col("s") * F.col("s") / F.col("n_days"))
+        (
+            F.col("ss").cast("double")
+            - F.col("s").cast("double")
+            * F.col("s").cast("double")
+            / F.col("n_days")
+        )
         / (F.col("n_days") - 1)
     )
     z = (F.col("n") - mu) / sigma
@@ -1771,6 +1784,7 @@ WITH keyed AS (
            -ln((('0x' || substr(md5('aes:' || doc_id::VARCHAR), 1, 15))::BIGINT
                 + 1.0) / 1152921504606846977.0) / n_chars AS k
     FROM documents
+    WHERE n_chars > 0
 ),
 ranked AS (
     SELECT doc_id, source, n_chars,
@@ -1806,16 +1820,22 @@ def q190_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
         hash60(F.concat(F.lit("aes:"), F.col("doc_id").cast("string")))
         + 1.0
     ) / 1152921504606846977.0  # (2^60 + 1): u in (0, 1], ln never sees 0
-    keyed = d.select(
+    # zero-weight rows are excluded by definition (P proportional to w =
+    # 0); they would also divide by zero -> NULL, which the engines
+    # order differently (Spark NULLS FIRST vs DuckDB NULLS LAST)
+    keyed = d.where(F.col("n_chars") > 0).select(
         "doc_id",
         "source",
         "n_chars",
         F.round(-F.log(u) / F.col("n_chars"), 9).alias("k"),
     )
+    # global top-k via TakeOrderedAndProject (per-partition heaps), NOT
+    # an unpartitioned window over the corpus; the rank window then
+    # runs on the {_AES_K}-row result only
+    top = keyed.orderBy("k", "doc_id").limit(_AES_K)
     w = Window.orderBy("k", "doc_id")
     return (
-        keyed.withColumn("draw_rank", F.row_number().over(w))
-        .where(F.col("draw_rank") <= _AES_K)
+        top.withColumn("draw_rank", F.row_number().over(w))
         .select("doc_id", "source", "n_chars", "draw_rank")
         .orderBy("draw_rank")
     )

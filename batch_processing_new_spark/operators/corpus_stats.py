@@ -327,8 +327,8 @@ my AS (SELECT lang,   sum(n_xy) AS n_y FROM cells GROUP BY lang),
 tot AS (SELECT sum(n_xy) AS n FROM cells)
 SELECT c.source, c.lang, c.n_xy::BIGINT AS n_xy,
        mx.n_x::BIGINT AS n_x, my.n_y::BIGINT AS n_y,
-       round(ln((c.n_xy * t.n)::DOUBLE / (mx.n_x * my.n_y)), 6) AS pmi,
-       round(ln((c.n_xy * t.n)::DOUBLE / (mx.n_x * my.n_y))
+       round(ln(c.n_xy::DOUBLE * t.n / (mx.n_x::DOUBLE * my.n_y)), 6) AS pmi,
+       round(ln(c.n_xy::DOUBLE * t.n / (mx.n_x::DOUBLE * my.n_y))
              / -ln(c.n_xy::DOUBLE / t.n), 6) AS npmi
 FROM cells c
 JOIN mx USING (source)
@@ -360,9 +360,13 @@ def q164_source_lang_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     mx = cells.groupBy("source").agg(F.sum("n_xy").alias("n_x"))
     my = cells.groupBy("lang").agg(F.sum("n_xy").alias("n_y"))
     tot = cells.agg(F.sum("n_xy").alias("n"))
+    # operands cast to double BEFORE multiplying: long*long silently
+    # wraps in Spark at data scale, and an IEEE product of exact
+    # operands equals the rounded exact integer product on both engines
     pmi = F.log(
-        (F.col("n_xy") * F.col("n")).cast("double")
-        / (F.col("n_x") * F.col("n_y"))
+        F.col("n_xy").cast("double")
+        * F.col("n")
+        / (F.col("n_x").cast("double") * F.col("n_y"))
     )
     return (
         cells.join(F.broadcast(mx), "source")
@@ -470,7 +474,7 @@ tot AS (SELECT sum(n_xy)::BIGINT AS n FROM cells),
 grid AS (
     SELECT mx.source, my.lang, mx.n_x, my.n_y, t.n,
            coalesce(c.n_xy, 0) AS n_xy,
-           mx.n_x * my.n_y * 1.0 / t.n AS expected
+           mx.n_x::DOUBLE * my.n_y / t.n AS expected
     FROM mx CROSS JOIN my CROSS JOIN tot t
     LEFT JOIN cells c ON c.source = mx.source AND c.lang = my.lang
 ),
@@ -522,7 +526,9 @@ def q188_chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_y",
             "n",
             F.coalesce(F.col("n_xy"), F.lit(0)).alias("n_xy"),
-            (F.col("n_x") * F.col("n_y") / F.col("n")).alias("expected"),
+            (
+                F.col("n_x").cast("double") * F.col("n_y") / F.col("n")
+            ).alias("expected"),
         )
     )
     term = F.round(

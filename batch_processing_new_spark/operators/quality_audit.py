@@ -43,9 +43,12 @@ EVENT_RULES: list[tuple[str, str, str]] = [
         "ts >= TIMESTAMP '2020-01-01' AND ts < TIMESTAMP '2030-01-01'",
     ),
     (
+        # DuckDB's json_extract ERRORS on malformed JSON (the very rows
+        # this rule exists to catch) — json_valid gates it; Spark's
+        # get_json_object already returns NULL there
         "props_has_k",
         "get_json_object(props, '$.k') IS NOT NULL",
-        "json_extract(props, '$.k') IS NOT NULL",
+        "json_valid(props) AND json_extract(props, '$.k') IS NOT NULL",
     ),
 ]
 

@@ -253,19 +253,7 @@ def q142_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     with the map swapped for a broadcast join against the weight
     table; the threshold/sigmoid never changes.
     """
-    weights = _weights(spark)
-    wmap = F.create_map(
-        *[F.lit(x) for j, w in enumerate(weights) for x in (j, float(w))]
-    )
-    toks = tokens(F.col("text"))
-    dot = F.aggregate(
-        F.transform(
-            toks, lambda t: F.element_at(wmap, (hash60(t) % CLS_DIM).cast("int"))
-        ),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    p = 1 / (1 + F.exp(-(F.lit(CLS_BIAS) + dot)))
+    p = _cls_p_good(F.col("text"))
     d = load_table(spark, sf_dir, "documents")
     return (
         fan_out(d.select("doc_id", "text"))

@@ -677,7 +677,10 @@ def q186_largest_remainder(spark: SparkSession, sf_dir: str) -> DataFrame:
     quotas = per_source.crossJoin(F.broadcast(tot)).select(
         "source",
         "n_docs",
-        F.floor(F.col("n_docs") * _LR_SEATS / F.col("n")).alias("base"),
+        # integer division (div), NOT floor(double /): the double
+        # quotient can round up across an integer at extreme counts,
+        # decoupling base from the exact modulo below
+        F.expr(f"n_docs * {_LR_SEATS} div n").alias("base"),
         ((F.col("n_docs") * _LR_SEATS) % F.col("n")).alias("rem"),
     )
     w = Window.orderBy(F.col("rem").desc(), "source")
