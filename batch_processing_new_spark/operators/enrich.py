@@ -124,7 +124,14 @@ async def _call_with_retries(
     for attempt in range(1, cfg.retries + 1):
         try:
             async with sem:
-                resp = await asyncio.wait_for(transport(prompt), timeout=cfg.timeout)
+                # 2x headroom over the transport's own deadline: the
+                # blocking worker self-terminates at cfg.timeout (see
+                # http_transport), so wait_for is a backstop that fires
+                # only if a thread is truly wedged — cancelling first
+                # would leak the still-running thread's pool slot
+                resp = await asyncio.wait_for(
+                    transport(prompt), timeout=cfg.timeout * 2 + 1
+                )
             return resp, None, attempt, (time.monotonic() - t0) * 1000.0
         except MalformedResponseError as exc:
             last_err = f"{type(exc).__name__}: {exc}"
@@ -193,8 +200,27 @@ def _make_transport(cfg: EnrichConfig) -> Callable:
                 # socket timeout) raise URLError/HTTPError/OSError here
                 # and RETRY; a delivered-but-unparseable 200 raises
                 # MalformedResponseError below and does NOT (test.py:71-74)
+                #
+                # The read loop enforces an OVERALL deadline: urlopen's
+                # timeout bounds each socket op, so a drip-feed server
+                # could hold the worker thread far beyond cfg.timeout —
+                # and an abandoned (wait_for-cancelled) thread would
+                # permanently occupy one of the pool's exactly-
+                # `concurrency` slots. Self-terminating by deadline keeps
+                # the semaphore the only concurrency limiter.
+                deadline = time.monotonic() + cfg.timeout
+                chunks: list[bytes] = []
                 with urllib.request.urlopen(req, timeout=cfg.timeout) as r:
-                    raw = r.read()
+                    while True:
+                        if time.monotonic() > deadline:
+                            raise TimeoutError(
+                                f"response exceeded {cfg.timeout}s deadline"
+                            )
+                        chunk = r.read(65536)
+                        if not chunk:
+                            break
+                        chunks.append(chunk)
+                raw = b"".join(chunks)
                 try:
                     payload = json.loads(raw)
                     return payload["choices"][0]["message"]["content"].strip()

@@ -1312,7 +1312,11 @@ def q158_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rev = (
         li.join(o, li["l_orderkey"] == o["o_orderkey"])
-        .join(F.broadcast(asia_cust), o["o_custkey"] == asia_cust["c_custkey"])
+        # NO broadcast hint: the region-filtered customer set is a
+        # fact-scale relation (~1/5 of customer) — an explicit hint is
+        # honored regardless of size and would OOM at scale; AQE picks
+        # broadcast when the filtered side measures small
+        .join(asia_cust, o["o_custkey"] == asia_cust["c_custkey"])
         .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
         .join(F.broadcast(sn), s["s_nationkey"] == sn["sn_nationkey"])
         .select(

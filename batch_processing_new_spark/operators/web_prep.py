@@ -42,17 +42,22 @@ _RAW_URL_SQL = (
 
 def canonicalize_url(url: F.Column) -> F.Column:
     """Canonical dedup key for a URL, as one JVM expression tree:
-    lowercase scheme+host, strip ``www.`` and the ``:443`` default
-    port, drop the fragment, drop ``utm_*`` tracking params, sort the
-    surviving query params. Idempotent: applying it twice is the
-    identity on its own output."""
+    lowercase scheme+host, strip ``www.`` and the scheme's DEFAULT
+    port only (``:443`` for https, ``:80`` for http — ``:443`` on an
+    http URL is a different origin and must survive), drop the
+    fragment, drop ``utm_*`` tracking params, sort the surviving query
+    params. Idempotent: applying it twice is the identity on its own
+    output."""
     scheme = F.lower(F.regexp_extract(url, r"^([A-Za-z]+)://", 1))
     hostport = F.lower(F.regexp_extract(url, r"^[A-Za-z]+://([^/?#]+)", 1))
     path = F.regexp_extract(url, r"^[A-Za-z]+://[^/?#]+([^?#]*)", 1)
     qry = F.regexp_extract(url, r"\?([^#]*)", 1)
-    host = F.regexp_replace(
-        F.regexp_replace(hostport, r"^www\.", ""), r":443$", ""
-    )
+    bare = F.regexp_replace(hostport, r"^www\.", "")
+    host = F.when(
+        (scheme == "https"), F.regexp_replace(bare, r":443$", "")
+    ).when(
+        (scheme == "http"), F.regexp_replace(bare, r":80$", "")
+    ).otherwise(bare)
     canon_query = F.concat_ws(
         "&",
         F.array_sort(
@@ -86,10 +91,16 @@ parts AS (
 ),
 norm AS (
     SELECT doc_id, raw_url, scheme, path,
-           regexp_replace(
-               CASE WHEN starts_with(hostport, 'www.')
-                    THEN hostport[5:] ELSE hostport END,
-               ':443$', '')                                            AS host,
+           CASE scheme
+               WHEN 'https' THEN regexp_replace(
+                   CASE WHEN starts_with(hostport, 'www.')
+                        THEN hostport[5:] ELSE hostport END, ':443$', '')
+               WHEN 'http' THEN regexp_replace(
+                   CASE WHEN starts_with(hostport, 'www.')
+                        THEN hostport[5:] ELSE hostport END, ':80$', '')
+               ELSE CASE WHEN starts_with(hostport, 'www.')
+                         THEN hostport[5:] ELSE hostport END
+           END                                                         AS host,
            array_to_string(
                list_sort(list_filter(string_split(query, '&'),
                                      x -> NOT starts_with(x, 'utm_'))),
@@ -201,7 +212,9 @@ def q140_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
     are flagged and the content halves survive.
     """
     d = load_table(spark, sf_dir, "documents")
-    toks = F.split(F.trim(F.col("text")), " ")
+    from batch_processing_new_spark.functions.text_funcs import tokens
+
+    toks = tokens(F.col("text"))
     n = F.size(toks)
     h = F.ceil(n / 2.0).cast("int")
     lines_arr = F.array(

@@ -102,7 +102,17 @@ def run_enrichment_pipeline(
         # s3://... URI — map to s3a:// + fs.s3a.* conf; local paths
         # pass through untouched (sources/storage.py).
         src = map_url(spec.file_url)
-        raw = read_csv(spark, apply_s3a_conf(spark, src))
+        if src.scheme in ("http", "https"):
+            # presigned S3 / plain HTTPS: no Hadoop FS speaks these —
+            # stream the single object driver-side (reference
+            # test.py:170 model) and scan the local copy
+            from batch_processing_new_spark.sources.storage import (
+                fetch_http_to_local,
+            )
+
+            raw = read_csv(spark, fetch_http_to_local(src.path))
+        else:
+            raw = read_csv(spark, apply_s3a_conf(spark, src))
     input_col = raw.columns[spec.column_index]  # positional (test.py:151,86)
 
     with_id = with_ingest_row_id(raw, ROW_ID)

@@ -73,6 +73,7 @@ _QUERY_MODULES = [
 ]
 
 _loaded = False
+_proven_cache: set[str] | None = None
 
 
 def query(name: str, oracle: str | None = None, doc: str = ""):
@@ -106,6 +107,9 @@ def _driver_verified() -> set[str]:
     across rounds; ``tests/run_verify.py`` still checks all queries
     every run regardless of order.
     """
+    global _proven_cache
+    if _proven_cache is not None:
+        return _proven_cache
     green: set[str] = set()
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     try:
@@ -122,15 +126,15 @@ def _driver_verified() -> set[str]:
                     green.add(name)
     except Exception:
         return set()
+    _proven_cache = green
     return green
 
 
 def all_specs() -> dict[str, QuerySpec]:
     _load()
     proven = _driver_verified()
-    ordered = sorted(
-        _REGISTRY, key=lambda n: (n in proven, list(_REGISTRY).index(n))
-    )
+    idx = {n: i for i, n in enumerate(_REGISTRY)}
+    ordered = sorted(_REGISTRY, key=lambda n: (n in proven, idx[n]))
     return {n: _REGISTRY[n] for n in ordered}
 
 

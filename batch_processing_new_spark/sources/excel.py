@@ -33,6 +33,29 @@ from xml.sax.saxutils import escape
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 
+
+def _scratch_dir(name: str) -> str:
+    """Per-purpose scratch dir, stable within a process, removed at
+    process exit.
+
+    mkdtemp() per invocation leaked a full materialized table copy per
+    bench/verify run (2 warm-ups + best-of-3 = 5 copies each, never
+    cleaned); a per-(purpose, pid) path + mode("overwrite") writers
+    keeps exactly one copy per purpose, the pid component keeps
+    concurrent verify/bench processes from overwriting each other's
+    files mid-read, and the atexit hook removes the whole tree.
+    """
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    d = os.path.join(tempfile.gettempdir(), f"bpns_{name}_{os.getpid()}")
+    if not os.path.isdir(d):
+        os.makedirs(d, exist_ok=True)
+        atexit.register(shutil.rmtree, d, ignore_errors=True)
+    return d
+
 _MAIN_NS = "http://schemas.openxmlformats.org/spreadsheetml/2006/main"
 _CELL_REF = re.compile(r"([A-Z]+)(\d+)")
 
@@ -255,13 +278,12 @@ def q49_excel_roundtrip(spark, sf_dir: str):
     Excel surface end to end (reference requirements.txt:47).
     """
     import os
-    import tempfile
 
     from pyspark.sql import functions as F
 
     c = load_table(spark, sf_dir, "customer")
     path = os.path.join(
-        tempfile.mkdtemp(prefix="xlsx_roundtrip_"), "customer.xlsx"
+        _scratch_dir("xlsx_roundtrip"), "customer.xlsx"
     )
     write_xlsx(c, path)
     back = read_xlsx(spark, path, columns=list(c.columns))
@@ -308,7 +330,7 @@ def q70_jsonl_roundtrip(spark, sf_dir: str):
     e = load_table(spark, sf_dir, "events").select(
         "event_id", "event_type", "value"
     )
-    path = os.path.join(tempfile.mkdtemp(prefix="jsonl_roundtrip_"), "events")
+    path = os.path.join(_scratch_dir("jsonl_roundtrip"), "events")
     e.write.mode("overwrite").json(path)
     back = read_jsonl(
         spark, path, schema="event_id bigint, event_type string, value double"
@@ -359,7 +381,7 @@ def q153_schema_evolution(spark, sf_dir: str):
     from pyspark.sql import functions as F
 
     o = load_table(spark, sf_dir, "orders")
-    base = os.path.join(tempfile.mkdtemp(prefix="schema_evo_"), "orders")
+    base = os.path.join(_scratch_dir("schema_evo"), "orders")
     o.where(F.col("o_orderkey") % 2 == 0).select(
         "o_orderkey", "o_totalprice"
     ).write.mode("overwrite").parquet(os.path.join(base, "v1"))
@@ -430,7 +452,7 @@ def q154_corrupt_records(spark, sf_dir: str):
             F.col("o_totalprice").cast("string")
         ),
     )
-    path = os.path.join(tempfile.mkdtemp(prefix="dirty_csv_"), "orders")
+    path = os.path.join(_scratch_dir("dirty_csv"), "orders")
     o.select(line.alias("value")).write.mode("overwrite").text(path)
     back = (
         spark.read.schema(
@@ -494,7 +516,7 @@ def q155_gzip_csv_roundtrip(spark, sf_dir: str):
     o = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderpriority", "o_totalprice"
     )
-    path = os.path.join(tempfile.mkdtemp(prefix="gz_csv_"), "orders")
+    path = os.path.join(_scratch_dir("gz_csv"), "orders")
     o.write.mode("overwrite").option("header", "true").option(
         "compression", "gzip"
     ).csv(path)
@@ -557,7 +579,7 @@ def q156_quoted_multiline_csv(spark, sf_dir: str):
         F.lit('a,"b\n'), F.substring(F.col("text"), 1, 40)
     )
     src = d.select(F.col("doc_id"), payload.alias("payload"))
-    path = os.path.join(tempfile.mkdtemp(prefix="quoted_csv_"), "docs")
+    path = os.path.join(_scratch_dir("quoted_csv"), "docs")
     # the CSV WRITER trims field whitespace by default
     # (ignoreLeading/TrailingWhiteSpace default TRUE for writes, false
     # for reads) — byte-exact roundtrip requires turning that off

@@ -153,6 +153,7 @@ SELECT doc_id,
        1                                                     AS n_links,
        'https://example.com/docs/' || doc_id                 AS first_href
 FROM documents
+WHERE trim(text) <> ''
 ORDER BY doc_id
 """,
 )
@@ -163,6 +164,11 @@ def q136_scraped_html(spark: SparkSession, sf_dir: str) -> DataFrame:
     fields, so a parser that leaks script text, drops entities, or
     mangles whitespace hash-mismatches."""
     d = load_table(spark, sf_dir, "documents")
+    # whitespace-only documents are excluded on BOTH sides: the parser
+    # (correctly) emits no body chunk for an empty paragraph while the
+    # oracle's fixed-template concat would keep a double space — a
+    # latent divergence with no meaningful parse to compare
+    d = d.where(F.trim(F.col("text")) != "")
     pages = synth_html_pages(fan_out(d.select("doc_id", "source", "text")))
     return parse_html(pages).orderBy("doc_id")
 

@@ -12,9 +12,11 @@ through ``fs.s3a.*``. This module is the translation layer:
   and path-style HTTPS (``https://s3.us-east-1.amazonaws.com/bucket/key``)
   -> ``s3a://bucket/key`` (+ region endpoint conf); an ``X-Amz-``
   query marks a presigned URL — the signature cannot be forwarded to
-  s3a (it signs a single GET, not ranged splits), so the caller either
-  has credentials (s3a path) or streams the single object over HTTP
-  (the reference's own model; fine for one CSV, wrong for 100 TB)
+  s3a (it signs a single GET, not ranged splits), so presigned URLs
+  keep their FULL signed form and the pipeline streams the single
+  object over HTTP driver-side (the reference's own model,
+  test.py:170; fine for one CSV, wrong for 100 TB — at scale, grant
+  credentials and address the bucket directly)
 - anything else (local paths, ``file://``, ``hdfs://``) passes through
 
 Mapping is pure string work — unit-testable with no AWS anywhere
@@ -60,6 +62,13 @@ def map_url(url: str) -> MappedSource:
     if scheme in ("http", "https"):
         host = parts.hostname or ""
         presigned = "x-amz-" in (parts.query or "").lower()
+        if presigned:
+            # the signature signs a single GET and cannot be forwarded
+            # to s3a (which issues ranged reads with its own auth) —
+            # keep the FULL signed URL and let the caller stream it
+            # over HTTP, exactly the reference's own access model
+            # (pd.read_csv(csv_url), test.py:170)
+            return MappedSource(path=url, presigned=True, scheme=scheme)
         m = _VHOST_RE.match(host)
         if m:
             bucket, region = m.group("bucket"), m.group("region")
@@ -67,7 +76,6 @@ def map_url(url: str) -> MappedSource:
             return MappedSource(
                 path=f"s3a://{bucket}{parts.path}",
                 conf=conf,
-                presigned=presigned,
                 scheme="s3a",
             )
         m = _PATH_RE.match(host)
@@ -78,12 +86,11 @@ def map_url(url: str) -> MappedSource:
             return MappedSource(
                 path=f"s3a://{bucket}/{key}",
                 conf=conf,
-                presigned=presigned,
                 scheme="s3a",
             )
         # plain HTTP(S) that is not S3: keep as-is (the HTTP streaming
         # fallback reads it driver-side, reference-parity for one CSV)
-        return MappedSource(path=url, presigned=presigned, scheme=scheme)
+        return MappedSource(path=url, scheme=scheme)
 
     # local path / file:// / hdfs:// / abfs:// ... — untouched
     return MappedSource(path=url, scheme=scheme or "file")
@@ -98,6 +105,25 @@ def _region_conf(region: str | None) -> dict[str, str]:
 #: conf for the reference's ``ACL='public-read'`` put_object
 #: (test.py:248-253) — the s3a equivalent is a canned ACL on new objects.
 PUBLIC_READ_CONF = {"spark.hadoop.fs.s3a.acl.default": "PublicRead"}
+
+
+def fetch_http_to_local(url: str, timeout: int = 200) -> str:
+    """Stream an HTTP(S) object to a local temp file and return its
+    path — the driver-side single-object read the reference performs
+    (``pd.read_csv(csv_url)``, test.py:170). Used for presigned S3 and
+    plain-HTTPS inputs, which no Hadoop filesystem can address; bounded
+    by one CSV of reference scale, never a data-plane path.
+    """
+    import shutil
+    import tempfile
+    import urllib.request
+
+    fd, local = tempfile.mkstemp(suffix=".csv", prefix="http_src_")
+    with urllib.request.urlopen(url, timeout=timeout) as resp, open(
+        fd, "wb"
+    ) as out:
+        shutil.copyfileobj(resp, out)
+    return local
 
 
 def apply_s3a_conf(spark, mapped: MappedSource, public_read: bool = False):

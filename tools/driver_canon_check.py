@@ -91,11 +91,17 @@ def main() -> int:
             continue
         if a != b:
             bad = next(
-                (i, x, y) for i, (x, y) in enumerate(zip(a, b)) if x != y
+                ((i, x, y) for i, (x, y) in enumerate(zip(a, b)) if x != y),
+                None,
             )
-            print(f"FAILED {name}: differs at sorted-row {bad[0]}")
-            print(f"  spark: {bad[1][:160]}")
-            print(f"  duck : {bad[2][:160]}")
+            if bad is None:  # equal prefix, different lengths
+                print(
+                    f"FAILED {name}: rowcount spark={len(a)} duck={len(b)}"
+                )
+            else:
+                print(f"FAILED {name}: differs at sorted-row {bad[0]}")
+                print(f"  spark: {bad[1][:160]}")
+                print(f"  duck : {bad[2][:160]}")
             failed.append(name)
         else:
             print(f"ok     {name} ({len(a)} rows)")
