@@ -619,6 +619,16 @@ def connected_components(
     ))
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", str(parts))
+    try:
+        return _propagate_min_labels(edges, max_iterations)
+    finally:
+        # ALWAYS restore the session conf: an exception mid-iteration
+        # must not leave every later query clamped to `parts` shuffles
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        edges.unpersist()
+
+
+def _propagate_min_labels(edges: DataFrame, max_iterations: int) -> DataFrame:
     labels = (
         edges.groupBy("src")
         .agg(F.least(F.min("dst"), F.first("src")).alias("cluster_id"))
@@ -657,8 +667,16 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
-    spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
-    edges.unpersist()
+    else:
+        # the loop exhausted max_iterations with labels still moving:
+        # returning silently would hand callers SPLIT components (q69/
+        # q90's transitive-closure oracles would catch it, but callers
+        # without an oracle would quietly keep extra "keepers")
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iterations} "
+            "iterations (component diameter exceeds the cap); raise "
+            "max_iterations"
+        )
     return labels
 
 
@@ -695,7 +713,6 @@ def q69_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     The oracle resolves the same pair graph with q90's recursive-CTE
     transitive closure, so the pointer-doubling component labels are
     value-checked (upgraded from the original rows-only contract)."""
-    d = load_table(spark, sf_dir, "documents")
     pairs = q35_jaccard_pairs(spark, sf_dir)
     comps = connected_components(pairs.select("id_a", "id_b"))
     return (

@@ -34,7 +34,19 @@ def salted_join(
     pipelines and engines/stages where AQE can't rewrite (e.g. a
     hot-key groupBy feeding the join). Join RESULTS are identical to the
     unsalted join — asserted in tests.
+
+    Only inner/left-flavored joins are accepted: the dim side is
+    replicated n_salts times, so a right/full outer join would emit
+    every UNMATCHED dim row once per salt (n_salts duplicates) — a
+    silent correctness break, rejected loudly instead.
     """
+    if how not in ("inner", "left", "left_outer", "leftouter", "left_semi",
+                   "leftsemi", "left_anti", "leftanti", "cross"):
+        raise ValueError(
+            f"salted_join cannot preserve {how!r} semantics: unmatched "
+            "dim rows would duplicate once per salt; use the plain join "
+            "(AQE skew handling) for outer joins on the dim side"
+        )
     fact_salted = fact.withColumn(
         SALT_COL, (F.monotonically_increasing_id() % n_salts).cast("int")
     )
@@ -94,7 +106,7 @@ def kll_quantiles(
     )
     cols = [group_col, "n"] + [
         F.kll_sketch_get_quantile_double("sk", F.lit(q)).alias(
-            f"p{int(q * 100)}"
+            f"p{int(round(q * 100))}"
         )
         for q in quantiles
     ]

@@ -592,7 +592,8 @@ WITH dims AS (
 )
 SELECT label,
        dim_id,
-       round(avg(embedding[dim_id + 1]), 6) AS centroid_v
+       round(CAST(sum(CAST(embedding[dim_id + 1] AS DECIMAL(30,8)))
+                  AS DOUBLE) / count(*), 6) AS centroid_v
 FROM dims
 GROUP BY label, dim_id
 ORDER BY label, dim_id
@@ -614,7 +615,16 @@ def q93_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         fan_out(e.select("label", "embedding"))
         .select("label", F.posexplode(_f64("embedding")).alias("dim_id", "v"))
         .groupBy("label", "dim_id")
-        .agg(F.round(F.avg("v"), 6).alias("centroid_v"))
+        # DECIMAL partials (the dsum discipline): a float avg is
+        # partition-order-dependent at the ulp, and round(6) cannot
+        # mask a half-boundary flip (same fix as train_ivf_centroids)
+        .agg(
+            F.round(
+                F.sum(F.col("v").cast("decimal(30,8)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("centroid_v")
+        )
         .orderBy("label", "dim_id")
     )
 

@@ -37,15 +37,30 @@ from batch_processing_new_spark.streaming.stream_queries import _state_partition
 from batch_processing_new_spark.registry import query
 
 
-def latest_snapshot(spark: SparkSession, state_path: str) -> DataFrame | None:
-    """The max-version snapshot under ``state_path``, or None."""
+def latest_snapshot(
+    spark: SparkSession, state_path: str, before: int | None = None
+) -> DataFrame | None:
+    """The max-version COMMITTED snapshot under ``state_path`` (or the
+    max strictly below ``before``), or None.
+
+    Two replay-safety rules (foreachBatch is at-least-once):
+    - only versions whose write COMMITTED (parquet _SUCCESS marker)
+      qualify — a crash mid-write leaves a partial dir that must never
+      become a merge base;
+    - a merge for batch N bases itself on a version < N: after a
+      crash-after-write-before-checkpoint-commit, batch N re-runs, and
+      merging into the already-written v=N would double-count it.
+    """
     if not os.path.isdir(state_path):
         return None
     versions = [
         int(d.split("=", 1)[1])
         for d in os.listdir(state_path)
         if d.startswith("v=")
+        and os.path.exists(os.path.join(state_path, d, "_SUCCESS"))
     ]
+    if before is not None:
+        versions = [v for v in versions if v < before]
     if not versions:
         return None
     return spark.read.parquet(f"{state_path}/v={max(versions)}")
@@ -61,7 +76,9 @@ def merge_user_stats_batch(
         F.count(F.lit(1)).alias("n_events"),
         F.sum(F.col("value").cast(DEC)).alias("total_value_dec"),
     )
-    cur = latest_snapshot(spark, state_path)
+    # idempotent under replay: base = newest committed version BELOW
+    # this batch id (see latest_snapshot)
+    cur = latest_snapshot(spark, state_path, before=batch_id)
     merged = (
         partial
         if cur is None
@@ -158,7 +175,9 @@ def merge_distinct_users_batch(
     partial = batch_df.groupBy("event_type").agg(
         F.hll_sketch_agg("user_id").alias("sketch")
     )
-    cur = latest_snapshot(spark, state_dir)
+    # same replay-idempotence rule as the additive MV: base strictly
+    # below this batch id, committed versions only
+    cur = latest_snapshot(spark, state_dir, before=batch_id)
     merged = (
         partial
         if cur is None

@@ -12,6 +12,7 @@ from __future__ import annotations
 from collections.abc import Iterator
 from typing import Any
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
@@ -36,7 +37,13 @@ def _update_user_state(
         n, cents, max_id = 0, 0, -1
     for pdf in batches:
         n += len(pdf)
-        cents += int((pdf["value"] * 100).round().astype("int64").sum())
+        # floor(x*100 + 0.5): DuckDB round() is half-AWAY-from-zero
+        # while pandas .round() is half-to-even — a value like 0.125
+        # (exactly representable, *100 = 12.5) would diverge by a cent.
+        # Values here are nonnegative, so +0.5-floor IS half-away.
+        cents += int(
+            np.floor(pdf["value"].to_numpy() * 100 + 0.5).astype("int64").sum()
+        )
         max_id = max(max_id, int(pdf["event_id"].max()))
     state.update((n, cents, max_id))
     yield pd.DataFrame(

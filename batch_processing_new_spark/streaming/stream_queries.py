@@ -81,17 +81,7 @@ class _state_partitions:
 def run_to_memory(stream_df: DataFrame, query_name_prefix: str = "sq") -> DataFrame:
     """Drive a streaming plan to completion (availableNow) into a memory
     sink; return the materialized table."""
-    name = f"{query_name_prefix}_{next(_SINK_COUNTER)}"
-    with _state_partitions(stream_df.sparkSession):
-        q = (
-            stream_df.writeStream.outputMode("complete")
-            .format("memory")
-            .queryName(name)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-    return stream_df.sparkSession.table(name)
+    return _run_to_memory(stream_df, query_name_prefix, "complete")
 
 
 def run_append_to_memory(stream_df: DataFrame, query_name_prefix: str = "sa") -> DataFrame:
@@ -285,9 +275,7 @@ def q67_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the join condition's reach). Output counts views per purchase;
     batch equivalence is asserted in tests/test_streaming.py.
     """
-    events = read_events_stream(spark, sf_dir).withColumn(
-        "ts", F.col("ts").cast("timestamp")
-    )
+    events = read_events_stream(spark, sf_dir)
     purchases = (
         events.where(F.col("event_type") == "purchase")
         .select(
@@ -345,9 +333,7 @@ def q78_stateful_running_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from batch_processing_new_spark.streaming.stateful import running_user_stats
 
-    events = read_events_stream(spark, sf_dir).withColumn(
-        "ts", F.col("ts").cast("timestamp")
-    )
+    events = read_events_stream(spark, sf_dir)
     res = run_update_to_memory(running_user_stats(events), "stateful")
     # update mode emits one row per user per micro-batch: keep the final
     # state per user (max n_events is the last emission)
@@ -377,9 +363,7 @@ def q103_stream_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     watermark contract; tests/test_streaming.py asserts exact batch
     equivalence over the closed region.
     """
-    events = read_events_stream(spark, sf_dir).withColumn(
-        "ts", F.col("ts").cast("timestamp")
-    )
+    events = read_events_stream(spark, sf_dir)
     purchases = (
         events.where(F.col("event_type") == "purchase")
         .select(

@@ -12,7 +12,7 @@ from batch_processing_new_spark.streaming.stream_queries import (
     run_update_to_memory,
 )
 from batch_processing_new_spark.streaming.stateful import running_user_stats
-from tests.conftest import SF_CORRECT
+from tests.conftest import SF_CORRECT, SF_SMOKE
 
 
 def test_session_window_equals_batch_sessionize(spark):
@@ -450,3 +450,39 @@ def test_transform_with_state_converges_to_batch(spark):
         .collect()
     }
     assert got == exp
+
+
+def test_mv_merge_is_idempotent_under_batch_replay(spark, tmp_path):
+    """foreachBatch is at-least-once: re-invoking the merge hook with
+    the SAME batch_id (crash after write, before checkpoint commit)
+    must not double-count — the merge bases itself on the newest
+    committed version STRICTLY BELOW the replayed id."""
+    from batch_processing_new_spark.sources.readers import load_table
+    from batch_processing_new_spark.streaming.incremental import (
+        latest_snapshot,
+        merge_user_stats_batch,
+    )
+
+    ev = load_table(spark, SF_SMOKE, "events").limit(200).cache()
+    state = str(tmp_path / "mv")
+    b0 = ev.where("event_id % 2 = 0")
+    b1 = ev.where("event_id % 2 = 1")
+    merge_user_stats_batch(b0, 0, state)
+    merge_user_stats_batch(b1, 1, state)
+    once = {
+        r["user_id"]: (r["n_events"], float(r["total_value_dec"]))
+        for r in latest_snapshot(spark, state).collect()
+    }
+    # replay batch 1 (same id): result must be unchanged
+    merge_user_stats_batch(b1, 1, state)
+    twice = {
+        r["user_id"]: (r["n_events"], float(r["total_value_dec"]))
+        for r in latest_snapshot(spark, state).collect()
+    }
+    assert once == twice
+    # and the totals equal the batch-global aggregate
+    expect = {
+        r["user_id"]: r["n"]
+        for r in ev.groupBy("user_id").count().withColumnRenamed("count", "n").collect()
+    }
+    assert {u: n for u, (n, _) in twice.items()} == expect
