@@ -326,7 +326,11 @@ def q83_dup_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sequence(F.lit(0), F.size(toks) - _NGRAM_N),
         lambda i: F.concat_ws(" ", F.slice(toks, i + 1, _NGRAM_N)),
     )
-    sorted_grams = toked.select(
+    # docs shorter than the gram width are dropped UP FRONT (matching
+    # the oracle's empty range()): without the filter the sequence
+    # descends through negative indexes and slice(start=0) is a
+    # runtime ERROR, not an empty array
+    sorted_grams = toked.where(F.size(toks) >= _NGRAM_N).select(
         "doc_id", F.array_sort(grams).alias("_g")
     )
     g = F.col("_g")

@@ -64,8 +64,17 @@ def _fake_decode(payload: bytes) -> tuple[int, int, int, int]:
     return n, width, height, n_frames
 
 
-def decode_media(media: DataFrame, mode: str = "fake") -> DataFrame:
-    """Decode payloads to typed metadata via mapInPandas (Arrow batches)."""
+def decode_media(
+    media: DataFrame, mode: str = "fake", with_origin: bool = False
+) -> DataFrame:
+    """Decode payloads to typed metadata via mapInPandas (Arrow batches).
+
+    ``with_origin=True`` carries ``media_meta.origin`` through the
+    decode batch as an output column — the metadata is already IN the
+    Arrow batch, so consumers that need it (q46's per-source rollup)
+    get it for free instead of paying a corpus-wide join back to the
+    source table.
+    """
     if mode == "real":
         raise NotImplementedError(
             "real media decode needs PIL/ffmpeg, not present in this image; "
@@ -79,18 +88,20 @@ def decode_media(media: DataFrame, mode: str = "fake") -> DataFrame:
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             decoded = [_fake_decode(p) for p in pdf["payload"]]
-            yield pd.DataFrame(
-                {
-                    "doc_id": pdf["doc_id"],
-                    "media_type": [m["content_type"] for m in pdf["media_meta"]],
-                    "n_bytes": [d[0] for d in decoded],
-                    "width": [d[1] for d in decoded],
-                    "height": [d[2] for d in decoded],
-                    "n_frames": [d[3] for d in decoded],
-                }
-            )
+            out = {
+                "doc_id": pdf["doc_id"],
+                "media_type": [m["content_type"] for m in pdf["media_meta"]],
+                "n_bytes": [d[0] for d in decoded],
+                "width": [d[1] for d in decoded],
+                "height": [d[2] for d in decoded],
+                "n_frames": [d[3] for d in decoded],
+            }
+            if with_origin:
+                out["origin"] = [m["origin"] for m in pdf["media_meta"]]
+            yield pd.DataFrame(out)
 
-    return media.mapInPandas(run, schema=DECODE_SCHEMA)
+    schema = DECODE_SCHEMA + (", origin string" if with_origin else "")
+    return media.mapInPandas(run, schema=schema)
 
 
 @query(
@@ -139,10 +150,15 @@ def q46_multimodal_filter_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Relational ops over decoded media metadata (filter + agg after the
     Python decode boundary — the typical multimodal pipeline shape)."""
     d = load_table(spark, sf_dir, "documents")
-    meta = decode_media(with_media_payload(d.select("doc_id", "text", "source")))
-    src = d.select("doc_id", "source")
+    # origin rides the decode batch (it is already in media_meta) —
+    # the previous join back to documents shuffled the whole decoded
+    # corpus just to re-attach a column the UDF held in hand
+    meta = decode_media(
+        with_media_payload(d.select("doc_id", "text", "source")),
+        with_origin=True,
+    )
     return (
-        meta.join(src, "doc_id")
+        meta.withColumnRenamed("origin", "source")
         .where(F.col("n_bytes") >= 128)
         .groupBy("source")
         .agg(
@@ -351,7 +367,11 @@ PHASH_GRID = 32       # pseudo-decode: payload tiled into a 32x32 image
 PHASH_BLOCK = 8       # keep the top-left 8x8 DCT block
 PHASH_BITS = PHASH_BLOCK * PHASH_BLOCK - 1  # 63 (DC dropped) -> signed long
 PHASH_MAX_HAMMING = 10
-_PHASH_CHUNK_BITS = 7  # 9 chunks x 7 bits; pigeonhole catches hamming <= 8
+# 11 chunks x 6 bits over 63 hash bits: pigeonhole guarantees that any
+# pair within PHASH_MAX_HAMMING=10 shares at least one untouched chunk
+# (10 flipped bits cannot cover 11 chunks) — the blocking guarantee now
+# MATCHES the advertised threshold (7-bit chunks only guaranteed <= 8)
+_PHASH_CHUNK_BITS = 6
 
 
 def _dct_matrix(n: int = PHASH_GRID):
@@ -418,8 +438,9 @@ def phash_neardup_pairs(
     media: DataFrame, max_hamming: int = PHASH_MAX_HAMMING
 ) -> DataFrame:
     """Perceptual near-dup pairs: Hamming(phash) <= max_hamming, blocked
-    on 9 x 7-bit hash chunks (pigeonhole guarantees recall for distance
-    <= 8; above that chunking is the recall/cost dial, as in SimHash).
+    on 11 x 6-bit hash chunks (pigeonhole guarantees FULL recall up to
+    distance 10 = the default threshold; a distance-11+ pair can evade
+    every chunk, as in SimHash banding).
 
     The image-side twin of q39's text SimHash: candidates shuffle on
     (chunk_id, chunk) only — two ints — and verification is one XOR +

@@ -504,7 +504,13 @@ def compression_ratio(docs: DataFrame) -> DataFrame:
                 }
             )
 
-    return docs.select("doc_id", "text").mapInPandas(score, schema)
+    # empty docs are excluded (q127's convention): raw_len=0 would
+    # emit ratio=inf into a threshold-consumed column
+    return (
+        docs.select("doc_id", "text")
+        .where(F.length("text") > 0)
+        .mapInPandas(score, schema)
+    )
 
 
 # non-SQL-expressible (no codec in SQL): rows-only driver check; exact
@@ -598,7 +604,7 @@ def q110_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     right plan.
     """
     d = load_table(spark, sf_dir, "documents")
-    t = fan_out(d).select(
+    t = fan_out(d.select("doc_id", "text")).select(
         "doc_id", F.explode(distinct_tokens(F.col("text"))).alias("term")
     )
     return (
@@ -671,7 +677,7 @@ def q119_vocab_oov(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda x, y: F.concat_ws(" ", x, y),
     )
     bg = (
-        fan_out(d)
+        fan_out(d.select("doc_id", "text"))
         .where(F.size(tokens(F.col("text"))) >= 2)
         .select("doc_id", F.explode(bigrams).alias("bigram"))
         .localCheckpoint(eager=False)
@@ -836,7 +842,11 @@ def winnow_fingerprints(
     from pyspark.sql import Window
 
     n = F.length("text")
-    grams = docs.select(
+    # docs shorter than one k-gram carry no fingerprint (the oracle's
+    # empty range); without the filter the sequence DESCENDS through
+    # zero/negative positions and every garbage substr is hashed and
+    # windowed before the pos predicate discards it
+    grams = docs.where(n >= k).select(
         "doc_id",
         "text",
         n.alias("n"),

@@ -546,7 +546,12 @@ def q177_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     tot = powed.agg(F.sum("pw").alias("spw"))
-    frac = (F.col("pw") / F.col("spw")).cast("double")
+    # divide as DOUBLES: Spark's decimal/decimal division rounds the
+    # quotient to decimal(38,8) BEFORE the cast, which can cross a
+    # floor(frac*10000) boundary the oracle's full-precision double
+    # division does not (verified: quotient 0.123499996 -> alloc 1235
+    # vs 1234)
+    frac = F.col("pw").cast("double") / F.col("spw").cast("double")
     return (
         powed.crossJoin(F.broadcast(tot))
         .select(

@@ -88,3 +88,32 @@ def test_jackknife_se_matches_classic_se(spark):
     assert abs(r.mean_price - stats.mu) < 1e-2
     assert abs(r.jk_se - classic_se) / classic_se < 0.10
     assert r.ci_lo < r.mean_price < r.ci_hi
+
+
+def test_dup_ngram_fraction_short_docs_dropped(spark):
+    """Documents with fewer than 5 tokens must be OMITTED (oracle's
+    empty range()), not crash the gram sequence with slice(start=0)."""
+    from batch_processing_new_spark.operators.analytics import _NGRAM_N
+
+    assert _NGRAM_N == 5
+    docs = spark.createDataFrame(
+        [(1, "only four tokens here"), (2, "a b c d e f g")],
+        "doc_id long, text string",
+    )
+    from pyspark.sql import functions as F
+
+    from batch_processing_new_spark.functions.text_funcs import tokens
+
+    toked = docs.select("doc_id", tokens(F.col("text")).alias("_toks"))
+    toks = F.col("_toks")
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - _NGRAM_N),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, _NGRAM_N)),
+    )
+    out = (
+        toked.where(F.size(toks) >= _NGRAM_N)
+        .select("doc_id", F.array_sort(grams).alias("g"))
+        .collect()
+    )
+    assert [r["doc_id"] for r in out] == [2]
+    assert len(out[0]["g"]) == 3  # 7 tokens -> 3 five-grams
