@@ -385,9 +385,12 @@ def q153_schema_evolution(spark, sf_dir: str):
     o.where(F.col("o_orderkey") % 2 == 0).select(
         "o_orderkey", "o_totalprice"
     ).write.mode("overwrite").parquet(os.path.join(base, "v1"))
+    # overwrite, NOT append: the scratch dir is stable within a
+    # process, so append would accumulate duplicate v2 files across
+    # re-runs (caught by the determinism checker's two-run protocol)
     o.where(F.col("o_orderkey") % 2 == 1).select(
         "o_orderkey", "o_totalprice", "o_orderpriority"
-    ).write.mode("append").parquet(os.path.join(base, "v2"))
+    ).write.mode("overwrite").parquet(os.path.join(base, "v2"))
     back = (
         spark.read.option("mergeSchema", "true")
         .option("recursiveFileLookup", "true")
