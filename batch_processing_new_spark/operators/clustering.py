@@ -88,18 +88,26 @@ def _assign_with_d2_np(centroids: list[list[float]]):
     return assign
 
 
+#: centroid-sum quantum: elements are quantized to exact 1e-10 units
+#: BEFORE the batch partial sum, making every partial an exact int64.
+#: Quantization error per mean is <= 5e-11 — four orders below the
+#: 1e-6 centroid rounding grid — while float partials would make the
+#: sums depend on Arrow batch layout (a float64 np.add.at partial
+#: changes in its last ulps when rows regroup, and casting an
+#: already-layout-dependent float to DECIMAL restores nothing).
+_CENTROID_QUANTUM = 10_000_000_000
+
+
 def _partial_centroid_sums(centroids: list[list[float]], dim: int = DIM):
-    """Fused assign + per-batch partial centroid sums (mapInPandas).
+    """Fused assign + per-batch EXACT-INTEGER partial centroid sums.
 
     Emits (cluster, pos, s, n) — at most k x dim rows per Arrow batch —
     instead of exploding every vector into dim rows for a JVM-side
-    aggregate. The Lloyd-update shuffle then carries k x dim partials
-    PER PARTITION regardless of corpus size; at 100 TB that's the
-    difference between shuffling rows x dim values and shuffling a few
-    kilobytes per task (the explode variant multiplies shuffle input by
-    dim). Float note: downstream sums partials in arbitrary order, but
-    so does any distributed avg — the round(6) on the final mean
-    absorbs it, same as before the fusion.
+    aggregate (measured ~4x on the whole query at sf0.1: the explode
+    variant pushes rows x dim values through Arrow + shuffle). The
+    partials are int64 sums of per-element quantized values, so they
+    are exactly layout-independent (integer addition is associative);
+    the downstream reduce is an exact long sum.
     """
     import pandas as pd_mod
 
@@ -112,8 +120,9 @@ def _partial_centroid_sums(centroids: list[list[float]], dim: int = DIM):
                 continue
             V = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
             best, _ = _argmin_d2(V, C)
-            sums = np.zeros((k, dim))
-            np.add.at(sums, best, V)
+            Q = np.round(V * _CENTROID_QUANTUM).astype(np.int64)
+            sums = np.zeros((k, dim), dtype=np.int64)
+            np.add.at(sums, best, Q)
             counts = np.bincount(best, minlength=k)
             nz = np.flatnonzero(counts)
             yield pd_mod.DataFrame(
@@ -142,9 +151,11 @@ def lloyd_kmeans(
     vecs = fan_out(emb.select("vec_id", "embedding")).localCheckpoint(
         eager=False
     )
+    # seeds state the SAME contract as the oracle's c0 (vec_id < k):
+    # orderBy().limit(k) silently diverges on any fixture whose ids
+    # are not exactly 0..k-1
     seeds = (
-        emb.orderBy("vec_id")
-        .limit(k)
+        emb.where(F.col("vec_id") < k)
         .select(_f64("embedding").alias("v"))
         .collect()
     )
@@ -152,18 +163,17 @@ def lloyd_kmeans(
     for _ in range(iters):
         partials = vecs.mapInPandas(
             _partial_centroid_sums(centroids),
-            schema="cluster int, pos int, s double, n long",
+            schema="cluster int, pos int, s long, n long",
         )
         means = (
             partials.groupBy("cluster", "pos")
-            # Partials reduce as DECIMAL (the engine's dsum discipline):
-            # float addition is not associative, and the cross-partition
-            # reduce order is arbitrary — a half-boundary flip in any
-            # round would cascade into different assignments. Decimal
-            # sums are exactly order-independent.
+            # exact int64 partial sums (see _partial_centroid_sums):
+            # the reduce is integer addition — associative, so the
+            # centroid mean is identical at any partitioning
             .agg(
                 F.round(
-                    F.sum(F.col("s").cast("decimal(30,8)")).cast("double")
+                    F.sum("s").cast("double")
+                    / _CENTROID_QUANTUM
                     / F.sum("n"),
                     6,
                 ).alias("m")
@@ -399,9 +409,11 @@ def q160_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     n = e.count()
     v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    # the projected vector table is shared by BOTH branches (pair sums
+    # and means) — materialize once so the scan + fan_out run once
+    vecs = fan_out(e.select(v.alias("v"))).localCheckpoint(eager=False)
     pairs = (
-        fan_out(e.select(v.alias("v")))
-        .select(F.posexplode("v").alias("i", "xi"), F.col("v"))
+        vecs.select(F.posexplode("v").alias("i", "xi"), F.col("v"))
         .select(
             "i",
             "xi",
@@ -413,16 +425,22 @@ def q160_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
             "i",
             (F.col("i") + F.col("dj")).alias("j"),
             (F.col("xi") * F.col("xj")).cast("decimal(38,12)").alias("p"),
-            F.col("xi").cast("decimal(38,12)").alias("x"),
         )
     )
     sums = pairs.groupBy("i", "j").agg(
         F.sum("p").alias("s"),
     )
+    # means from a DIRECT single posexplode (dim rows per vector) —
+    # deriving them by filtering i==j out of the 2080-pair explosion
+    # generated ~32x the rows only to discard them
     mu = (
-        pairs.where(F.col("i") == F.col("j"))
+        vecs.select(F.posexplode("v").alias("i", "xi"))
         .groupBy("i")
-        .agg((F.sum("x").cast("double") / n).alias("m"))
+        .agg(
+            (
+                F.sum(F.col("xi").cast("decimal(38,12)")).cast("double") / n
+            ).alias("m")
+        )
     )
     mi = mu.select(F.col("i").alias("mi_i"), F.col("m").alias("m_i"))
     mj = mu.select(F.col("i").alias("mj_j"), F.col("m").alias("m_j"))

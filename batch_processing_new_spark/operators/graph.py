@@ -25,6 +25,32 @@ PR_ITERS = 3
 PR_DAMP = 0.85
 
 
+def copurchase_half_edges(lineitem: DataFrame) -> DataFrame:
+    """Canonical (src < dst) distinct co-purchase pairs — the
+    undirected edge set. Consumers needing the symmetric directed view
+    (PageRank) wrap it via copurchase_edges; consumers that work on
+    undirected edges (triangle counting) use this directly instead of
+    paying for a mirror they immediately filter away."""
+    parts = lineitem.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("l_partkey")).alias("p")
+    )
+    p = F.col("p")
+    pairs = F.flatten(
+        F.transform(
+            p,
+            lambda x, i: F.transform(
+                F.slice(p, i + 2, F.greatest(F.size(p) - i - 1, F.lit(0))),
+                lambda y: F.struct(x.alias("src"), y.alias("dst")),
+            ),
+        )
+    )
+    return (
+        parts.select(F.explode(pairs).alias("e"))
+        .select("e.src", "e.dst")
+        .distinct()
+    )
+
+
 def copurchase_edges(lineitem: DataFrame) -> DataFrame:
     """Distinct directed edges between parts sharing an order (both
     directions present by construction, so the graph is symmetric and
@@ -39,24 +65,7 @@ def copurchase_edges(lineitem: DataFrame) -> DataFrame:
     100 TB the saved scan is the dominant win. The mirror union on the
     distinct output is a free projection.
     """
-    parts = lineitem.groupBy("l_orderkey").agg(
-        F.array_sort(F.collect_set("l_partkey")).alias("p")
-    )
-    p = F.col("p")
-    pairs = F.flatten(
-        F.transform(
-            p,
-            lambda x, i: F.transform(
-                F.slice(p, i + 2, F.greatest(F.size(p) - i - 1, F.lit(0))),
-                lambda y: F.struct(x.alias("src"), y.alias("dst")),
-            ),
-        )
-    )
-    half = (
-        parts.select(F.explode(pairs).alias("e"))
-        .select("e.src", "e.dst")
-        .distinct()
-    )
+    half = copurchase_half_edges(lineitem)
     return half.unionByName(
         half.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
@@ -402,7 +411,7 @@ def q167_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     all-pairs stage anywhere.
     """
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    und = copurchase_edges(li).where(F.col("src") < F.col("dst"))
+    und = copurchase_half_edges(li)
     und = und.localCheckpoint(eager=False)  # feeds deg + orientation
     deg = (
         und.select(F.col("src").alias("node"))

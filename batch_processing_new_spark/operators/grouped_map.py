@@ -14,6 +14,8 @@ Two queries cover the two cases:
 from __future__ import annotations
 
 
+import math
+
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -46,7 +48,11 @@ def ewma_per_user(events: DataFrame, alpha: float = ALPHA) -> DataFrame:
             {
                 "user_id": [pdf["user_id"].iloc[0]],
                 "n_events": [len(pdf)],
-                "ewma_value": [round(e, 6)],
+                # half-away-from-zero like DuckDB's round(): Python's
+                # round is banker's, which splits from the oracle when
+                # the EWMA lands exactly on a 0.5e-6 grid midpoint
+                # (values are nonnegative, so +0.5-floor IS half-away)
+                "ewma_value": [math.floor(e * 1e6 + 0.5) / 1e6],
             }
         )
 

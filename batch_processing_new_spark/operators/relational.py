@@ -491,7 +491,9 @@ def q15_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer")
     a = c.where(F.col("c_custkey") % 2 == 0).select("c_custkey")
     b = c.where(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
-    return a.exceptAll(b).distinct().orderBy("c_custkey")
+    # subtract IS SQL EXCEPT; exceptAll().distinct() only coincides
+    # when the left side is duplicate-free
+    return a.subtract(b).orderBy("c_custkey")
 
 
 # ------------------------------------------- Q16: string functions

@@ -311,43 +311,83 @@ def q47_sketch_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q48_stats_agg",
     oracle="""
-SELECT l_returnflag,
-       round(stddev_samp(l_quantity), 4)                  AS sd_qty,
-       round(var_samp(l_quantity), 4)                     AS var_qty,
-       round(corr(l_quantity, l_extendedprice), 6)        AS corr_qty_price,
-       round(covar_samp(l_quantity, l_discount), 6)       AS covar_qty_disc,
-       round(skewness(l_quantity), 3)                     AS skew_qty,
-       round(kurtosis(l_quantity), 3)                     AS kurt_qty
-FROM lineitem
-GROUP BY l_returnflag
+WITH sums AS (
+    SELECT l_returnflag,
+           count(*)::BIGINT AS n,
+           CAST(sum(CAST(l_quantity AS DECIMAL(30,8))) AS DOUBLE) AS s1,
+           CAST(sum(CAST(l_quantity * l_quantity AS DECIMAL(38,8))) AS DOUBLE) AS s2,
+           CAST(sum(CAST(l_quantity * l_quantity * l_quantity AS DECIMAL(38,8))) AS DOUBLE) AS s3,
+           CAST(sum(CAST(l_quantity * l_quantity * l_quantity * l_quantity AS DECIMAL(38,8))) AS DOUBLE) AS s4,
+           round(stddev_samp(l_quantity), 4)                  AS sd_qty,
+           round(var_samp(l_quantity), 4)                     AS var_qty,
+           round(corr(l_quantity, l_extendedprice), 6)        AS corr_qty_price,
+           round(covar_samp(l_quantity, l_discount), 6)       AS covar_qty_disc
+    FROM lineitem
+    GROUP BY l_returnflag
+)
+SELECT l_returnflag, sd_qty, var_qty, corr_qty_price, covar_qty_disc,
+       round((s3 / n - 3 * (s1 / n) * (s2 / n) + 2 * pow(s1 / n, 3))
+             / pow(s2 / n - pow(s1 / n, 2), 1.5), 6)          AS skew_qty,
+       round((s4 / n - 4 * (s1 / n) * (s3 / n)
+              + 6 * pow(s1 / n, 2) * (s2 / n) - 3 * pow(s1 / n, 4))
+             / pow(s2 / n - pow(s1 / n, 2), 2) - 3, 6)        AS kurt_qty
+FROM sums
 ORDER BY l_returnflag
 """,
 )
 def q48_stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Statistical aggregates: stddev/variance/corr/covar/skew/kurtosis.
 
-    Both engines use numerically-stable streaming moment updates
-    (Welford-style); third/fourth moments drift ~1e-6 between the two
-    update orders, so skew/kurtosis round to 3 decimals.
+    Skew/kurtosis are computed from exact DECIMAL power sums via the
+    population-moment identities on BOTH engines: the builtins are a
+    definitional trap (Spark's skewness/kurtosis are population g1/g2,
+    DuckDB's are bias-corrected sample estimators — a ~(6+4g2)/n gap
+    that no rounding grid reliably absorbs at small group sizes).
+    Exact sums -> identical scalar double math -> round(6) is safe.
+    stddev/var/corr/covar remain the sample builtins (same estimator
+    on both engines; Welford drift absorbed by their rounding).
     Scale: single-pass partial aggregation, constant state per group.
     """
     li = load_table(spark, sf_dir, "lineitem")
-    return (
-        li.groupBy("l_returnflag")
-        .agg(
-            F.round(F.stddev_samp("l_quantity"), 4).alias("sd_qty"),
-            F.round(F.var_samp("l_quantity"), 4).alias("var_qty"),
-            F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias(
-                "corr_qty_price"
-            ),
-            F.round(F.covar_samp("l_quantity", "l_discount"), 6).alias(
-                "covar_qty_disc"
-            ),
-            F.round(F.skewness("l_quantity"), 3).alias("skew_qty"),
-            F.round(F.kurtosis("l_quantity"), 3).alias("kurt_qty"),
-        )
-        .orderBy("l_returnflag")
+    q = F.col("l_quantity")
+    d30, d38 = "decimal(30,8)", "decimal(38,8)"
+    sums = li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum(q.cast(d30)).cast("double").alias("s1"),
+        F.sum((q * q).cast(d38)).cast("double").alias("s2"),
+        F.sum((q * q * q).cast(d38)).cast("double").alias("s3"),
+        F.sum((q * q * q * q).cast(d38)).cast("double").alias("s4"),
+        F.round(F.stddev_samp("l_quantity"), 4).alias("sd_qty"),
+        F.round(F.var_samp("l_quantity"), 4).alias("var_qty"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias(
+            "corr_qty_price"
+        ),
+        F.round(F.covar_samp("l_quantity", "l_discount"), 6).alias(
+            "covar_qty_disc"
+        ),
     )
+    m = F.col("s1") / F.col("n")
+    m2 = F.col("s2") / F.col("n") - m * m
+    m3 = (
+        F.col("s3") / F.col("n")
+        - 3 * m * (F.col("s2") / F.col("n"))
+        + 2 * F.pow(m, 3)
+    )
+    m4 = (
+        F.col("s4") / F.col("n")
+        - 4 * m * (F.col("s3") / F.col("n"))
+        + 6 * F.pow(m, 2) * (F.col("s2") / F.col("n"))
+        - 3 * F.pow(m, 4)
+    )
+    return sums.select(
+        "l_returnflag",
+        "sd_qty",
+        "var_qty",
+        "corr_qty_price",
+        "covar_qty_disc",
+        F.round(m3 / F.pow(m2, 1.5), 6).alias("skew_qty"),
+        F.round(m4 / F.pow(m2, 2) - 3, 6).alias("kurt_qty"),
+    ).orderBy("l_returnflag")
 
 
 # ------------------------------------------- reproducible sampling
@@ -782,7 +822,11 @@ def q75_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.size(F.map_keys("m")).alias("n_keys"),
             F.col("m")[F.lit("k")].alias("k_value"),
             F.aggregate(
-                F.map_values("m"), F.lit(0).cast("bigint"), lambda a, x: a + x
+                F.map_values("m"),
+                F.lit(0).cast("bigint"),
+                # coalesce: SUM skips NULLs (the oracle's semantics);
+                # a bare fold would NULL-poison on a missing 'k'
+                lambda a, x: a + F.coalesce(x, F.lit(0)),
             ).alias("value_sum"),
         )
         .orderBy("event_id")
@@ -1410,7 +1454,9 @@ def q175_top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q191_dormant_customers",
     oracle="""
 WITH avg_bal AS (
-    SELECT avg(c_acctbal) AS ab FROM customer WHERE c_acctbal > 0
+    SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(30,8))) AS DOUBLE) / count(*)
+               AS ab
+    FROM customer WHERE c_acctbal > 0
 ),
 dormant AS (
     SELECT c.c_custkey, c.c_nationkey, c.c_acctbal
@@ -1445,8 +1491,14 @@ def q191_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     cust = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders")
+    # DECIMAL-exact average: the threshold is a PREDICATE input, and a
+    # float avg differs between engines in final ulps — a customer
+    # between the two computed averages would flip membership
     avg_bal = cust.where(F.col("c_acctbal") > 0).agg(
-        F.avg("c_acctbal").alias("ab")
+        (
+            F.sum(F.col("c_acctbal").cast("decimal(30,8)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("ab")
     )
     dormant = (
         cust.crossJoin(F.broadcast(avg_bal))
