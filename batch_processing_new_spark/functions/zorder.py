@@ -34,11 +34,17 @@ def _normalize(col: Column, col_min: Column, col_max: Column) -> Column:
     return F.round(scaled).cast("bigint")
 
 
-def _interleave(cols: list[Column]) -> Column:
-    """Morton key: bit j of dimension i lands at position j*ndims+i."""
+def _interleave(cols: list[Column], bits: int = ZBITS) -> Column:
+    """Morton key: bit j of dimension i lands at position j*ndims+i.
+
+    The ONE bit-interleave implementation in the engine —
+    layout.morton_key delegates here (bit positions are disjoint, so
+    OR and the sum formulation are identical; keeping two copies
+    invited silent divergence).
+    """
     ndims = len(cols)
     out = F.lit(0).cast("bigint")
-    for j in range(ZBITS):
+    for j in range(bits):
         for i, c in enumerate(cols):
             bit = F.shiftright(c, j).bitwiseAND(F.lit(1))
             out = out.bitwiseOR(F.shiftleft(bit, j * ndims + i))

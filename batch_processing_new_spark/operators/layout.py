@@ -37,14 +37,13 @@ _BUCKET_SHIFT = 10  # zkey >> 10 => 64 Z-buckets over the 16-bit key
 
 def morton_key(x: Column, y: Column, bits: int = _BITS) -> Column:
     """Morton (Z-order) interleave of two ``bits``-wide non-negative
-    ints as one JVM expression tree: bit i of x lands at position 2i,
-    bit i of y at 2i+1. Codegen flattens the sum into straight-line
+    ints: bit i of x lands at position 2i, bit i of y at 2i+1.
+    Delegates to the engine's single interleave implementation
+    (functions/zorder.py); codegen flattens it into straight-line
     long arithmetic — no loop survives at runtime."""
-    z = F.lit(0).cast("long")
-    for i in range(bits):
-        z = z + F.shiftleft(F.shiftright(x, i).bitwiseAND(F.lit(1)), 2 * i)
-        z = z + F.shiftleft(F.shiftright(y, i).bitwiseAND(F.lit(1)), 2 * i + 1)
-    return z
+    from batch_processing_new_spark.functions.zorder import _interleave
+
+    return _interleave([x, y], bits=bits)
 
 
 def _morton_sql(x: str, y: str, bits: int = _BITS) -> str:

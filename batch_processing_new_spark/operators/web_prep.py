@@ -232,6 +232,10 @@ def q140_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("idx", F.col("idx0") + 1)
         .drop("idx0")
+        # three consumers (per-source doc counts, line frequencies, the
+        # flagged join) — materialize once or the scan + explode +
+        # hash run three times (the bm25_scored lesson, measured there)
+        .localCheckpoint(eager=False)
     )
     # all frequency bookkeeping is keyed on the 8-byte line HASH, never
     # the line text — at 100 TB the DF aggregation and the join back

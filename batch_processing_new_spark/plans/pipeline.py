@@ -135,19 +135,20 @@ def run_enrichment_pipeline(
         dest = map_url(output_dir)
         if dest.scheme == "s3a":
             # object-store sink (reference put_object + public-read ACL,
-            # test.py:248-253): write the single part directly under the
-            # destination prefix — no local rename is possible on S3, and
-            # the ACL maps to the s3a canned-ACL conf
-            out_path = f"{apply_s3a_conf(spark, dest, public_read=True)}/{spec.file_name}_final.csv"
-            (
-                ordered.drop(ROW_ID)
-                .coalesce(1)
-                .write.mode("overwrite")
-                .option("header", "true")
-                .option("emptyValue", "")
-                .csv(out_path)
+            # test.py:248-253): ONE downloadable object at the final
+            # key (stage + FS rename — a bare .csv(path) write would
+            # leave a part-file DIRECTORY at the advertised key), ACL
+            # via the s3a canned-ACL conf, and the returned URL is the
+            # public HTTPS form the reference hands back
+            from batch_processing_new_spark.sinks.writers import (
+                write_single_csv_hadoop,
             )
-            output_path = out_path
+
+            out_path = f"{apply_s3a_conf(spark, dest, public_read=True)}/{spec.file_name}_final.csv"
+            write_single_csv_hadoop(spark, ordered.drop(ROW_ID), out_path)
+            bucket_key = out_path[len("s3a://"):]
+            bucket, _, key = bucket_key.partition("/")
+            output_path = f"https://{bucket}.s3.amazonaws.com/{key}"
         else:
             output_path = write_single_csv(
                 ordered.drop(ROW_ID), f"{output_dir}/{spec.file_name}_final.csv"

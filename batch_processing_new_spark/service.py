@@ -99,6 +99,12 @@ class _Handler(BaseHTTPRequestHandler):
         except KeyError as exc:  # missing key -> 400 (test.py:160-161)
             self._reply(400, {"error": f"Missing key: {exc}"})
             return
+        except (ValueError, TypeError) as exc:
+            # uncoercible value or non-dict JSON body: still a client
+            # error — without this the handler thread dies and the
+            # client sees a closed connection instead of a 400
+            self._reply(400, {"error": f"Bad value: {exc}"})
+            return
         try:
             result = run_enrichment_pipeline(
                 self.server.spark, spec, self.server.output_dir

@@ -38,6 +38,44 @@ def write_single_csv(df: DataFrame, dest_path: str, header: bool = True) -> str:
     return dest_path
 
 
+def write_single_csv_hadoop(spark, df: DataFrame, dest_path: str, header: bool = True) -> str:
+    """write_single_csv for ANY Hadoop filesystem (s3a://, hdfs://,
+    file:/): stage a coalesced directory, locate the single part file
+    through the FileSystem API, rename it onto the final object key,
+    delete the staging dir. On S3 the rename is a server-side
+    copy+delete of ONE small object — the product contract is a single
+    downloadable CSV (reference put_object, test.py:248-253), and a
+    bare ``.csv(dir)`` write would leave a part-file DIRECTORY at the
+    advertised key (NoSuchKey on download).
+    """
+    staging = dest_path + "._staging"
+    (
+        df.coalesce(1)
+        .write.mode("overwrite")
+        .option("header", str(header).lower())
+        .option("emptyValue", "")
+        .csv(staging)
+    )
+    jvm = spark._jvm
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    staging_p = jvm.org.apache.hadoop.fs.Path(staging)
+    dest_p = jvm.org.apache.hadoop.fs.Path(dest_path)
+    fs = staging_p.getFileSystem(hconf)
+    part = None
+    for st in fs.listStatus(staging_p):
+        name = st.getPath().getName()
+        if name.startswith("part-"):
+            part = st.getPath()
+            break
+    if part is None:
+        raise FileNotFoundError(f"no part file under {staging}")
+    if fs.exists(dest_p):
+        fs.delete(dest_p, False)
+    fs.rename(part, dest_p)
+    fs.delete(staging_p, True)
+    return dest_path
+
+
 def write_parquet(
     df: DataFrame, dest_dir: str, partition_by: list[str] | None = None
 ) -> str:

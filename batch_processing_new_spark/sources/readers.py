@@ -40,6 +40,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     so oracle comparisons agree.
     """
     if name == "events":
+        # NOTE: session-wide side effect, deliberately NOT restored —
+        # the returned DataFrame's scan is lazy and consults this conf
+        # at execution, so restoring it here would corrupt the read.
+        # The flag only changes how TIMESTAMP(NANOS) columns decode
+        # (raw int64 instead of an error); other fixture tables have
+        # none, and _normalize_ts handles both decodings.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
         return df.withColumn("ts", _normalize_ts(df.schema["ts"].dataType))
@@ -99,22 +105,6 @@ def with_ingest_row_id(df: DataFrame, col_name: str = "_row_id") -> DataFrame:
     schema = T.StructType(df.schema.fields + [T.StructField(col_name, T.LongType(), False)])
     rdd = df.rdd.zipWithIndex().map(lambda pair: tuple(pair[0]) + (pair[1],))
     return spark.createDataFrame(rdd, schema)
-
-
-def with_order_row_id(
-    df: DataFrame, order_cols: list[str], col_name: str = "_row_id"
-) -> DataFrame:
-    """Deterministic 0-based row id from a natural total order.
-
-    Preferred at scale when the data HAS a natural key (here: every fixture
-    table does): a global ``row_number`` is implemented by Spark as a
-    range-partitioned sort, which distributes, unlike a naive
-    single-partition window.
-    """
-    from pyspark.sql import Window
-
-    w = Window.orderBy(*[F.col(c) for c in order_cols])
-    return df.withColumn(col_name, F.row_number().over(w) - F.lit(1))
 
 
 def read_jsonl(

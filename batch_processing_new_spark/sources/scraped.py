@@ -105,8 +105,13 @@ def parse_html(df: DataFrame, html_col: str = "html") -> DataFrame:
                             self.hrefs.append(v)
 
             def handle_endtag(self, tag):
-                while self._stack and self._stack.pop() != tag:
-                    pass
+                # a close tag with NO matching open (everywhere in real
+                # scraped HTML) must be ignored: popping until a match
+                # would wipe the stack and silently drop all subsequent
+                # body/title text
+                if tag in self._stack:
+                    while self._stack and self._stack.pop() != tag:
+                        pass
 
             def handle_data(self, data):
                 if not data.strip():

@@ -20,9 +20,11 @@ through ``fs.s3a.*``. This module is the translation layer:
 - anything else (local paths, ``file://``, ``hdfs://``) passes through
 
 Mapping is pure string work — unit-testable with no AWS anywhere
-(tests/test_storage_mapping.py). ``apply_s3a_conf`` sets the session
-conf; credentials stay OUT of this module: s3a's default provider chain
-reads the standard env/instance metadata itself.
+(tests/test_storage_mapping.py). ``apply_s3a_conf`` sets the bare
+``fs.s3a.*`` keys on the context's LIVE Hadoop configuration (runtime
+``spark.conf.set`` of ``spark.hadoop.*`` keys never reaches the
+filesystem); credentials stay OUT of this module: s3a's default
+provider chain reads the standard env/instance metadata itself.
 """
 
 from __future__ import annotations
@@ -99,12 +101,12 @@ def map_url(url: str) -> MappedSource:
 def _region_conf(region: str | None) -> dict[str, str]:
     if not region:
         return {}
-    return {"spark.hadoop.fs.s3a.endpoint": f"s3.{region}.amazonaws.com"}
+    return {"fs.s3a.endpoint": f"s3.{region}.amazonaws.com"}
 
 
 #: conf for the reference's ``ACL='public-read'`` put_object
 #: (test.py:248-253) — the s3a equivalent is a canned ACL on new objects.
-PUBLIC_READ_CONF = {"spark.hadoop.fs.s3a.acl.default": "PublicRead"}
+PUBLIC_READ_CONF = {"fs.s3a.acl.default": "PublicRead"}
 
 
 def fetch_http_to_local(url: str, timeout: int = 200) -> str:
@@ -114,6 +116,8 @@ def fetch_http_to_local(url: str, timeout: int = 200) -> str:
     plain-HTTPS inputs, which no Hadoop filesystem can address; bounded
     by one CSV of reference scale, never a data-plane path.
     """
+    import atexit
+    import os
     import shutil
     import tempfile
     import urllib.request
@@ -123,14 +127,27 @@ def fetch_http_to_local(url: str, timeout: int = 200) -> str:
         fd, "wb"
     ) as out:
         shutil.copyfileobj(resp, out)
+    # the file must outlive this call (the Spark scan is lazy and may
+    # re-read it), so cleanup is deferred to process exit — a
+    # long-running service otherwise leaks one CSV copy per job
+    atexit.register(lambda p=local: os.path.exists(p) and os.remove(p))
     return local
 
 
 def apply_s3a_conf(spark, mapped: MappedSource, public_read: bool = False):
-    """Apply a MappedSource's fs.s3a conf to the session (idempotent)."""
+    """Apply a MappedSource's fs.s3a conf to the session (idempotent).
+
+    Keys go on the SparkContext's live Hadoop configuration with their
+    BARE ``fs.s3a.*`` names: ``spark.conf.set("spark.hadoop.fs...")``
+    at runtime is silently inert — SessionState.newHadoopConf copies
+    SQLConf entries verbatim (the ``spark.hadoop.`` prefix is only
+    stripped from the SparkConf at SparkContext STARTUP), so the
+    endpoint/ACL would never reach the s3a filesystem.
+    """
     conf = dict(mapped.conf)
     if public_read:
         conf.update(PUBLIC_READ_CONF)
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
     for k, v in conf.items():
-        spark.conf.set(k, v)
+        hconf.set(k, v)
     return mapped.path

@@ -90,3 +90,47 @@ def test_good_job_runs_pipeline(server, input_csv):
     assert [r[3] for r in rows[9:]] == ["", ""]
     # order preserved end to end
     assert [r[0] for r in rows[1:]] == [str(i) for i in range(10)]
+
+
+def test_hadoop_single_csv_writer_local_fs(spark, tmp_path):
+    """write_single_csv_hadoop (the s3a sink path) produces ONE object
+    at the final key on any Hadoop FS — exercised via file:/ here."""
+    from batch_processing_new_spark.sinks.writers import (
+        write_single_csv_hadoop,
+    )
+
+    df = spark.createDataFrame([(1, "x"), (2, "y")], "a int, b string")
+    dest = f"file:{tmp_path}/out_final.csv"
+    got = write_single_csv_hadoop(spark, df.orderBy("a"), dest)
+    assert got == dest
+    local = str(tmp_path / "out_final.csv")
+    import os
+
+    assert os.path.isfile(local)  # a FILE, not a part directory
+    with open(local) as f:
+        lines = f.read().strip().split("\n")
+    assert lines[0] == "a,b" and len(lines) == 3
+    assert not os.path.exists(local + "._staging")
+
+
+def test_bad_value_returns_400(server):
+    import json
+    import urllib.request
+
+    body = {
+        "s3_file_url": "x.csv", "column_index": "two", "max_rows": 5,
+        "system_prompt": "p", "model": "m", "temperature": 0.1,
+        "tokens": 10, "file_name": "f", "request_id": "r",
+        "version_id": "v",
+    }
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{server.server_port}/process_csv",
+        data=json.dumps(body).encode(),
+        headers={"Content-Type": "application/json"},
+    )
+    try:
+        urllib.request.urlopen(req)
+        raise AssertionError("expected HTTP 400")
+    except urllib.error.HTTPError as e:
+        assert e.code == 400
+        assert "Bad value" in e.read().decode()

@@ -25,7 +25,7 @@ def test_virtual_hosted_https_with_region():
     m = map_url("https://my-bucket.s3.us-west-2.amazonaws.com/dir/f.csv")
     assert m.path == "s3a://my-bucket/dir/f.csv"
     assert m.conf == {
-        "spark.hadoop.fs.s3a.endpoint": "s3.us-west-2.amazonaws.com"
+        "fs.s3a.endpoint": "s3.us-west-2.amazonaws.com"
     }
     assert not m.presigned
 
@@ -40,7 +40,7 @@ def test_path_style_https():
     m = map_url("https://s3.eu-central-1.amazonaws.com/bkt/a/b.csv")
     assert m.path == "s3a://bkt/a/b.csv"
     assert m.conf == {
-        "spark.hadoop.fs.s3a.endpoint": "s3.eu-central-1.amazonaws.com"
+        "fs.s3a.endpoint": "s3.eu-central-1.amazonaws.com"
     }
 
 
@@ -71,7 +71,7 @@ def test_local_and_other_schemes_untouched():
 
 def test_public_read_conf_is_canned_acl():
     assert PUBLIC_READ_CONF == {
-        "spark.hadoop.fs.s3a.acl.default": "PublicRead"
+        "fs.s3a.acl.default": "PublicRead"
     }
 
 
