@@ -62,6 +62,7 @@ _QUERY_MODULES = [
     "batch_processing_new_spark.operators.activity",
     "batch_processing_new_spark.operators.quality_audit",
     "batch_processing_new_spark.operators.versioning",
+    "batch_processing_new_spark.operators.evaluation",
     "batch_processing_new_spark.operators.clustering",
     "batch_processing_new_spark.plans.corpus_pipeline",
     "batch_processing_new_spark.sources.excel",

@@ -355,3 +355,59 @@ def test_dormant_customers_no_recent_orders(spark):
     for nk, (n, tb) in expect.items():
         assert got[nk]["n_custs"] == n
         assert abs(got[nk]["total_bal"] - tb) < 1e-4
+
+
+def test_annotator_agreement_properties(spark):
+    from batch_processing_new_spark.operators.evaluation import (
+        q192_annotator_agreement,
+    )
+
+    rows = q192_annotator_agreement(spark, SF_CORRECT).collect()
+    n_docs = load_table(spark, SF_CORRECT, "documents").count()
+    assert sum(r["n"] for r in rows) == n_docs
+    accs = {r["accuracy"] for r in rows}
+    kappas = {r["kappa"] for r in rows}
+    assert len(accs) == 1 and len(kappas) == 1  # global stats, every row
+    acc, kappa = accs.pop(), kappas.pop()
+    agree = sum(r["n"] for r in rows if r["label"] == r["pred"])
+    assert abs(acc - round(agree / n_docs, 6)) < 1e-9
+    assert -1 <= kappa <= 1
+    assert kappa <= acc + 1e-9  # chance correction can only lower it
+
+
+def test_precision_recall_identities(spark):
+    from batch_processing_new_spark.operators.evaluation import (
+        q193_precision_recall,
+    )
+
+    r = q193_precision_recall(spark, SF_CORRECT).collect()[0]
+    n_docs = load_table(spark, SF_CORRECT, "documents").count()
+    tp, fp, fn, tn = r["tp"], r["fp"], r["fn"], r["tn"]
+    assert tp + fp + fn + tn == n_docs
+    assert abs(r["precision"] - round(tp / (tp + fp), 6)) < 1e-9
+    assert abs(r["recall"] - round(tp / (tp + fn), 6)) < 1e-9
+    # F1 is the harmonic mean: between 0 and min-bound checks
+    p_, r_ = tp / (tp + fp), tp / (tp + fn)
+    assert abs(r["f1"] - round(2 * p_ * r_ / (p_ + r_), 6)) < 1e-6
+
+
+def test_wilson_intervals_bracket_rate(spark):
+    import math
+
+    from batch_processing_new_spark.operators.evaluation import (
+        q194_wilson_intervals,
+    )
+
+    rows = q194_wilson_intervals(spark, SF_CORRECT).collect()
+    for r in rows:
+        assert 0 <= r["ci_lo"] <= r["rate"] <= r["ci_hi"] <= 1
+        # closed-form recompute
+        z, n, k = 1.959963985, r["n"], r["k"]
+        p = k / n
+        half = z * math.sqrt(p * (1 - p) / n + z * z / (4 * n * n))
+        lo = (p + z * z / (2 * n) - half) / (1 + z * z / n)
+        hi = (p + z * z / (2 * n) + half) / (1 + z * z / n)
+        assert abs(r["ci_lo"] - round(lo, 6)) < 1e-9
+        assert abs(r["ci_hi"] - round(hi, 6)) < 1e-9
+        # CI narrows with n (weak check: width < 1)
+        assert r["ci_hi"] - r["ci_lo"] < 1
