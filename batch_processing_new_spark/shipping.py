@@ -17,12 +17,15 @@ import zipfile
 
 from pyspark.sql import SparkSession
 
-_SHIPPED_CONTEXTS: set[int] = set()
+_SHIPPED_CONTEXTS: set[str] = set()
 
 
 def ensure_package_on_executors(spark: SparkSession) -> None:
     sc = spark.sparkContext
-    key = id(sc)
+    # applicationId, NOT id(sc): CPython reuses object addresses after
+    # GC, so a stop/recreate cycle (the determinism checker's protocol)
+    # could silently skip addPyFile for the new context
+    key = sc.applicationId
     if key in _SHIPPED_CONTEXTS:
         return
     pkg_dir = os.path.dirname(os.path.abspath(__file__))

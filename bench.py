@@ -88,10 +88,23 @@ def main() -> None:
 
     spark.range(100).mapInPandas(_identity, schema="id long").count()
 
+    def run_all(df) -> None:
+        """Materialize EVERY column through the noop sink. A bare
+        count() lets Catalyst prune projection-tail work
+        (ColumnPruning) and drop final sorts (EliminateSorts) — q83's
+        gram-dedup fold and q99's scoring projection vanished under
+        count(1), so the old timings measured gutted plans. The row
+        count for the report is taken ONCE outside the timed loop
+        (running both actions per timing would execute the plan twice).
+        """
+        df.write.format("noop").mode("overwrite").save()
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
         if name not in specs:
-            continue
+            # a silently skipped headline query shrinks the benchmark
+            # and reads as a speedup round-over-round
+            raise KeyError(f"headline query missing from registry: {name}")
         fn = specs[name].fn
         # two untimed runs first: whole-stage-codegen JIT of a query's
         # generated code happens on its first execution (multiple
@@ -103,7 +116,7 @@ def main() -> None:
         # single run is hostage to transient machine noise (page-cache
         # misses, GC) — the min is the reproducible figure.
         for _ in range(2):
-            fn(spark, SF_DIR).count()
+            run_all(fn(spark, SF_DIR))
         # free the warm-up run's handles AND its localCheckpoint blocks
         # BEFORE timing (see the boundary-GC comment below) — the
         # warm-up run of a checkpoint-heavy query otherwise gets its
@@ -114,11 +127,11 @@ def main() -> None:
         except Exception:
             pass
         time.sleep(0.5)
-        best, n = float("inf"), 0
+        n = fn(spark, SF_DIR).count()  # report-only, untimed
+        best = float("inf")
         for _ in range(3):
             t0 = time.perf_counter()
-            df = fn(spark, SF_DIR)
-            n = df.count()
+            run_all(fn(spark, SF_DIR))
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 3)
         print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)

@@ -26,7 +26,10 @@ def normalize(pdf: pd.DataFrame) -> pd.DataFrame:
         if isinstance(v, (list, tuple)):
             return tuple(canon(x) for x in v)
         if isinstance(v, float) and v.is_integer():
-            return v
+            # canonicalize 3.0 (Spark DOUBLE) and 3 (DuckDB BIGINT) to
+            # the same sort key — returning the float unchanged left
+            # '3.0' vs '3' ordering the frames differently
+            return int(v)
         return v
 
     out = pdf.map(canon)
@@ -43,7 +46,9 @@ def assert_parity(spark_df, duck_rel, name: str, float_tol: float = 1e-9) -> Non
     assert sorted(map(str.lower, spdf.columns)) == sorted(map(str.lower, ddf.columns)), (
         f"{name}: column mismatch spark={sorted(spdf.columns)} duckdb={sorted(ddf.columns)}"
     )
-    ddf.columns = [c for c in ddf.columns]
+    # genuine case-insensitive alignment (the old list-comp was a no-op)
+    spdf.columns = [c.lower() for c in spdf.columns]
+    ddf.columns = [c.lower() for c in ddf.columns]
     a, b = normalize(spdf), normalize(ddf)
     b.columns = a.columns  # case-insensitive alignment after sorting
     def is_null(v):
@@ -51,17 +56,21 @@ def assert_parity(spark_df, duck_rel, name: str, float_tol: float = 1e-9) -> Non
 
     mismatches = []
     for col in a.columns:
+        if len(mismatches) >= 5:
+            break  # the outer loop too: the cap is a report limit
         av, bv = a[col].tolist(), b[col].tolist()
         for i, (x, y) in enumerate(zip(av, bv)):
             if is_null(x) or is_null(y):
                 if is_null(x) != is_null(y):
                     mismatches.append((col, i, x, y))
                 continue
-            if isinstance(x, float) and isinstance(y, (int, float)):
-                if not math.isclose(x, float(y), rel_tol=float_tol, abs_tol=float_tol):
+            if isinstance(x, (int, float)) and isinstance(y, (int, float)):
+                if not math.isclose(
+                    float(x), float(y), rel_tol=float_tol, abs_tol=float_tol
+                ):
                     mismatches.append((col, i, x, y))
             elif x != y:
                 mismatches.append((col, i, x, y))
-            if len(mismatches) > 5:
+            if len(mismatches) >= 5:
                 break
     assert not mismatches, f"{name}: value mismatches (col,row,spark,duck): {mismatches[:5]}"

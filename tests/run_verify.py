@@ -22,10 +22,9 @@ import time
 import duckdb
 
 SF_DIR = "/root/testdata/sf0.01"
-TABLES = (
-    "region nation customer supplier part orders lineitem events "
-    "documents embeddings"
-).split()
+# single source of truth for the table list (conftest does the same)
+sys.path.insert(0, "/root/repo")
+from batch_processing_new_spark.sources.readers import TABLES  # noqa: E402
 
 
 def canon_rows(cols, rows):
@@ -64,7 +63,9 @@ def main() -> int:
     spark.sparkContext.setLogLevel("ERROR")
 
     n = mod.entry(spark).count()
-    print(f"SMOKE entry(): {n} rows {'OK' if n >= 0 else 'FAILED'}")
+    print(f"SMOKE entry(): {n} rows {'OK' if n > 0 else 'FAILED'}")
+    if n <= 0:
+        return 2
 
     con = duckdb.connect()
     for t in TABLES:

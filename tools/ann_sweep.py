@@ -57,6 +57,11 @@ def mean_recall(truth: set, got: set, n_queries: int, k: int) -> float:
         g = {n for (qq, n) in got if qq == q}
         if t:
             per_q.append(len(t & g) / len(t))
+    if not per_q:
+        raise ValueError(
+            "no query vectors produced ground truth — check that the "
+            "fixture has vec_id < N_QUERIES rows"
+        )
     return sum(per_q) / len(per_q)
 
 

@@ -24,10 +24,7 @@ import numpy as np
 import pandas as pd
 
 SF_DIR = "/root/testdata/sf0.01"
-TABLES = (
-    "region nation customer supplier part orders lineitem events "
-    "documents embeddings"
-).split()
+from batch_processing_new_spark.sources.readers import TABLES
 
 
 def canon(df: pd.DataFrame) -> list[str]:
