@@ -1001,3 +1001,102 @@ def q152_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(piece).cast("long").alias("n_tokens"),
         F.concat_ws(" ", piece).alias("chunk_text"),
     ).orderBy("doc_id", "chunk_id")
+
+
+_POS_WORDS = ("fast", "big")
+_NEG_WORDS = ("slow", "small")
+
+
+@query(
+    "q195_lexicon_sentiment",
+    oracle=f"""
+WITH lex(term, weight) AS (
+    VALUES {", ".join(f"('{w}', 1)" for w in _POS_WORDS)},
+           {", ".join(f"('{w}', -1)" for w in _NEG_WORDS)}
+),
+tok AS (
+    SELECT doc_id, source, unnest(string_split(trim(text), ' ')) AS t,
+           len(string_split(trim(text), ' ')) AS n
+    FROM documents
+),
+scored AS (
+    SELECT tok.doc_id, tok.source,
+           sum(coalesce(lex.weight, 0)) AS hits,
+           any_value(tok.n) AS n
+    FROM tok LEFT JOIN lex ON lex.term = tok.t
+    GROUP BY tok.doc_id, tok.source
+),
+labeled AS (
+    SELECT source,
+           CASE WHEN hits * 1.0 / n > 0.01 THEN 'positive'
+                WHEN hits * 1.0 / n < -0.01 THEN 'negative'
+                ELSE 'neutral' END AS sentiment,
+           hits * 1.0 / n AS score
+    FROM scored
+)
+SELECT source, sentiment,
+       count(*)::BIGINT AS n_docs,
+       round(CAST(sum(CAST(score AS DECIMAL(30,12))) AS DOUBLE)
+             / count(*), 6) AS mean_score
+FROM labeled
+GROUP BY source, sentiment
+ORDER BY source, sentiment
+""",
+)
+def q195_lexicon_sentiment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexicon-based sentiment (SURVEY §2B's named alternative to the
+    q30 LLM map): a broadcast sentiment lexicon joined against the
+    exploded token stream, per-document polarity score = signed hits /
+    tokens, thresholded to a label, rolled up per source — the
+    classic pre-LLM sentiment pipeline, and the broadcast-join
+    demonstration the literal-map fold (q142) does not cover: at real
+    lexicon sizes (VADER ~7.5k, SentiWordNet ~100k+ entries) a map
+    LITERAL bloats every task's plan, while a broadcast join ships the
+    lexicon once per executor.
+
+    Shapes: one token explode fused into the scan, broadcast-hash join
+    against the tiny lexicon, groupBy(doc) with map-side combine, then
+    the per-(source, label) rollup. Scores are exact rationals; the
+    mean reduces under DECIMAL.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    lex = spark.createDataFrame(
+        [(w, 1) for w in _POS_WORDS] + [(w, -1) for w in _NEG_WORDS],
+        "term string, weight int",
+    )
+    toks = tokens(F.col("text"))
+    tok = fan_out(d.select("doc_id", "source", "text")).select(
+        "doc_id",
+        "source",
+        F.size(toks).alias("n"),
+        F.explode(toks).alias("t"),
+    )
+    scored = (
+        tok.join(F.broadcast(lex), tok["t"] == lex["term"], "left")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.sum(F.coalesce(F.col("weight"), F.lit(0))).alias("hits"),
+            F.first("n").alias("n"),
+        )
+    )
+    score = F.col("hits") / F.col("n")
+    labeled = scored.select(
+        "source",
+        F.when(score > 0.01, "positive")
+        .when(score < -0.01, "negative")
+        .otherwise("neutral")
+        .alias("sentiment"),
+        score.alias("score"),
+    )
+    return (
+        labeled.groupBy("source", "sentiment")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(
+                F.sum(F.col("score").cast("decimal(30,12)")).cast("double")
+                / F.count("*"),
+                6,
+            ).alias("mean_score"),
+        )
+        .orderBy("source", "sentiment")
+    )

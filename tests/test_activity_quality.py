@@ -411,3 +411,32 @@ def test_wilson_intervals_bracket_rate(spark):
         assert abs(r["ci_hi"] - round(hi, 6)) < 1e-9
         # CI narrows with n (weak check: width < 1)
         assert r["ci_hi"] - r["ci_lo"] < 1
+
+
+def test_lexicon_sentiment_pandas_recompute(spark):
+    from batch_processing_new_spark.operators.text_analysis import (
+        q195_lexicon_sentiment,
+    )
+
+    docs = load_table(spark, SF_CORRECT, "documents").collect()
+    lex = {"fast": 1, "big": 1, "slow": -1, "small": -1}
+    agg = defaultdict(lambda: [0, 0.0])
+    for d in docs:
+        toks = d["text"].strip().split(" ")
+        score = sum(lex.get(t, 0) for t in toks) / len(toks)
+        lab = (
+            "positive" if score > 0.01
+            else "negative" if score < -0.01
+            else "neutral"
+        )
+        a = agg[(d["source"], lab)]
+        a[0] += 1
+        a[1] += score
+    got = {
+        (r["source"], r["sentiment"]): (r["n_docs"], r["mean_score"])
+        for r in q195_lexicon_sentiment(spark, SF_CORRECT).collect()
+    }
+    assert set(got) == set(agg)
+    for k, (n, tot) in agg.items():
+        assert got[k][0] == n
+        assert abs(got[k][1] - round(tot / n, 6)) < 1e-6
