@@ -1521,3 +1521,60 @@ def q191_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_nationkey")
     )
+
+
+@query(
+    "q196_supplier_part_counts",
+    oracle="""
+WITH ps AS (
+    SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+),
+excl AS (
+    SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+)
+SELECT p.p_brand, p.p_type, p.p_size,
+       count(DISTINCT ps.l_suppkey)::BIGINT AS supplier_cnt
+FROM ps
+JOIN part p ON p.p_partkey = ps.l_partkey
+WHERE p.p_brand <> 'Brand#1'
+  AND ps.l_suppkey NOT IN (SELECT s_suppkey FROM excl)
+GROUP BY p.p_brand, p.p_type, p.p_size
+ORDER BY supplier_cnt DESC, p.p_brand, p.p_type, p.p_size
+LIMIT 50
+""",
+)
+def q196_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: how many distinct (non-excluded) suppliers can
+    provide each (brand, type, size) — supplier diversity per product
+    segment, with a NOT IN exclusion list (here: suppliers in arrears,
+    s_acctbal < 0). Completes the decorrelation family with the
+    NOT-IN-as-anti-join pattern (q191's NOT EXISTS cousin; NOT IN is
+    only rewritable as an anti-join because the exclusion key is
+    non-nullable — with NULLs the three-valued logic differs, a trap
+    worth a named query).
+
+    Shapes: the distinct supplier-part pairs collapse once (the
+    partsupp stand-in), the exclusion list is a broadcast anti-join,
+    part is a broadcast dimension join, and the distinct count
+    aggregates on the (brand, type, size) key. Top-50 via TakeOrdered.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    sup = load_table(spark, sf_dir, "supplier")
+    ps = li.select("l_partkey", "l_suppkey").distinct()
+    excl = sup.where(F.col("s_acctbal") < 0).select(
+        F.col("s_suppkey").alias("l_suppkey")
+    )
+    return (
+        ps.join(F.broadcast(excl), "l_suppkey", "left_anti")
+        .join(
+            F.broadcast(part.where(F.col("p_brand") != "Brand#1")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(
+            F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size"
+        )
+        .limit(50)
+    )

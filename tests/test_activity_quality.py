@@ -440,3 +440,37 @@ def test_lexicon_sentiment_pandas_recompute(spark):
     for k, (n, tot) in agg.items():
         assert got[k][0] == n
         assert abs(got[k][1] - round(tot / n, 6)) < 1e-6
+
+
+def test_supplier_part_counts_bruteforce(spark):
+    from batch_processing_new_spark.operators.relational_ext import (
+        q196_supplier_part_counts,
+    )
+
+    li = load_table(spark, SF_SMOKE, "lineitem").collect()
+    part = {
+        r["p_partkey"]: (r["p_brand"], r["p_type"], r["p_size"])
+        for r in load_table(spark, SF_SMOKE, "part").collect()
+    }
+    bad = {
+        r["s_suppkey"]
+        for r in load_table(spark, SF_SMOKE, "supplier").collect()
+        if r["s_acctbal"] < 0
+    }
+    sups = defaultdict(set)
+    for r in li:
+        if r["l_suppkey"] in bad:
+            continue
+        b, t, s = part[r["l_partkey"]]
+        if b == "Brand#1":
+            continue
+        sups[(b, t, s)].add(r["l_suppkey"])
+    expected = sorted(
+        ((len(v),) + k for k, v in sups.items()),
+        key=lambda x: (-x[0], x[1], x[2], x[3]),
+    )[:50]
+    got = [
+        (r["supplier_cnt"], r["p_brand"], r["p_type"], r["p_size"])
+        for r in q196_supplier_part_counts(spark, SF_SMOKE).collect()
+    ]
+    assert got == expected
