@@ -161,58 +161,136 @@ def q80_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ------------------------------------------------- robust outliers
 
-@query(
-    "q81_outliers_mad",
-    oracle="""
-WITH med AS (
-    SELECT event_type, median(value) AS med
-    FROM events GROUP BY event_type
+_MAD_ORACLE = """
+WITH c AS (
+    SELECT event_type,
+           CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
+    FROM events
+),
+h AS (
+    SELECT event_type, c, count(*) AS k FROM c GROUP BY event_type, c
+),
+h2 AS (
+    SELECT event_type, c, k,
+           sum(k) OVER (PARTITION BY event_type ORDER BY c) AS cum
+    FROM h
+),
+n AS (
+    SELECT event_type, sum(k) AS n FROM h GROUP BY event_type
+),
+med AS (
+    SELECT h2.event_type,
+           sum(h2.c * (CASE WHEN h2.cum - h2.k < (n.n + 1) // 2
+                             AND (n.n + 1) // 2 <= h2.cum THEN 1 ELSE 0 END
+                     + CASE WHEN h2.cum - h2.k < (n.n + 2) // 2
+                             AND (n.n + 2) // 2 <= h2.cum THEN 1 ELSE 0 END)
+              ) AS med2
+    FROM h2 JOIN n ON h2.event_type = n.event_type
+    GROUP BY h2.event_type
+),
+d AS (
+    SELECT c.event_type, abs(2 * c.c - med.med2) AS d
+    FROM c JOIN med ON c.event_type = med.event_type
+),
+dh AS (
+    SELECT event_type, d, count(*) AS k FROM d GROUP BY event_type, d
+),
+dh2 AS (
+    SELECT event_type, d, k,
+           sum(k) OVER (PARTITION BY event_type ORDER BY d) AS cum
+    FROM dh
 ),
 mad AS (
-    SELECT e.event_type, median(abs(e.value - med.med)) AS mad
-    FROM events e JOIN med ON e.event_type = med.event_type
-    GROUP BY e.event_type
+    SELECT dh2.event_type,
+           sum(dh2.d * (CASE WHEN dh2.cum - dh2.k < (n.n + 1) // 2
+                              AND (n.n + 1) // 2 <= dh2.cum THEN 1 ELSE 0 END
+                      + CASE WHEN dh2.cum - dh2.k < (n.n + 2) // 2
+                              AND (n.n + 2) // 2 <= dh2.cum THEN 1 ELSE 0 END)
+              ) AS madd2
+    FROM dh2 JOIN n ON dh2.event_type = n.event_type
+    GROUP BY dh2.event_type
 )
-SELECT e.event_type,
-       count(*)                                                   AS n_total,
-       sum(CASE WHEN abs(e.value - med.med) > 3 * 1.4826 * mad.mad
-                THEN 1 ELSE 0 END)                                AS n_outliers
-FROM events e
-JOIN med ON e.event_type = med.event_type
-JOIN mad ON e.event_type = mad.event_type
-GROUP BY e.event_type
-ORDER BY e.event_type
-""",
-)
+SELECT d.event_type,
+       count(*)                                                 AS n_total,
+       sum(CASE WHEN 10000 * d.d > 22239 * mad.madd2
+                THEN 1 ELSE 0 END)                              AS n_outliers
+FROM d JOIN mad ON d.event_type = mad.event_type
+GROUP BY d.event_type
+ORDER BY d.event_type
+"""
+
+
+@query("q81_outliers_mad", oracle=_MAD_ORACLE)
 def q81_outliers_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Robust outlier detection: |x - median| > 3 * 1.4826 * MAD per
     group (the scaled-MAD rule; 1.4826 makes MAD consistent with sigma
-    under normality).
+    under normality). Median/MAD instead of mean/stddev because
+    heavy-tailed metrics (latency, spend) break z-scores.
 
-    Median/MAD instead of mean/stddev because heavy-tailed metrics
-    (latency, spend) break z-scores. Exact ``median`` on both engines;
-    the output is integer counts, so float interpolation differences
-    can't surface in the hash. The per-group medians are a tiny
-    broadcastable table at any scale — only the fact re-joins shuffle.
+    Environment-robustness (driver-red in r02): engine-native
+    ``median`` interpolates in float and the threshold multiplies
+    float constants, so an exact tie ``|x-med| == 3*1.4826*mad`` (the
+    fixture's 2-dp value grid makes ties reachable) is decided by
+    1-ulp noise that differs between engine builds. This version does
+    the WHOLE statistic in exact int64: values quantized to cents via
+    ``floor(v*100+0.5)`` (floor of a bit-identical IEEE expression —
+    no rounding-mode convention involved), medians computed as the
+    SUM of the two middle elements (``med2 = 2*median``, no division),
+    deviations as ``|2c - med2|``, and the outlier test as the
+    cross-multiplied integer inequality ``10000*d > 22239*madd2``
+    (22239/10000 = 2 * 3*1.4826 / 2 — both median halvings folded in).
+    Exact ties now compare equal on every engine.
+
+    Scale shape: medians come from a per-group VALUE HISTOGRAM
+    (groupBy(event_type, cents) → counts, then a rank walk over the
+    tiny histogram), not a per-group sort — the histogram is bounded
+    by the value grid, not the row count, so the windows here run
+    over thousands of rows even at 100 TB. The fact table shuffles
+    once per histogram build; the med/mad tables broadcast back.
     """
-    e = load_table(spark, sf_dir, "events").select("event_type", "value")
-    med = e.groupBy("event_type").agg(F.median("value").alias("med"))
-    mad = (
-        e.join(F.broadcast(med), "event_type")
-        .groupBy("event_type")
-        .agg(F.median(F.abs(F.col("value") - F.col("med"))).alias("mad"))
+    from pyspark.sql.window import Window
+
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.floor(F.col("value") * 100 + 0.5).cast("long").alias("c"),
     )
+
+    def _med2(vals: DataFrame, col: str) -> DataFrame:
+        """Exact 2x-median of integer column ``col`` per event_type via
+        a count histogram: returns (event_type, med2 = v_lo + v_hi)."""
+        h = vals.groupBy("event_type", col).agg(F.count(F.lit(1)).alias("k"))
+        w = Window.partitionBy("event_type").orderBy(col)
+        h2 = h.withColumn("cum", F.sum("k").over(w))
+        n = h.groupBy("event_type").agg(F.sum("k").alias("n"))
+        lo = (F.col("n") + 1) / F.lit(2)
+        hi = (F.col("n") + 2) / F.lit(2)
+        lo = F.floor(lo).cast("long")
+        hi = F.floor(hi).cast("long")
+        prev = F.col("cum") - F.col("k")
+        pick = (
+            F.when((prev < lo) & (lo <= F.col("cum")), 1).otherwise(0)
+            + F.when((prev < hi) & (hi <= F.col("cum")), 1).otherwise(0)
+        )
+        return (
+            h2.join(F.broadcast(n), "event_type")
+            .select("event_type", (F.col(col) * pick).alias("_contrib"))
+            .groupBy("event_type")
+            .agg(F.sum("_contrib").alias("med2"))
+        )
+
+    med = _med2(e, "c")
+    d = e.join(F.broadcast(med), "event_type").select(
+        "event_type", F.abs(2 * F.col("c") - F.col("med2")).alias("d")
+    )
+    mad = _med2(d, "d").withColumnRenamed("med2", "madd2")
     return (
-        e.join(F.broadcast(med), "event_type")
-        .join(F.broadcast(mad), "event_type")
+        d.join(F.broadcast(mad), "event_type")
         .groupBy("event_type")
         .agg(
-            F.count("*").alias("n_total"),
+            F.count(F.lit(1)).alias("n_total"),
             F.sum(
                 F.when(
-                    F.abs(F.col("value") - F.col("med"))
-                    > 3 * 1.4826 * F.col("mad"),
-                    1,
+                    10000 * F.col("d") > 22239 * F.col("madd2"), 1
                 ).otherwise(0)
             ).alias("n_outliers"),
         )
@@ -245,10 +323,12 @@ def q82_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The explode is the scale cost; ``groupBy().count()`` gets map-side
     partial aggregation for free, so the shuffle carries one row per
-    distinct token per partition, not one per token instance. The final
-    top-k is a single-partition window over the (tiny) distinct-token
-    aggregate — at 100 TB swap for ``orderBy(...).limit(k)`` which
-    Spark executes as a distributed TakeOrdered.
+    distinct token per partition, not one per token instance. The
+    final top-k is ``orderBy(...).limit(20)`` — Spark executes it as a
+    distributed TakeOrdered (each partition keeps its local top-20,
+    the driver merges), so the vocabulary-scale aggregate never
+    funnels through a single-partition window; the rank column is then
+    re-derived by a window over the 20 surviving rows only.
     """
     d = load_table(spark, sf_dir, "documents")
     counted = (
@@ -259,12 +339,9 @@ def q82_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from pyspark.sql.window import Window
 
+    top = counted.orderBy(F.col("n").desc(), "token").limit(20)
     w = Window.orderBy(F.col("n").desc(), "token")
-    return (
-        counted.withColumn("rnk", F.row_number().over(w))
-        .where(F.col("rnk") <= 20)
-        .orderBy("rnk")
-    )
+    return top.withColumn("rnk", F.row_number().over(w)).orderBy("rnk")
 
 
 # --------------------------------------- duplicate-n-gram quality
@@ -291,18 +368,21 @@ per_gram AS (
 )
 SELECT doc_id,
        sum(cnt)                                            AS n_grams,
-       round(sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) * 1.0
-             / sum(cnt), 6)                                AS dup_fraction
+       sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END)          AS n_dup
 FROM per_gram
 GROUP BY doc_id
 ORDER BY doc_id
 """,
 )
 def q83_dup_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Gopher-style repetition quality signal: the fraction of a
-    document's 5-gram instances that belong to a gram occurring
-    more than once within that document (high fraction = boilerplate /
-    degenerate repetition; used as a corpus filter).
+    """Gopher-style repetition quality signal: how many of a
+    document's 5-gram instances belong to a gram occurring more than
+    once within that document (high n_dup/n_grams = boilerplate /
+    degenerate repetition; used as a corpus filter). Output is the
+    exact integer numerator/denominator pair, NOT a rounded float
+    ratio — ``round(dup/n, 6)`` sat on engine-specific half-way
+    conventions and went driver-red in r02; integers hash identically
+    on every engine build, and the consumer divides at display time.
 
     The whole statistic is per-document, so no explode and no shuffle:
     sort the gram array in-row, then an instance is "duplicate" iff it
@@ -358,7 +438,7 @@ def q83_dup_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
         sorted_grams.select(
             "doc_id",
             F.size(g).cast("long").alias("n_grams"),
-            F.round(dup / F.size(g), 6).alias("dup_fraction"),
+            dup.cast("long").alias("n_dup"),
         )
         .orderBy("doc_id")
     )
@@ -588,9 +668,9 @@ def q89_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q91_max_concurrency",
     oracle="""
 WITH s AS (
-    SELECT CAST(ts AS TIMESTAMP) AS st,
-           CAST(ts AS TIMESTAMP)
-             + to_seconds(CAST(round(value * 60) AS BIGINT)) AS en
+    SELECT date_trunc('second', CAST(ts AS TIMESTAMP)) AS st,
+           date_trunc('second', CAST(ts AS TIMESTAMP))
+             + to_seconds(CAST(floor(value * 60 + 0.5) AS BIGINT)) AS en
     FROM events
 ),
 pts AS (
@@ -607,34 +687,72 @@ FROM r GROUP BY 1 ORDER BY day
 )
 def q91_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Peak concurrent sessions per day by sweep line: each event opens
-    a session of ``value`` minutes; +1/-1 boundary points, a running sum
-    ordered by (t, delta) (ends close before starts at the same
+    a session of ``value`` minutes; +1/-1 boundary points, a running
+    sum ordered by (t, delta) (ends close before starts at the same
     instant — RANGE frames make ties deterministic on both engines),
     max per day.
 
-    The global ordered running sum is a single-reducer stage as
-    written — correct but serial. At 100 TB: two-phase prefix sum
-    (per-shard partial counts, driver-side prefix over the tiny
-    per-shard totals, broadcast offsets back) — same numbers, fully
-    parallel. The fixture scale doesn't warrant the extra pass.
+    Environment-robustness (driver-red in r02): the whole sweep runs
+    in INTEGER EPOCH SECONDS derived by NTZ ``timestamp_diff`` —
+    ``date_trunc``/``unix_timestamp`` promote NTZ to session-zone
+    TIMESTAMP and so render differently when the session and host
+    timezones disagree (functions/timekit.py; caught by the split-TZ
+    perturbation run, tests/run_verify.py --tz). Second truncation
+    also kills sub-microsecond parquet-encoding skew between NANOS and
+    MICROS fixture generations, and the session length uses
+    ``floor(v*60 + 0.5)`` — floor of a bit-identical IEEE expression —
+    instead of ``round``, whose half-way convention is engine-build
+    specific. The output day is rebuilt from the integer day index via
+    ``date_from_unix_date`` (pure calendar arithmetic).
+
+    Scale: TWO-PHASE PREFIX SUM, not a global ordered window. Phase 1
+    computes the running sum WITHIN each day shard (window partitioned
+    by day — parallel across days) plus each day's total delta; phase
+    2 prefix-sums the per-day totals (a window over the tiny per-day
+    aggregate — thousands of rows at any corpus size) and broadcasts
+    the offsets back. Same numbers as the serial sweep, no
+    single-reducer stage over the fact table. Sessions here span at
+    most hours, but the offset algebra is exact for any span; for
+    pathological shard skew subdivide the shard key to (day, hour) and
+    prefix twice.
     """
     from pyspark.sql import Window
 
+    from batch_processing_new_spark.functions.timekit import (
+        day_from_index,
+        day_index,
+        epoch_seconds,
+    )
+
     e = load_table(spark, sf_dir, "events").select(
-        F.col("ts").alias("st"),
-        (
-            F.col("ts")
-            + F.expr("make_dt_interval(0, 0, 0, round(value * 60))")
-        ).alias("en"),
+        epoch_seconds(F.col("ts")).alias("s"),
+        F.floor(F.col("value") * 60 + 0.5).cast("long").alias("dur"),
     )
-    pts = e.select(F.col("st").alias("t"), F.lit(1).alias("delta")).unionByName(
-        e.select(F.col("en").alias("t"), F.lit(-1).alias("delta"))
+    pts = (
+        e.select(F.col("s").alias("t"), F.lit(1).alias("delta"))
+        .unionByName(
+            e.select((F.col("s") + F.col("dur")).alias("t"), F.lit(-1).alias("delta"))
+        )
+        .withColumn("day_idx", day_index(F.col("t")))
     )
-    w = Window.orderBy("t", "delta")
+    w_in = Window.partitionBy("day_idx").orderBy("t", "delta")
+    within = pts.withColumn("c_in", F.sum("delta").over(w_in))
+    w_pfx = Window.orderBy("day_idx").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = (
+        pts.groupBy("day_idx")
+        .agg(F.sum("delta").alias("_tot"))
+        .withColumn("_off", F.coalesce(F.sum("_tot").over(w_pfx), F.lit(0)))
+        .select("day_idx", "_off")
+    )
     return (
-        pts.withColumn("c", F.sum("delta").over(w))
-        .groupBy(F.date_trunc("day", "t").alias("day"))
-        .agg(F.max("c").alias("max_concurrent"))
+        within.join(F.broadcast(offsets), "day_idx")
+        .groupBy("day_idx")
+        .agg(F.max(F.col("c_in") + F.col("_off")).alias("max_concurrent"))
+        .select(
+            day_from_index(F.col("day_idx")).alias("day"), "max_concurrent"
+        )
         .orderBy("day")
     )
 
@@ -1263,7 +1381,7 @@ converted AS (
 SELECT day,
        count(*)                    AS n_clicks,
        CAST(sum(converted) AS BIGINT) AS n_converted,
-       round(avg(converted), 6)    AS conversion_rate
+       CAST(sum(converted) AS DOUBLE) / count(*) AS conversion_rate
 FROM converted
 GROUP BY day
 ORDER BY day
@@ -1285,11 +1403,23 @@ def q134_timed_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     in-window one). The oracle keeps the correlated-EXISTS SQL form;
     the engine's form is the single-shuffle plan Catalyst cannot reach
     from that SQL on its own.
+
+    Environment-robustness: event times become TZ-free NTZ epoch
+    micros (functions/timekit.py — ``unix_micros`` needs a
+    session-zone cast and flipped under the split-TZ perturbation
+    run), the day key stays NTZ end to end, and the rate ships as the
+    UNROUNDED quotient of two exact integers — one IEEE division is
+    bit-identical on every engine, while ``round(·, 6)`` sits on
+    engine-specific half-way conventions (the r02 q83 failure class).
     """
     from pyspark.sql import Window
 
+    from batch_processing_new_spark.functions.timekit import (
+        day_ntz,
+        epoch_micros,
+    )
+
     ev = load_table(spark, sf_dir, "events")
-    t_us = F.unix_micros(F.col("ts").cast("timestamp"))
     w_range = (
         Window.partitionBy("user_id")
         .orderBy("t")
@@ -1303,23 +1433,20 @@ def q134_timed_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
             "user_id",
             "event_type",
             "ts",
-            t_us.alias("t"),
+            epoch_micros(F.col("ts")).alias("t"),
         )
         .withColumn("converted", F.coalesce(has_purchase, F.lit(0)))
         .where(F.col("event_type") == "click")
-        .select(
-            F.date_trunc("day", F.col("ts").cast("timestamp"))
-            .cast("timestamp")
-            .alias("day"),
-            "converted",
-        )
+        .select(day_ntz(F.col("ts")).alias("day"), "converted")
     )
     return (
         clicks.groupBy("day")
         .agg(
             F.count(F.lit(1)).alias("n_clicks"),
             F.sum("converted").alias("n_converted"),
-            F.round(F.avg("converted"), 6).alias("conversion_rate"),
+            (
+                F.sum("converted").cast("double") / F.count(F.lit(1))
+            ).alias("conversion_rate"),
         )
         .orderBy("day")
     )

@@ -167,12 +167,15 @@ def lloyd_kmeans(
         )
         means = (
             partials.groupBy("cluster", "pos")
-            # exact int64 partial sums (see _partial_centroid_sums):
-            # the reduce is integer addition — associative, so the
-            # centroid mean is identical at any partitioning
+            # exact partial sums (see _partial_centroid_sums), reduced
+            # under DECIMAL(38,0): integer addition is associative so
+            # the mean is partitioning-independent, and the 38-digit
+            # accumulator cannot wrap — a plain LongType sum of
+            # 1e10-quantized coordinates overflows 2^63 at ~1e9
+            # rows/cluster, inside the 100 TB design envelope
             .agg(
                 F.round(
-                    F.sum("s").cast("double")
+                    F.sum(F.col("s").cast("decimal(38,0)")).cast("double")
                     / _CENTROID_QUANTUM
                     / F.sum("n"),
                     6,

@@ -395,7 +395,8 @@ _TREND_TOP = 20
     "q187_decayed_trending",
     oracle=f"""
 WITH daily AS (
-    SELECT json_extract(props, '$.k')::BIGINT AS item,
+    SELECT CASE WHEN json_valid(props)
+                THEN json_extract(props, '$.k')::BIGINT END AS item,
            date_trunc('day', ts)::DATE AS day,
            count(*)::BIGINT AS n
     FROM events
@@ -410,7 +411,7 @@ scored AS (
     FROM daily d CROSS JOIN anchor a
     GROUP BY d.item
 )
-SELECT item, round(score, 6) AS score, total_n
+SELECT item, score, total_n
 FROM scored
 ORDER BY score DESC, item
 LIMIT {_TREND_TOP}
@@ -427,7 +428,14 @@ def q187_decayed_trending(spark: SparkSession, sf_dir: str) -> DataFrame:
     the daily counts are small integers, so every product is a dyadic
     rational that a float64 holds EXACTLY — the decayed sum is
     order-independent without any DECIMAL discipline (the one float
-    aggregation in the engine that is exact by construction).
+    aggregation in the engine that is exact by construction). The
+    score ships UNROUNDED: bit-identical doubles hash identically on
+    every engine build, while round(·, 6) of a dyadic (e.g. 2^-7 ->
+    7812.5 ulps) sits exactly on the half-way boundary whose
+    convention differs across engine versions — the r02 q83 failure
+    class. Malformed props rows are guarded on BOTH sides (Spark's
+    get_json_object NULLs them; the oracle gates json_extract behind
+    json_valid the way q173 does).
 
     Shapes: events collapse to the (item, day) grid (the only
     data-scale shuffle); the 1-row anchor day broadcasts back; the
@@ -455,7 +463,7 @@ def q187_decayed_trending(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        scored.select("item", F.round("score", 6).alias("score"), "total_n")
+        scored.select("item", "score", "total_n")
         .orderBy(F.col("score").desc(), "item")
         .limit(_TREND_TOP)
     )

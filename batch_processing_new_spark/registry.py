@@ -131,11 +131,48 @@ def _driver_verified() -> set[str]:
     return green
 
 
+# Unproven queries whose COMPONENT has zero driver evidence after two
+# rounds (VERDICT r02 §2B: enrich, similarity/ANN, Excel, scraped/tweet,
+# streaming, multimodal) — pulled to the very front of the driver's
+# 50-per-round correctness window so every §2B component gains a hard
+# driver row in round 3. The r02 driver-red trio leads (the fix must be
+# re-checked first). Queries not listed keep their registration order
+# behind these; driver-proven queries sort last as before.
+_WINDOW_PRIORITY = [
+    # r02 driver-red, rewritten environment-robust this round
+    "q81_outliers_mad", "q83_dup_ngram_fraction", "q91_max_concurrency",
+    # enrich — the reference's core operator (test.py:57-138)
+    "q30_enrich_map", "q31_enrich_dedupe", "q32_enrich_pipeline",
+    # similarity / ANN
+    "q40_cosine_topk", "q41_embedding_neardup", "q42_ann_lsh_topk",
+    "q57_ann_ivf_topk",
+    # Excel source/sink
+    "q49_excel_roundtrip",
+    # scraped HTML / tweet sources
+    "q136_scraped_html", "q137_tweet_parse",
+    # streaming (tumbling/sliding/session, stateful, joins, MVs)
+    "q50_stream_tumbling_window", "q51_stream_sliding_window",
+    "q52_stream_session_window", "q53_stream_dedupe",
+    "q67_stream_stream_join", "q78_stateful_running_stats",
+    "q85_kafka_roundtrip", "q86_incremental_user_stats",
+    "q92_hll_distinct_mv", "q103_stream_left_outer_join",
+    "q124_stream_static_join",
+    # multimodal
+    "q45_multimodal_decode", "q46_multimodal_filter_agg",
+    "q54_multimodal_resize", "q55_frame_sample", "q56_media_features",
+    "q115_phash_neardup",
+]
+
+
 def all_specs() -> dict[str, QuerySpec]:
     _load()
     proven = _driver_verified()
+    prio = {n: i for i, n in enumerate(_WINDOW_PRIORITY)}
     idx = {n: i for i, n in enumerate(_REGISTRY)}
-    ordered = sorted(_REGISTRY, key=lambda n: (n in proven, idx[n]))
+    ordered = sorted(
+        _REGISTRY,
+        key=lambda n: (n in proven, prio.get(n, len(prio)), idx[n]),
+    )
     return {n: _REGISTRY[n] for n in ordered}
 
 

@@ -71,7 +71,12 @@ def write_single_csv_hadoop(spark, df: DataFrame, dest_path: str, header: bool =
         raise FileNotFoundError(f"no part file under {staging}")
     if fs.exists(dest_p):
         fs.delete(dest_p, False)
-    fs.rename(part, dest_p)
+    # Hadoop FileSystem.rename signals failure by RETURNING FALSE, not
+    # raising — swallowing it would delete the staging dir and report
+    # success while nothing exists at the advertised key (NoSuchKey on
+    # download, the exact symptom this helper exists to prevent).
+    if not fs.rename(part, dest_p):
+        raise IOError(f"rename {part} -> {dest_path} failed")
     fs.delete(staging_p, True)
     return dest_path
 

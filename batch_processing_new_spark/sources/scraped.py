@@ -217,7 +217,11 @@ def synth_tweet_json(events: DataFrame) -> DataFrame:
         ).alias("author"),
         F.concat(F.lit("event "), F.col("event_type")).alias("text"),
         F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("created_on"),
-        F.round(F.col("value") * 10).cast("long").alias("likes"),
+        # floor(x + 0.5), not round(): value sits on a 2-dp grid, so
+        # value*10 lands EXACTLY on .5 — round()'s half-way convention
+        # is engine-build specific (the r02 q83 failure class), floor
+        # of a bit-identical IEEE expression is not
+        F.floor(F.col("value") * 10 + 0.5).cast("long").alias("likes"),
         F.array(
             F.concat(F.lit("#"), F.col("event_type")),
             F.lit("#spark"),
@@ -232,7 +236,7 @@ def synth_tweet_json(events: DataFrame) -> DataFrame:
 SELECT event_id                        AS tweet_id,
        'user' || user_id               AS username,
        (user_id % 7 = 0)               AS verified,
-       CAST(round(value * 10) AS BIGINT) AS likes,
+       CAST(floor(value * 10 + 0.5) AS BIGINT) AS likes,
        '#' || event_type               AS first_hashtag,
        2                               AS n_hashtags,
        CAST(date_trunc('day', ts) AS TIMESTAMP) AS day
@@ -257,7 +261,11 @@ def q137_tweet_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         "likes",
         F.element_at("hashtags", 1).alias("first_hashtag"),
         F.size("hashtags").alias("n_hashtags"),
-        F.date_trunc("day", F.to_timestamp("created_on")).alias("day"),
+        # TZ-free: parse the naive string straight to NTZ and truncate
+        # via the calendar cast — to_timestamp/date_trunc would route
+        # through the session zone (functions/timekit.py rationale)
+        F.col("created_on").cast("timestamp_ntz").cast("date")
+        .cast("timestamp_ntz").alias("day"),
     ).orderBy("tweet_id")
 
 

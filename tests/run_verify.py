@@ -9,6 +9,20 @@ Usage: python tests/run_verify.py [--json OUT.json] [name ...]
        # CORRECTNESS artifact (rows/schema/hash per query) so full
        # 135-query coverage is recorded even though the driver's own
        # per-round artifact caps at the first 50 registered queries.
+
+Environment-perturbation flags (driver-skew simulation — r02 went
+red on three queries that were green under this script's pinned
+defaults, so robustness now gets tested, not assumed):
+  --tz ZONE     set spark.sql.session.timeZone (default UTC pin;
+                pass e.g. America/New_York to shake out TZ-dependent
+                truncations/renderings)
+  --shuffle N   spark.sql.shuffle.partitions (default 8; perturbing
+                it reorders float reductions — order-dependent sums
+                flip under it)
+  --cores N     local[N] master (default 8; changes scan/partial-agg
+                parallelism, another reduction-order axis)
+  --arrow       enable Arrow collect (different timestamp/decimal
+                python materialization path than row collect)
 """
 
 from __future__ import annotations
@@ -44,6 +58,15 @@ def canon_rows(cols, rows):
     return sorted("|".join(cell(r[i]) for i in order) for r in rows)
 
 
+def _pop_opt(args: list[str], flag: str, default: str | None) -> str | None:
+    if flag in args:
+        i = args.index(flag)
+        val = args[i + 1]
+        del args[i : i + 2]
+        return val
+    return default
+
+
 def main() -> int:
     from pyspark.sql import SparkSession
 
@@ -53,14 +76,26 @@ def main() -> int:
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
 
+    perturb_args = sys.argv[1:]
+    tz = _pop_opt(perturb_args, "--tz", "UTC")
+    shuffle = _pop_opt(perturb_args, "--shuffle", "8")
+    cores = _pop_opt(perturb_args, "--cores", "8")
+    arrow = "--arrow" in perturb_args
+    if arrow:
+        perturb_args.remove("--arrow")
+    sys.argv[1:] = perturb_args
+
     spark = (
-        SparkSession.builder.master("local[8]")
-        .config("spark.sql.shuffle.partitions", "8")
-        .config("spark.sql.session.timeZone", "UTC")
+        SparkSession.builder.master(f"local[{cores}]")
+        .config("spark.sql.shuffle.partitions", shuffle)
+        .config("spark.sql.session.timeZone", tz)
+        .config("spark.sql.execution.arrow.pyspark.enabled", str(arrow).lower())
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
+    if (tz, shuffle, cores, arrow) != ("UTC", "8", "8", False):
+        print(f"PERTURBED env: tz={tz} shuffle={shuffle} cores={cores} arrow={arrow}")
 
     n = mod.entry(spark).count()
     print(f"SMOKE entry(): {n} rows {'OK' if n > 0 else 'FAILED'}")
