@@ -374,6 +374,10 @@ PHASH_MAX_HAMMING = 10
 _PHASH_CHUNK_BITS = 6
 
 
+_DCT_SCALE_BITS = 18  # basis quantum 2^-18: ~4e-6 — far below any
+#                       coefficient spacing that could flip a sign bit
+
+
 def _dct_matrix(n: int = PHASH_GRID):
     """Orthonormal DCT-II basis (float64)."""
     import numpy as np
@@ -384,12 +388,26 @@ def _dct_matrix(n: int = PHASH_GRID):
     return d
 
 
+def _dct_matrix_q(n: int = PHASH_GRID):
+    """The DCT basis quantized to int64 at 2^{_DCT_SCALE_BITS} — every
+    downstream product/sum is then EXACT integer arithmetic (max
+    |coef| ~ 1.2e15, inside int64), so the sign-vs-median threshold has
+    no float knife-edge for any engine to disagree on. This is the
+    fixed-point discipline that let hash60 carry exact oracles
+    (q183), applied to the DCT (q115's oracle replays it in SQL)."""
+    import numpy as np
+
+    return np.rint(_dct_matrix(n) * (1 << _DCT_SCALE_BITS)).astype(np.int64)
+
+
 def phash_bytes(payload: bytes) -> int:
     """Classic pHash over the fake-decoded image: tile the payload bytes
-    into a {PHASH_GRID}x{PHASH_GRID} grayscale grid, 2-D DCT, keep the
-    top-left {PHASH_BLOCK}x{PHASH_BLOCK} low-frequency block, drop the DC
-    term, threshold the remaining 63 coefficients at their median ->
-    63-bit fingerprint (fits a signed BIGINT).
+    into a {PHASH_GRID}x{PHASH_GRID} grayscale grid, 2-D DCT (the
+    int64-quantized basis — see ``_dct_matrix_q``), keep the top-left
+    {PHASH_BLOCK}x{PHASH_BLOCK} low-frequency block, drop the DC term,
+    threshold the remaining 63 coefficients at their median (exact
+    middle order statistic of an odd count) -> 63-bit fingerprint
+    (fits a signed BIGINT).
 
     The DCT/median/sign math is the real algorithm — only the
     pixel source is the deterministic pseudo-decode (a real codec swaps
@@ -405,11 +423,11 @@ def phash_bytes(payload: bytes) -> int:
     img = (
         np.resize(b, PHASH_GRID * PHASH_GRID)
         .reshape(PHASH_GRID, PHASH_GRID)
-        .astype(np.float64)
+        .astype(np.int64)
     )
-    d = _dct_matrix()
+    d = _dct_matrix_q()
     coef = (d @ img @ d.T)[:PHASH_BLOCK, :PHASH_BLOCK].ravel()[1:]
-    med = float(np.median(coef))
+    med = int(np.sort(coef)[coef.size // 2])  # 63 values -> exact middle
     return int(sum(1 << k for k, v in enumerate(coef > med) if v))
 
 
@@ -482,13 +500,85 @@ def phash_neardup_pairs(
     )
 
 
-@query("q115_phash_neardup")  # Spark-only; algorithm pinned in tests
+def _phash_oracle() -> str:
+    """q115's DuckDB replay: tile utf-8 bytes (pure-ASCII fixture:
+    ascii() == byte value) into the 32x32 grid, apply the SAME int64
+    DCT basis (the literal below is generated from ``_dct_matrix_q`` at
+    import time, so Spark and the oracle always share one matrix),
+    median-threshold to the 63-bit hash, then replay the 6-bit-chunk
+    blocking join and Hamming verify. All-integer end to end."""
+    dq = _dct_matrix_q().tolist()
+    m = "[" + ",".join("[" + ",".join(str(v) for v in row) + "]" for row in dq) + "]"
+    n_chunks = (PHASH_BITS + _PHASH_CHUNK_BITS - 1) // _PHASH_CHUNK_BITS
+    mask = (1 << _PHASH_CHUNK_BITS) - 1
+    return f"""
+WITH dq AS (SELECT {m} AS m),
+px AS (
+    SELECT doc_id, g.i AS i,
+           CASE WHEN length(text) = 0 THEN 0
+                ELSE ascii(substr(text, (g.i % length(text)) + 1, 1))
+           END AS v
+    FROM documents, generate_series(0, {PHASH_GRID * PHASH_GRID - 1}) g(i)
+),
+t1 AS (
+    SELECT px.doc_id, px.i // {PHASH_GRID} AS a, k.k,
+           sum(px.v * dq.m[k.k + 1][(px.i % {PHASH_GRID}) + 1])::BIGINT AS rs
+    FROM px, generate_series(0, {PHASH_BLOCK - 1}) k(k), dq
+    GROUP BY px.doc_id, a, k.k
+),
+t2 AS (
+    SELECT t1.doc_id, j.j, t1.k,
+           sum(dq.m[j.j + 1][t1.a + 1] * t1.rs)::BIGINT AS coef
+    FROM t1, generate_series(0, {PHASH_BLOCK - 1}) j(j), dq
+    GROUP BY t1.doc_id, j.j, t1.k
+),
+coefs AS (
+    SELECT doc_id, j * {PHASH_BLOCK} + k AS idx, coef
+    FROM t2 WHERE NOT (j = 0 AND k = 0)
+),
+med AS (
+    SELECT doc_id, quantile_disc(coef, 0.5) AS med
+    FROM coefs GROUP BY doc_id
+),
+ph AS (
+    SELECT c.doc_id,
+           sum(CASE WHEN c.coef > med.med
+                    THEN 1::BIGINT << (c.idx - 1) ELSE 0 END)::BIGINT AS phash
+    FROM coefs c JOIN med USING (doc_id)
+    GROUP BY c.doc_id
+),
+chunks AS (
+    SELECT doc_id, phash, g.cid AS chunk_id,
+           (phash >> (g.cid * {_PHASH_CHUNK_BITS})) & {mask} AS chunk
+    FROM ph, generate_series(0, {n_chunks - 1}) g(cid)
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+           a.phash AS ph_a, b.phash AS ph_b
+    FROM chunks a
+    JOIN chunks b ON a.chunk_id = b.chunk_id AND a.chunk = b.chunk
+                 AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, bit_count(xor(ph_a, ph_b)) AS hamming
+FROM cand
+WHERE bit_count(xor(ph_a, ph_b)) <= {PHASH_MAX_HAMMING}
+ORDER BY id_a, id_b
+"""
+
+
+@query("q115_phash_neardup", oracle=_phash_oracle())
 def q115_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual-hash near-dup pairs over the fake-decoded media corpus
-    (Hamming <= {PHASH_MAX_HAMMING} of 63 DCT sign bits). The fixture
-    payloads are distinct texts, so matches are rare by design — the
-    operator's correctness is pinned by tests/test_multimodal_phash.py
-    on controlled payloads (exact dup -> 0, one-byte flip -> small,
-    independent -> ~32)."""
+    (Hamming <= {PHASH_MAX_HAMMING} of 63 DCT sign bits), upgraded from
+    rows-only to a full value-hash oracle: the int64-quantized DCT
+    (``_dct_matrix_q``) makes every coefficient, the median threshold,
+    the 63-bit hash, the chunk blocking AND the Hamming verify exact
+    integer arithmetic that DuckDB replays bit-for-bit — no float
+    knife-edge left for engine builds to disagree on.
+
+    The fixture payloads are distinct texts, so matches are rare by
+    design — the operator's behavior on controlled payloads stays
+    pinned by tests/test_multimodal_phash.py (exact dup -> 0, one-byte
+    flip -> small, independent -> ~32)."""
     d = load_table(spark, sf_dir, "documents")
     return phash_neardup_pairs(with_media_payload(d)).orderBy("id_a", "id_b")

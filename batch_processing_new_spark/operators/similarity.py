@@ -54,15 +54,30 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
 
 
-# DuckDB float64 pairwise cosine over FLOAT[] columns a.embedding/b.embedding
-_COS_SQL = """
-    (SELECT sum(a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)
-     FROM generate_series(1, 64) g(i))
-    / (sqrt((SELECT sum(a.embedding[i]::DOUBLE * a.embedding[i]::DOUBLE)
-             FROM generate_series(1, 64) g(i)))
-       * sqrt((SELECT sum(b.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)
-               FROM generate_series(1, 64) g(i))))
+def _cos_sql_of(a: str, b: str) -> str:
+    """DuckDB float64 cosine between two FLOAT[]/DOUBLE[] column refs
+    (sequential sum over generate_series == Spark's F.aggregate fold)."""
+    return f"""
+    (SELECT sum({a}[i]::DOUBLE * {b}[i]::DOUBLE)
+     FROM generate_series(1, {DIM}) g(i))
+    / (sqrt((SELECT sum({a}[i]::DOUBLE * {a}[i]::DOUBLE)
+             FROM generate_series(1, {DIM}) g(i)))
+       * sqrt((SELECT sum({b}[i]::DOUBLE * {b}[i]::DOUBLE)
+               FROM generate_series(1, {DIM}) g(i))))
 """
+
+
+# DuckDB float64 pairwise cosine over FLOAT[] columns a.embedding/b.embedding
+_COS_SQL = _cos_sql_of("a.embedding", "b.embedding")
+
+
+def _d2_sql_of(a: str, b: str) -> str:
+    """DuckDB float64 squared-L2 distance between two array column refs,
+    rounded to 9 — the twin of ``_dist2_to``'s sequential fold + the
+    round(9) both cell-assignment paths apply before ranking."""
+    return f"""round((SELECT sum(({a}[i]::DOUBLE - {b}[i]::DOUBLE)
+                         * ({a}[i]::DOUBLE - {b}[i]::DOUBLE))
+               FROM generate_series(1, {DIM}) g(i)), 9)"""
 
 
 @query(
@@ -474,7 +489,10 @@ def _nearest_cells_np(centroids: list[list[float]], n: int):
 
 
 def train_ivf_centroids(
-    emb: DataFrame, k: int = IVF_CELLS, lloyd_iters: int = 1
+    emb: DataFrame,
+    k: int = IVF_CELLS,
+    lloyd_iters: int = 1,
+    exact_fold: bool = False,
 ) -> list[list[float]]:
     """Coarse quantizer: deterministic seeds (the k lowest vec_ids) plus
     ``lloyd_iters`` distributed k-means steps.
@@ -483,7 +501,11 @@ def train_ivf_centroids(
     centroids, whole-stage codegen) and re-center (posexplode ->
     groupBy(cell, pos) -> avg) — the classic Spark k-means shape: only
     k x dim floats ever return to the driver. Means are rounded so cell
-    assignment is reproducible across partitionings.
+    assignment is reproducible across partitionings. ``exact_fold``
+    switches assignment from the Arrow/numpy kernel to the sequential
+    ``_nearest_cells`` expression — same results on this fixture, but
+    the fold order is then exactly DuckDB's generate_series sum, which
+    is what lets q57 carry a full value-hash oracle.
     """
     seeds = (
         emb.orderBy("vec_id")
@@ -494,9 +516,13 @@ def train_ivf_centroids(
     centroids = [list(r.v) for r in seeds]
     wide = emb.select("embedding")
     for _ in range(lloyd_iters):
+        cell1 = (
+            _nearest_cells(_f64("embedding"), centroids, 1).getItem(0)
+            if exact_fold
+            else _nearest_cells_np(centroids, 1)("embedding").getItem(0)
+        )
         assigned = wide.select(
-            _f64("embedding").alias("v"),
-            _nearest_cells_np(centroids, 1)("embedding").getItem(0).alias("cell"),
+            _f64("embedding").alias("v"), cell1.alias("cell")
         )
         means = (
             assigned.select("cell", F.posexplode("v").alias("pos", "x"))
@@ -533,6 +559,7 @@ def ann_ivf_topk(
     k: int = TOPK,
     cells: int = IVF_CELLS,
     nprobe: int = IVF_NPROBE,
+    exact_fold: bool = False,
 ) -> DataFrame:
     """IVF approximate top-k: corpus bucketed by nearest centroid,
     queries probe their ``nprobe`` nearest cells, exact cosine ranks the
@@ -545,18 +572,26 @@ def ann_ivf_topk(
     """
     from pyspark.sql import Window
 
-    centroids = train_ivf_centroids(emb, cells)
+    centroids = train_ivf_centroids(emb, cells, exact_fold=exact_fold)
+    cell1 = (
+        _nearest_cells(_f64("embedding"), centroids, 1).getItem(0)
+        if exact_fold
+        else _nearest_cells_np(centroids, 1)("embedding").getItem(0)
+    )
+    celln = (
+        _nearest_cells(_f64("embedding"), centroids, nprobe)
+        if exact_fold
+        else _nearest_cells_np(centroids, nprobe)("embedding")
+    )
     corpus = emb.select(
         F.col("vec_id").alias("neighbor_id"),
         _f64("embedding").alias("cv"),
-        _nearest_cells_np(centroids, 1)("embedding").getItem(0).alias("cell"),
+        cell1.alias("cell"),
     )
     queries = emb.where(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"),
         _f64("embedding").alias("qv"),
-        F.explode(
-            _nearest_cells_np(centroids, nprobe)("embedding")
-        ).alias("cell"),
+        F.explode(celln).alias("cell"),
     )
     cand = F.broadcast(queries).join(corpus, "cell").where(
         F.col("neighbor_id") != F.col("query_id")
@@ -574,11 +609,96 @@ def ann_ivf_topk(
     )
 
 
-@query("q57_ann_ivf_topk")  # Spark-only; recall vs q40 in tests/test_similarity.py
+_IVF_ORACLE = f"""
+WITH seeds AS (
+    SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, embedding AS c
+    FROM embeddings ORDER BY vec_id LIMIT {IVF_CELLS}
+),
+a1 AS (
+    SELECT e.vec_id, e.embedding,
+           (SELECT s.cid FROM seeds s
+            ORDER BY {_d2_sql_of("e.embedding", "s.c")} ASC, s.cid ASC
+            LIMIT 1) AS cell
+    FROM embeddings e
+),
+m1 AS (
+    SELECT a1.cell AS cid, g.i AS pos,
+           round(CAST(sum(CAST(a1.embedding[g.i + 1]::DOUBLE
+                               AS DECIMAL(30,8))) AS DOUBLE)
+                 / count(*), 6) AS m
+    FROM a1, generate_series(0, {DIM - 1}) g(i)
+    GROUP BY a1.cell, g.i
+),
+c1 AS (
+    SELECT cid, list(m ORDER BY pos) AS c FROM m1 GROUP BY cid
+),
+cents AS (
+    SELECT s.cid, coalesce(c1.c, list_transform(s.c, x -> x::DOUBLE)) AS c
+    FROM seeds s LEFT JOIN c1 USING (cid)
+),
+corpus AS (
+    SELECT e.vec_id AS neighbor_id, e.embedding,
+           (SELECT t.cid FROM cents t
+            ORDER BY {_d2_sql_of("e.embedding", "t.c")} ASC, t.cid ASC
+            LIMIT 1) AS cell
+    FROM embeddings e
+),
+probes AS (
+    SELECT e.vec_id AS query_id, e.embedding, t.cid AS cell,
+           row_number() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY {_d2_sql_of("e.embedding", "t.c")} ASC, t.cid ASC
+           ) AS pr
+    FROM embeddings e CROSS JOIN cents t
+    WHERE e.vec_id < {N_QUERIES}
+),
+cand AS (
+    SELECT p.query_id, c.neighbor_id,
+           p.embedding AS qe, c.embedding AS ne
+    FROM probes p JOIN corpus c ON p.cell = c.cell
+    WHERE p.pr <= {IVF_NPROBE} AND c.neighbor_id <> p.query_id
+),
+scored AS (
+    SELECT query_id, neighbor_id,
+           round({_cos_sql_of("cand.qe", "cand.ne")}, 6) AS cos_sim
+    FROM cand
+),
+ranked AS (
+    SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id
+    ) AS rank
+    FROM scored
+)
+SELECT query_id, neighbor_id, cos_sim, rank
+FROM ranked WHERE rank <= {TOPK}
+ORDER BY query_id, rank
+"""
+
+
+@query("q57_ann_ivf_topk", oracle=_IVF_ORACLE)
 def q57_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-bucketed approximate top-k for the q40 query set."""
+    """IVF-bucketed approximate top-k for the q40 query set, with the
+    WHOLE pipeline — deterministic seeds (k lowest vec_ids), one
+    DECIMAL-mean Lloyd step, nearest-cell corpus assignment, nprobe
+    query expansion, exact cosine re-rank — replayed end to end by the
+    DuckDB oracle (upgraded from rows-only; recall vs q40 stays in
+    tests/test_similarity.py).
+
+    Parity design: assignment uses ``exact_fold=True`` (the sequential
+    ``_nearest_cells`` expression, not the Arrow kernel) so every
+    distance is the same left-to-right float64 fold DuckDB's
+    generate_series sum performs; both sides round d2 to 9 before
+    ranking and break ties on cell id, and the Lloyd means reduce
+    under DECIMAL(30,8) then round to 6 — so cell boundaries, not just
+    scores, are engine-independent. Remaining knife-edge: a d2 pair
+    within an ulp of equality after round(9) — impossible for exact
+    halves (odd/2e9 has a 5^9 denominator, unreachable by any binary
+    float), so only a genuine cross-engine fold divergence could flip
+    it, and ``exact_fold`` removes the one source of that (numpy's
+    pairwise summation).
+    """
     e = load_table(spark, sf_dir, "embeddings")
-    return ann_ivf_topk(e).orderBy("query_id", "rank")
+    return ann_ivf_topk(e, exact_fold=True).orderBy("query_id", "rank")
 
 
 # ------------------------------------------------- label centroids
