@@ -64,6 +64,15 @@ def _fake_decode(payload: bytes) -> tuple[int, int, int, int]:
     return n, width, height, n_frames
 
 
+#: Deploy-time swap point for the REAL codec: assign a
+#: ``bytes -> (n_bytes, width, height, n_frames)`` callable (PIL/ffmpeg
+#: wrapper) here and ``decode_media(mode="real")`` routes every Arrow
+#: batch through it — schema, batching, and executor shipping are
+#: identical to the fake path, which is what the swap-in contract test
+#: (tests/test_multimodal_phash.py::test_real_decoder_swap_in) pins.
+_REAL_DECODER = None
+
+
 def decode_media(
     media: DataFrame, mode: str = "fake", with_origin: bool = False
 ) -> DataFrame:
@@ -76,10 +85,16 @@ def decode_media(
     source table.
     """
     if mode == "real":
-        raise NotImplementedError(
-            "real media decode needs PIL/ffmpeg, not present in this image; "
-            "swap _fake_decode for the codec and keep the same schema"
-        )
+        if _REAL_DECODER is None:
+            raise NotImplementedError(
+                "real media decode needs PIL/ffmpeg, not present in this "
+                "image; install one and assign the per-payload codec to "
+                "multimodal._REAL_DECODER — schema and batching are "
+                "unchanged (see test_real_decoder_swap_in)"
+            )
+        decoder = _REAL_DECODER
+    else:
+        decoder = _fake_decode
 
     from batch_processing_new_spark.shipping import ensure_package_on_executors
 
@@ -87,7 +102,7 @@ def decode_media(
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            decoded = [_fake_decode(p) for p in pdf["payload"]]
+            decoded = [decoder(p) for p in pdf["payload"]]
             out = {
                 "doc_id": pdf["doc_id"],
                 "media_type": [m["content_type"] for m in pdf["media_meta"]],

@@ -77,3 +77,41 @@ def test_independent_payloads_separate():
     ]
     assert min(dists) > PHASH_MAX_HAMMING
     assert 20 <= sorted(dists)[len(dists) // 2] <= 44
+
+
+# ----------------------------------------- real-codec swap-in contract
+
+def _trivial_real_decoder(payload: bytes):
+    """Stand-in 'real codec': header-derived dims instead of byte
+    arithmetic — shaped exactly like a PIL/ffmpeg wrapper would be."""
+    n = len(payload)
+    w = 16 + (payload[0] if n else 0)
+    h = 16 + (payload[-1] if n else 0)
+    return n, w, h, 1 + n // 1000
+
+
+def test_real_decoder_swap_in(spark, monkeypatch):
+    """decode_media(mode="real") must run any registered per-payload
+    codec through the SAME mapInPandas plumbing (schema, Arrow
+    batching, executor shipping) as the fake path — the deploy-time
+    swap is one assignment, nothing else moves. The gate stays: with
+    no codec registered, mode="real" raises."""
+    import pytest
+
+    from batch_processing_new_spark.operators import multimodal as mm
+
+    media = _media_df(spark, {0: b"ab", 1: b"x" * 1500, 2: b""})
+
+    with pytest.raises(NotImplementedError):
+        mm.decode_media(media, mode="real").collect()
+
+    monkeypatch.setattr(mm, "_REAL_DECODER", _trivial_real_decoder)
+    real = mm.decode_media(media, mode="real")
+    fake = mm.decode_media(media, mode="fake")
+    assert real.schema == fake.schema  # the swap-in contract
+    got = {r.doc_id: (r.n_bytes, r.width, r.height, r.n_frames)
+           for r in real.collect()}
+    assert got == {
+        i: _trivial_real_decoder(p)
+        for i, p in {0: b"ab", 1: b"x" * 1500, 2: b""}.items()
+    }
