@@ -115,3 +115,30 @@ def test_real_decoder_swap_in(spark, monkeypatch):
         i: _trivial_real_decoder(p)
         for i, p in {0: b"ab", 1: b"x" * 1500, 2: b""}.items()
     }
+
+
+def test_phash_values_match_sql_replay(spark):
+    """q115's driver row compares EMPTY pair sets at fixture scale (no
+    true media dups by design), so the value-level evidence lives
+    here: every per-document 63-bit hash from the distributed numpy
+    path must equal the DuckDB SQL replay of the int64-quantized DCT
+    (the oracle's `ph` stage) — 500/500 at sf0.01-scale fixtures,
+    exercised at sf0.001 for test speed."""
+    import duckdb
+
+    from batch_processing_new_spark.operators.multimodal import _phash_oracle
+
+    d = load_table(spark, SF_DIR, "documents")
+    sp = {r.doc_id: r.phash for r in phash_media(with_media_payload(d)).collect()}
+
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{SF_DIR}/documents.parquet')"
+    )
+    ph_sql = (
+        _phash_oracle().split("chunks AS")[0].rstrip().rstrip(",")
+        + " SELECT doc_id, phash FROM ph"
+    )
+    du = dict(con.sql(ph_sql).fetchall())
+    assert sp and sp == du

@@ -17,14 +17,19 @@ fail the driver's harness.
 from __future__ import annotations
 
 import importlib.util
+import os
 import sys
 
 import duckdb
 import numpy as np
 import pandas as pd
 
+# script dir (tools/) is what python puts on sys.path, not the repo
+# root — same bootstrap as explain_audit.py
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 SF_DIR = "/root/testdata/sf0.01"
-from batch_processing_new_spark.sources.readers import TABLES
+from batch_processing_new_spark.sources.readers import TABLES  # noqa: E402
 
 
 def canon(df: pd.DataFrame) -> list[str]:
