@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from batch_processing_new_spark.functions.text_funcs import tokens
+from batch_processing_new_spark.functions.timekit import epoch_micros
 from batch_processing_new_spark.registry import query
 from batch_processing_new_spark.sources.readers import fan_out, load_table
 
@@ -1100,7 +1101,9 @@ def q121_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     from batch_processing_new_spark.operators.relational import DEC
 
     ev = load_table(spark, sf_dir, "events")
-    t = F.unix_micros(F.col("ts").cast("timestamp"))
+    # naive epoch (timekit) — gap weights must not distort across a
+    # session-zone DST transition
+    t = epoch_micros(F.col("ts"))
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     seg = (
         ev.select("user_id", "value", t.alias("t"), F.lead(t).over(w).alias("t2"))
@@ -1176,7 +1179,9 @@ def q122_last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     is_touch = F.col("event_type").isin("view", "click")
-    t_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    # naive epoch (timekit) — the gap must not distort across a
+    # session-zone DST transition between touch and purchase
+    t_us = epoch_micros(F.col("ts"))
     touched = ev.select(
         "user_id",
         "event_id",
@@ -1316,8 +1321,10 @@ def q129_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The path build is sort_array(collect_list(struct)) inside a
     (user, session) aggregate — deterministic ordering without a
-    second window pass; the path table is tiny (distinct sequences),
-    so the final rank is a near-free single-partition window.
+    second window pass. The final top-k cut is ``orderBy().limit()``
+    — distributed TakeOrdered: distinct paths are vocabulary-scale
+    data at 100 TB (every unique event sequence is its own key), so
+    the rank window runs only over the {TOP_PATHS} survivors.
     """
     from pyspark.sql import Window
 
@@ -1325,7 +1332,8 @@ def q129_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     w_run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     prev_ts = F.lag("ts").over(w)
-    as_sec = lambda c: c.cast("timestamp").cast("double")  # noqa: E731
+    # TZ-free gap (timekit) — q21's sessionize discipline
+    as_sec = lambda c: epoch_micros(c) / 1_000_000.0  # noqa: E731
     gap_sec = as_sec(F.col("ts")) - as_sec(prev_ts)
     is_new = F.when(prev_ts.isNull() | (gap_sec > 1800.0), 1).otherwise(0)
     sessions = e.withColumn("session_id", F.sum(is_new).over(w_run))
@@ -1346,12 +1354,9 @@ def q129_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     counted = paths.groupBy("path").agg(F.count(F.lit(1)).alias("n_sessions"))
+    top = counted.orderBy(F.col("n_sessions").desc(), "path").limit(TOP_PATHS)
     wr = Window.orderBy(F.col("n_sessions").desc(), F.col("path"))
-    return (
-        counted.withColumn("rank", F.row_number().over(wr))
-        .where(F.col("rank") <= TOP_PATHS)
-        .orderBy("rank")
-    )
+    return top.withColumn("rank", F.row_number().over(wr)).orderBy("rank")
 
 
 # --------------------------------- time-bounded conversion rate

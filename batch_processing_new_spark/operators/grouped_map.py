@@ -20,6 +20,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from batch_processing_new_spark.functions.timekit import epoch_micros
 from batch_processing_new_spark.registry import query
 from batch_processing_new_spark.sources.readers import load_table
 
@@ -117,7 +118,10 @@ def q63_regression_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     the engines render differently ("-0" vs "0").
     """
     e = load_table(spark, sf_dir, "events")
-    x = F.unix_micros(F.col("ts").cast("timestamp")) / 1_000_000.0
+    # naive epoch (timekit): the oracle's epoch(CAST(ts AS TIMESTAMP))
+    # is naive, and the INTERCEPT depends on the absolute x origin — a
+    # session-zone epoch would shift it by the zone offset
+    x = epoch_micros(F.col("ts")) / 1_000_000.0
     return (
         e.groupBy("user_id")
         .agg(

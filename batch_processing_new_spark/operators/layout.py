@@ -195,9 +195,12 @@ def q150_zone_map_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("o_orderdate").alias("d_max"),
             F.min("o_totalprice").alias("p_min"),
             F.max("o_totalprice").alias("p_max"),
-            (F.max("o_orderdate") < F.lit(_PRED_DATE).cast("timestamp")).alias(
-                "prunable"
-            ),
+            # NTZ literal: an NTZ-vs-NTZ comparison is pure naive
+            # ordering; a plain "timestamp" literal would promote both
+            # sides through the session zone
+            (
+                F.max("o_orderdate") < F.lit(_PRED_DATE).cast("timestamp_ntz")
+            ).alias("prunable"),
         )
     )
     return stats.orderBy("layout", "shard")

@@ -25,6 +25,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from batch_processing_new_spark.functions.timekit import epoch_micros
 from batch_processing_new_spark.registry import query
 from batch_processing_new_spark.sources.readers import load_table
 
@@ -554,7 +555,9 @@ def q17_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         o.where(F.col("o_orderdate") >= "1997-01-01 00:00:00")
         .groupBy(
-            F.date_format(F.date_trunc("month", F.col("o_orderdate")), "yyyy-MM-dd")
+            # trunc -> DATE (pure calendar), not date_trunc, which
+            # promotes NTZ input through the session zone
+            F.date_format(F.trunc("o_orderdate", "month"), "yyyy-MM-dd")
             .alias("order_month")
         )
         .agg(
@@ -712,9 +715,11 @@ def q21_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     w_run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     prev_ts = F.lag("ts").over(w)
-    # TIMESTAMP_NTZ has no direct numeric cast; go via TIMESTAMP (session
-    # TZ is pinned UTC, so this matches DuckDB's naive interval math).
-    as_sec = lambda c: c.cast("timestamp").cast("double")  # noqa: E731
+    # TZ-free gap: epoch micros via NTZ timestamp_diff (timekit), so a
+    # session-zone DST transition inside a gap can't distort it — the
+    # cast("timestamp") route interprets in the session zone, where a
+    # spring-forward hour would shrink a wall-clock gap by 3600 s.
+    as_sec = lambda c: epoch_micros(c) / 1_000_000.0  # noqa: E731
     gap_sec = as_sec(F.col("ts")) - as_sec(prev_ts)
     is_new = F.when(prev_ts.isNull() | (gap_sec > 1800.0), 1).otherwise(0)
     return (

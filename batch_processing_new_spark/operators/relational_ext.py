@@ -24,6 +24,7 @@ from batch_processing_new_spark.operators.relational import (
     _dsum_sql,
     dsum,
 )
+from batch_processing_new_spark.functions.timekit import epoch_micros
 from batch_processing_new_spark.registry import query
 from batch_processing_new_spark.sources.readers import load_table
 
@@ -215,7 +216,11 @@ def q43_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select(
         "event_id", "ts", "user_id", "event_type"
     )
-    bucket = (F.unix_micros(F.col("ts").cast("timestamp")) / BUCKET_US).cast("long")
+    # TZ-free bucketing (timekit): a session-zone DST transition would
+    # locally distort bucket widths and break the own-or-next-bucket
+    # adjacency invariant for pairs straddling it — naive epoch micros
+    # keep bucket arithmetic pure and uniform under any session zone.
+    bucket = (epoch_micros(F.col("ts")) / BUCKET_US).cast("long")
     p = ev.where(F.col("event_type") == "purchase").select(
         F.col("event_id").alias("purchase_id"),
         "user_id",
@@ -542,7 +547,9 @@ def q66_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     frame widths).
     """
     e = load_table(spark, sf_dir, "events")
-    epoch_s = F.unix_micros(F.col("ts").cast("timestamp")) / 1_000_000.0
+    # naive epoch (timekit) — zone-interpreted epochs would distort the
+    # 1-hour frame across a session-zone DST transition
+    epoch_s = epoch_micros(F.col("ts")) / 1_000_000.0
     w = (
         Window.partitionBy("user_id")
         .orderBy(epoch_s)
@@ -583,9 +590,11 @@ def q68_window_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Window offset/distribution functions: lag/lead/first_value/ntile/
     percent_rank/cume_dist — one sort per user partition serves all six."""
     e = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy(
-        F.col("ts").cast("timestamp"), F.col("event_id")
-    )
+    # order on the NTZ column directly: NTZ ordering IS the oracle's
+    # naive ordering, while a session-zone cast can reorder rows inside
+    # a DST fall-back hour (two naive hours map onto overlapping
+    # instants)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     return e.select(
         "event_id",
         "user_id",
@@ -629,21 +638,24 @@ def q71_gapfill_timeseries(spark: SparkSession, sf_dir: str) -> DataFrame:
     time-series shape dashboards need.
 
     The spine comes from one `sequence()` literal exploded JVM-side (no
-    recursive CTE needed); it broadcasts against the aggregate.
+    recursive CTE needed); it broadcasts against the aggregate. The
+    spine and the truncated month key are DATEs — pure calendar values,
+    so neither side ever passes through a session-zone TIMESTAMP
+    (``date_trunc('month', ntz)`` would; ``trunc`` returns DATE).
     """
     o = load_table(spark, sf_dir, "orders")
     spine = spark.range(1).select(
         F.explode(
             F.sequence(
-                F.lit("1995-01-01").cast("timestamp"),
-                F.lit("2001-08-01").cast("timestamp"),
+                F.lit("1995-01-01").cast("date"),
+                F.lit("2001-08-01").cast("date"),
                 F.expr("INTERVAL 1 MONTH"),
             )
         ).alias("m")
     )
     rev = (
         o.where(F.col("o_orderstatus") == "F")
-        .groupBy(F.date_trunc("month", "o_orderdate").alias("m"))
+        .groupBy(F.trunc("o_orderdate", "month").alias("m"))
         .agg(
             dsum("o_totalprice").alias("revenue"),
             F.count(F.lit(1)).alias("n_orders"),

@@ -198,7 +198,11 @@ SELECT bigram, n, rank FROM ranked WHERE rank <= 50 ORDER BY rank
 def q58_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-50 corpus bigrams. n-gram construction is a zip of the token
     array with its own tail — pure JVM array ops, then one count shuffle
-    carrying (bigram, partial count).
+    carrying (bigram, partial count). The top-50 cut is
+    ``orderBy().limit()`` — distributed TakeOrdered over the
+    vocabulary-scale aggregate (billions of distinct bigrams at
+    100 TB), never a single-partition rank window; the rank column is
+    re-derived over the 50 survivors only.
     """
     from pyspark.sql import Window
 
@@ -210,15 +214,14 @@ def q58_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.slice(toks, 2, n - 1),
         lambda x, y: F.concat_ws(" ", x, y),
     )
-    w = Window.orderBy(F.col("n").desc(), F.col("bigram"))
-    return (
+    counted = (
         d.select(F.explode(bigrams).alias("bigram"))
         .groupBy("bigram")
         .agg(F.count(F.lit(1)).alias("n"))
-        .withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= 50)
-        .orderBy("rank")
     )
+    top = counted.orderBy(F.col("n").desc(), "bigram").limit(50)
+    w = Window.orderBy(F.col("n").desc(), F.col("bigram"))
+    return top.withColumn("rank", F.row_number().over(w)).orderBy("rank")
 
 
 @query(
@@ -666,8 +669,6 @@ def q119_vocab_oov(spark: SparkSession, sf_dir: str) -> DataFrame:
     piece and it's a top-k over an aggregation — the per-doc scoring
     pass stays embarrassingly parallel with the vocab broadcast.
     """
-    from pyspark.sql import Window
-
     d = load_table(spark, sf_dir, "documents")
     toks = tokens(F.col("text"))
     n = F.size(toks)
@@ -682,12 +683,14 @@ def q119_vocab_oov(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.explode(bigrams).alias("bigram"))
         .localCheckpoint(eager=False)
     )
-    w = Window.orderBy(F.col("n").desc(), F.col("bigram"))
+    # vocab cut via distributed TakeOrdered (per-partition top-K
+    # heaps), not a single-partition rank window over the full bigram
+    # vocabulary; the rank itself is never needed — only membership
     vocab = (
         bg.groupBy("bigram")
         .agg(F.count(F.lit(1)).alias("n"))
-        .withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= VOCAB_K)
+        .orderBy(F.col("n").desc(), "bigram")
+        .limit(VOCAB_K)
         .select("bigram", F.lit(True).alias("in_vocab"))
     )
     return (
