@@ -10,7 +10,14 @@ the robustness RULES permanent:
    DATE, STRING, numeric only; the three pre-rule driver-green queries
    are frozen exceptions;
 2. the timekit helpers are bit-stable under a session-zone flip
-   (the split-TZ environment that exposed q91/q134).
+   (the split-TZ environment that exposed q91/q134);
+3. INTERNAL time math on NTZ columns never routes through the
+   session-zone-promoting functions (cast("timestamp"),
+   date_trunc, unix_timestamp, unix_micros, to_timestamp): constant
+   offsets cancel in differences, but a session-zone DST transition
+   INSIDE a gap/bucket/frame distorts the arithmetic on data the
+   fixture can't exhibit — a source-level grep makes the timekit
+   discipline permanent (r03).
 """
 
 from __future__ import annotations
@@ -86,3 +93,76 @@ def test_timekit_is_session_zone_independent(ny_session_tz):
     # environment this guard simulates is the dangerous one)
     ltz = df.select(F.date_trunc("day", "ts").alias("d")).schema["d"]
     assert isinstance(ltz.dataType, T.TimestampType)
+
+
+# (file, line-pattern) pairs allowed to use session-zone-promoting
+# time functions, each with the reason it is exempt:
+# - q80/q104/q108 bodies: frozen driver-green outputs (rule 1's frozen
+#   set) — their internal date_trunc IS their recorded output contract;
+# - streaming/stream_queries.py: pins spark.sql.session.timeZone=UTC
+#   itself before any cast (watermarks need TIMESTAMP);
+# - sources/kafka_shim.py: the Kafka wire format's timestamp column is
+#   a simulation-internal field, never a query output (q85 outputs the
+#   parsed NTZ ts);
+# - functions/timekit.py docstrings mention the banned names.
+_TZ_PROMOTING = (
+    'cast("timestamp")',
+    "F.date_trunc(",
+    "F.unix_timestamp(",
+    "F.unix_micros(",
+    "F.unix_seconds(",
+    "F.to_timestamp(",
+)
+_TZ_EXEMPT_FILES = {
+    "streaming/stream_queries.py",
+    "sources/kafka_shim.py",
+    "functions/timekit.py",
+}
+_TZ_FROZEN_SPANS = {
+    # operators/analytics.py functions that ARE the frozen queries
+    "operators/analytics.py": (
+        "def q80_retention",
+        "def q104_hypertable_rollup",
+        "def q108_interpolate_gaps",
+    ),
+}
+
+
+def test_no_session_zone_time_math_outside_allowlist():
+    """Grep the package for session-zone-promoting time functions: any
+    hit outside the documented exemptions is a latent DST-transition
+    divergence (the class fixed across q21/q43/q63/q66/q68/q71/q121/
+    q122/q129 in r03) — use functions/timekit.py instead."""
+    import os
+
+    import batch_processing_new_spark as pkg
+
+    root = os.path.dirname(os.path.abspath(pkg.__file__))
+    offenders: list[str] = []
+    for dirpath, _dirs, files in os.walk(root):
+        for fname in files:
+            if not fname.endswith(".py"):
+                continue
+            path = os.path.join(dirpath, fname)
+            rel = os.path.relpath(path, root).replace(os.sep, "/")
+            if rel in _TZ_EXEMPT_FILES:
+                continue
+            with open(path) as fh:
+                src = fh.read()
+            # excise the frozen query functions (def ... to next def)
+            for marker in _TZ_FROZEN_SPANS.get(rel, ()):
+                start = src.find(marker)
+                if start == -1:
+                    continue
+                nxt = src.find("\ndef ", start + 1)
+                nxt2 = src.find("\n@query", start + 1)
+                end = min(x for x in (nxt, nxt2, len(src)) if x != -1)
+                src = src[:start] + src[end:]
+            for i, line in enumerate(src.splitlines(), start=1):
+                code = line.split("#", 1)[0]  # comments may NAME the ban
+                if any(p in code for p in _TZ_PROMOTING):
+                    offenders.append(f"{rel}:{i}: {line.strip()}")
+    assert not offenders, (
+        "session-zone-promoting time math outside the allowlist "
+        "(use functions/timekit.py):\n" + "\n".join(offenders)
+    )
