@@ -23,7 +23,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from batch_processing_new_spark.functions.text_funcs import tokens
-from batch_processing_new_spark.functions.timekit import epoch_micros
+from batch_processing_new_spark.functions.timekit import (
+    day_from_index,
+    day_index,
+    day_ntz,
+    epoch_micros,
+    epoch_seconds,
+)
 from batch_processing_new_spark.registry import query
 from batch_processing_new_spark.sources.readers import fan_out, load_table
 
@@ -719,12 +725,6 @@ def q91_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql import Window
 
-    from batch_processing_new_spark.functions.timekit import (
-        day_from_index,
-        day_index,
-        epoch_seconds,
-    )
-
     e = load_table(spark, sf_dir, "events").select(
         epoch_seconds(F.col("ts")).alias("s"),
         F.floor(F.col("value") * 60 + 0.5).cast("long").alias("dur"),
@@ -1152,7 +1152,8 @@ SELECT event_id AS purchase_id,
        attr_event_id,
        attr_type,
        CASE WHEN attr_t IS NULL THEN NULL
-            ELSE epoch_us(CAST(ts AS TIMESTAMP)) - attr_t END AS gap_us
+            ELSE CAST(epoch_us(CAST(ts AS TIMESTAMP)) - attr_t
+                      AS DOUBLE) END AS gap_us
 FROM ordered
 WHERE event_type = 'purchase'
 ORDER BY purchase_id
@@ -1204,7 +1205,13 @@ def q122_last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             "user_id",
             "attr_event_id",
             "attr_type",
-            (F.col("t") - F.col("attr_t")).alias("gap_us"),
+            # DOUBLE, not BIGINT: a NULLABLE int column with >9-digit
+            # values hashes differently across materialization paths
+            # (pandas promotes nullable int64 to float64 -> "%.9g"
+            # scientific form vs the int's full-digit string; q122 was
+            # the registry's ONLY such column). As a double, every
+            # path formats it identically; 1e12 us is exact in float64.
+            (F.col("t") - F.col("attr_t")).cast("double").alias("gap_us"),
         )
         .orderBy("purchase_id")
     )
@@ -1418,11 +1425,6 @@ def q134_timed_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine-specific half-way conventions (the r02 q83 failure class).
     """
     from pyspark.sql import Window
-
-    from batch_processing_new_spark.functions.timekit import (
-        day_ntz,
-        epoch_micros,
-    )
 
     ev = load_table(spark, sf_dir, "events")
     w_range = (

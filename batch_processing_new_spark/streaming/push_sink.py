@@ -50,7 +50,9 @@ def push_batch_to_socket(
     def _send(rows) -> None:
         buf = []
         for row in rows:
-            rec = {"batch_id": batch_id, **row.asDict(recursive=True)}
+            # the sink's tag LAST so a result column named batch_id can
+            # never overwrite it — subscribers dedup on this key
+            rec = {**row.asDict(recursive=True), "batch_id": batch_id}
             buf.append(json.dumps(rec, default=str, sort_keys=True))
         if not buf:
             return  # empty partition: do not open a connection

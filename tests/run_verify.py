@@ -61,6 +61,10 @@ def canon_rows(cols, rows):
 def _pop_opt(args: list[str], flag: str, default: str | None) -> str | None:
     if flag in args:
         i = args.index(flag)
+        if i + 1 >= len(args) or args[i + 1].startswith("--"):
+            # a missing value must be a usage error, not an IndexError
+            # (and must never silently eat the NEXT flag as its value)
+            raise SystemExit(f"usage error: {flag} requires a value")
         val = args[i + 1]
         del args[i : i + 2]
         return val
@@ -147,7 +151,26 @@ def main() -> int:
         try:
             sdf = fn(spark, SF_DIR)
             scols = sdf.columns
-            srows = [tuple(r) for r in sdf.collect()]
+            if arrow:
+                # ACTUALLY exercise the Arrow path: the conf alone is a
+                # no-op for collect() — only toPandas() materializes
+                # through Arrow batches (different timestamp/decimal/
+                # NaN conversions than row collect)
+                import numpy as _np
+
+                def _norm(v):
+                    if isinstance(v, _np.ndarray):
+                        return [_norm(x) for x in v.tolist()]
+                    if isinstance(v, _np.generic):
+                        return v.item()
+                    return v
+
+                srows = [
+                    tuple(_norm(v) for v in r)
+                    for r in sdf.toPandas().itertuples(index=False, name=None)
+                ]
+            else:
+                srows = [tuple(r) for r in sdf.collect()]
         except Exception as exc:  # noqa: BLE001
             print(f"FAILED {name}: spark error {type(exc).__name__}: {exc}")
             failed.append(name)

@@ -40,7 +40,12 @@ def test_no_new_query_outputs_session_zone_timestamp(spark):
     for name, spec in registry.all_specs().items():
         if name in _LTZ_FROZEN:
             continue
-        df = spec.fn(spark, SF_DIR)  # analysis only — nothing executes
+        # NOTE: fn() is not free — iterative/streaming queries execute
+        # their driver-side loops during construction (BPE merges,
+        # stream drains, IVF training). Accepted: sf0.001 keeps the
+        # full pass ~2 min, and every query's OUTPUT schema — the thing
+        # this guard checks — only exists on the constructed frame.
+        df = spec.fn(spark, SF_DIR)
         ltz = [
             f.name
             for f in df.schema.fields
@@ -52,6 +57,52 @@ def test_no_new_query_outputs_session_zone_timestamp(spark):
         f"session-zone TIMESTAMP output columns (TZ-sensitive rendering; "
         f"use functions/timekit.py or cast to timestamp_ntz/date/string): "
         f"{offenders}"
+    )
+
+
+def test_no_nullable_bigint_exceeds_hash_digit_precision(spark):
+    """A NULLABLE integer column whose values exceed 9 significant
+    digits hashes differently across materialization paths: pandas
+    promotes nullable int64 to float64, so the cell renders "%.9g"
+    scientific ("2.12511503e+10") on one path and as the full digit
+    string ("21251150270") on another — whether the driver agrees with
+    the local harness then depends on ITS pandas/fetch internals, the
+    exact false-green class r02 exposed. q122's gap_us was the one
+    such column (now DOUBLE on both sides); this keeps the registry
+    free of the class. Non-null int columns are safe (pandas keeps
+    int64 -> full digit string everywhere)."""
+    from pyspark.sql import functions as F
+
+    from batch_processing_new_spark import registry
+
+    offenders = []
+    for name, spec in registry.all_specs().items():
+        df = spec.fn(spark, SF_DIR)
+        intcols = [
+            f.name
+            for f in df.schema.fields
+            if isinstance(f.dataType, (T.LongType, T.IntegerType))
+        ]
+        if not intcols:
+            continue
+        aggs = []
+        for c in intcols:
+            aggs.append(
+                F.max(F.abs(F.col(c).cast("long"))).alias(f"mx_{c}")
+            )
+            aggs.append(
+                F.sum(
+                    F.when(F.col(c).isNull(), 1).otherwise(0)
+                ).alias(f"nn_{c}")
+            )
+        r = df.agg(*aggs).collect()[0]
+        for c in intcols:
+            if (r[f"nn_{c}"] or 0) > 0 and (r[f"mx_{c}"] or 0) >= 10**9:
+                offenders.append(f"{name}.{c}")
+    assert not offenders, (
+        "nullable int columns with >9-significant-digit values — the "
+        "pandas float-promotion hash hazard; ship as DOUBLE or "
+        "guarantee non-null: " + ", ".join(offenders)
     )
 
 
@@ -128,6 +179,22 @@ _TZ_FROZEN_SPANS = {
 }
 
 
+def _strip_comment(line: str) -> str:
+    """Drop a trailing # comment WITHOUT treating a # inside a string
+    literal as one (a naive split would stop scanning the rest of the
+    line — a banned call after a quoted '#' would slip through)."""
+    quote: str | None = None
+    for i, ch in enumerate(line):
+        if quote:
+            if ch == quote and line[i - 1] != "\\":
+                quote = None
+        elif ch in "\"'":
+            quote = ch
+        elif ch == "#":
+            return line[:i]
+    return line
+
+
 def test_no_session_zone_time_math_outside_allowlist():
     """Grep the package for session-zone-promoting time functions: any
     hit outside the documented exemptions is a latent DST-transition
@@ -149,17 +216,24 @@ def test_no_session_zone_time_math_outside_allowlist():
                 continue
             with open(path) as fh:
                 src = fh.read()
-            # excise the frozen query functions (def ... to next def)
+            # excise the frozen query functions: from their def to the
+            # next TOP-LEVEL statement of any kind (not just the next
+            # def/@query — module-level code between queries must stay
+            # scanned, only the frozen function body is exempt)
+            import re as _re
+
             for marker in _TZ_FROZEN_SPANS.get(rel, ()):
                 start = src.find(marker)
                 if start == -1:
                     continue
-                nxt = src.find("\ndef ", start + 1)
-                nxt2 = src.find("\n@query", start + 1)
-                end = min(x for x in (nxt, nxt2, len(src)) if x != -1)
+                # body ends at the first subsequent line that starts in
+                # column 0 (any top-level statement, decorator, or
+                # assignment — NOT just def/@query)
+                m = _re.search(r"\n(?=\S)", src[start:])
+                end = start + m.start() + 1 if m else len(src)
                 src = src[:start] + src[end:]
             for i, line in enumerate(src.splitlines(), start=1):
-                code = line.split("#", 1)[0]  # comments may NAME the ban
+                code = _strip_comment(line)  # comments may NAME the ban
                 if any(p in code for p in _TZ_PROMOTING):
                     offenders.append(f"{rel}:{i}: {line.strip()}")
     assert not offenders, (
