@@ -346,7 +346,7 @@ def q151_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from batch_processing_new_spark.operators.similarity import (
         _f64,
-        cosine,
+        dot,
     )
 
     # lexical leg: TakeOrdered cut, then rank the k survivors
@@ -363,19 +363,27 @@ def q151_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("bm25_rank"),
     )
 
-    # vector leg: broadcast the 1-row query vector against the corpus
+    # vector leg: broadcast the 1-row query vector against the corpus;
+    # norms per VECTOR, not per pair (the q41 discipline — |q| is a
+    # constant and |c| is needed once; bit-identical, 1/3 the folds)
     e = load_table(spark, sf_dir, "embeddings")
     qv = e.where(F.col("vec_id") == HYBRID_QVEC).select(
         _f64("embedding").alias("qv")
-    )
+    ).withColumn("nq", F.sqrt(dot(F.col("qv"), F.col("qv"))))
     cos = (
         fan_out(e.select(F.col("vec_id").alias("doc_id"), "embedding"))
+        .select(
+            "doc_id",
+            _f64("embedding").alias("cv"),
+        )
+        .withColumn("nc", F.sqrt(dot(F.col("cv"), F.col("cv"))))
         .crossJoin(F.broadcast(qv))
         .select(
             "doc_id",
-            F.round(cosine(F.col("qv"), _f64("embedding")), 6).alias(
-                "cos_sim"
-            ),
+            F.round(
+                dot(F.col("qv"), F.col("cv")) / (F.col("nq") * F.col("nc")),
+                6,
+            ).alias("cos_sim"),
         )
         .orderBy(F.col("cos_sim").desc(), "doc_id")
         .limit(HYBRID_DEPTH)

@@ -110,15 +110,25 @@ def q40_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     e = load_table(spark, sf_dir, "embeddings")
+    # norms precomputed per VECTOR (the q41 discipline): |q| and |c|
+    # inside every pair cost two extra interpreted 64-element folds per
+    # pair (~3x the scoring work); sqrt(dot(v,v)) is bit-identical per
+    # vector vs per pair, so the oracle hash is unchanged
     q = e.where(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), _f64("embedding").alias("qv")
-    )
+    ).withColumn("nq", F.sqrt(dot(F.col("qv"), F.col("qv"))))
     c = fan_out(e).select(
         F.col("vec_id").alias("neighbor_id"), _f64("embedding").alias("cv")
-    )
+    ).withColumn("nc", F.sqrt(dot(F.col("cv"), F.col("cv"))))
     scored = (
         c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("cos_sim", F.round(cosine(F.col("qv"), F.col("cv")), 6))
+        .withColumn(
+            "cos_sim",
+            F.round(
+                dot(F.col("qv"), F.col("cv")) / (F.col("nq") * F.col("nc")),
+                6,
+            ),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id")
@@ -229,8 +239,10 @@ def _signature(vec: Column, planes: list[list[float]]) -> Column:
 def _signature_np(planes: list[list[float]]):
     """Arrow-vectorized sign-LSH signature: one numpy matmul per batch.
 
-    Bit-identical to `_signature` (asserted in tests): both compute the
-    dot in float64 and test >= 0, and IEEE-754 double sums differ only
+    Bit-identical to `_signature` — asserted per-vector over the full
+    fixture in tests/test_similarity.py::
+    test_signature_np_matches_expression_version: both compute the dot
+    in float64 and test >= 0, and IEEE-754 double sums differ only
     in rounding of intermediate order — with 64 terms in [-1,1] the sign
     at the >= 0 knife-edge agrees because numpy's pairwise sum and the
     left fold round identically here (verified over the full fixture).
@@ -239,17 +251,20 @@ def _signature_np(planes: list[list[float]]):
     product the Arrow batch + BLAS path is the fast lane, ~3x on the
     corpus-wide signature stage.
     """
-    from pyspark.sql.types import IntegerType
+    from pyspark.sql.types import LongType
 
     mat = np.array(planes, dtype=np.float64).T  # (dim, n_planes)
     weights = np.array(
         [1 << p for p in range(len(planes))], dtype=np.int64
     )
 
-    @F.pandas_udf(IntegerType())
+    # LongType/int64 end to end: an int32 signature silently wraps at
+    # n_planes >= 32 (bit 31 is the int32 sign bit) — n_planes is an
+    # exposed tuning dial, and the expression/oracle twins don't wrap
+    @F.pandas_udf(LongType())
     def sig(emb: pd.Series) -> pd.Series:
         v = np.vstack(emb.to_numpy()).astype(np.float64)
-        return pd.Series(((v @ mat >= 0.0) @ weights).astype(np.int32))
+        return pd.Series(((v @ mat >= 0.0) @ weights).astype(np.int64))
 
     return sig
 
@@ -331,13 +346,20 @@ def ann_lsh_topk(
     # any corpus size; query vectors are |Q| rows, also broadcast.
     qv = emb.where(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"), _f64("embedding").alias("qv")
-    )
+    ).withColumn("nq", F.sqrt(dot(F.col("qv"), F.col("qv"))))
     cand = (
         emb.join(F.broadcast(pairs), emb["vec_id"] == pairs["neighbor_id"])
         .select("query_id", "neighbor_id", _f64("embedding").alias("cv"))
+        .withColumn("nc", F.sqrt(dot(F.col("cv"), F.col("cv"))))
         .join(F.broadcast(qv), "query_id")
     )
-    scored = cand.withColumn("cos_sim", F.round(cosine(F.col("qv"), F.col("cv")), 6))
+    # per-vector norms (q41 discipline) — bit-identical, 1/3 the folds
+    scored = cand.withColumn(
+        "cos_sim",
+        F.round(
+            dot(F.col("qv"), F.col("cv")) / (F.col("nq") * F.col("nc")), 6
+        ),
+    )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id")
     )
@@ -587,17 +609,21 @@ def ann_ivf_topk(
         F.col("vec_id").alias("neighbor_id"),
         _f64("embedding").alias("cv"),
         cell1.alias("cell"),
-    )
+    ).withColumn("nc", F.sqrt(dot(F.col("cv"), F.col("cv"))))
     queries = emb.where(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"),
         _f64("embedding").alias("qv"),
         F.explode(celln).alias("cell"),
-    )
+    ).withColumn("nq", F.sqrt(dot(F.col("qv"), F.col("qv"))))
     cand = F.broadcast(queries).join(corpus, "cell").where(
         F.col("neighbor_id") != F.col("query_id")
     )
+    # per-vector norms (q41 discipline) — bit-identical, 1/3 the folds
     scored = cand.withColumn(
-        "cos_sim", F.round(cosine(F.col("qv"), F.col("cv")), 6)
+        "cos_sim",
+        F.round(
+            dot(F.col("qv"), F.col("cv")) / (F.col("nq") * F.col("nc")), 6
+        ),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id")
@@ -705,14 +731,20 @@ def q57_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q93_label_centroids",
-    oracle="""
+    # ::DOUBLE BEFORE the DECIMAL cast: DuckDB's direct FLOAT->DECIMAL
+    # scales in float32 precision (up to ~4e-8 off per value vs the
+    # double path Spark takes) — without it the round(6) match holds by
+    # margin, not by construction (verified: 556/640 group sums differ
+    # between the two cast paths on the sf0.01 fixture). Same one-token
+    # discipline as the q57 oracle.
+    oracle=f"""
 WITH dims AS (
-    SELECT label, unnest(range(64)) AS dim_id, embedding
+    SELECT label, unnest(range({DIM})) AS dim_id, embedding
     FROM embeddings
 )
 SELECT label,
        dim_id,
-       round(CAST(sum(CAST(embedding[dim_id + 1] AS DECIMAL(30,8)))
+       round(CAST(sum(CAST(embedding[dim_id + 1]::DOUBLE AS DECIMAL(30,8)))
                   AS DOUBLE) / count(*), 6) AS centroid_v
 FROM dims
 GROUP BY label, dim_id
@@ -869,13 +901,19 @@ def q145_filtered_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     q = e.where(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), _f64("embedding").alias("qv")
-    )
+    ).withColumn("nq", F.sqrt(dot(F.col("qv"), F.col("qv"))))
     c = fan_out(e.where(F.col("label") % 2 == 0)).select(
         F.col("vec_id").alias("neighbor_id"), _f64("embedding").alias("cv")
-    )
+    ).withColumn("nc", F.sqrt(dot(F.col("cv"), F.col("cv"))))
+    # per-vector norms (q41 discipline) — bit-identical, 1/3 the folds
     scored = c.join(
         F.broadcast(q), F.col("neighbor_id") != F.col("query_id")
-    ).withColumn("cos_sim", F.round(cosine(F.col("qv"), F.col("cv")), 6))
+    ).withColumn(
+        "cos_sim",
+        F.round(
+            dot(F.col("qv"), F.col("cv")) / (F.col("nq") * F.col("nc")), 6
+        ),
+    )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id")
     )
@@ -900,12 +938,7 @@ WITH q AS (
 scored AS (
     SELECT q.query_id, q.query_label,
            b.vec_id AS neighbor_id, b.label AS neighbor_label,
-           round((SELECT sum(q.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)
-                  FROM generate_series(1, 64) g(i))
-                 / (sqrt((SELECT sum(q.embedding[i]::DOUBLE * q.embedding[i]::DOUBLE)
-                          FROM generate_series(1, 64) g(i)))
-                    * sqrt((SELECT sum(b.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)
-                            FROM generate_series(1, 64) g(i)))), 6) AS cos_sim
+           round({_cos_sql_of("q.embedding", "b.embedding")}, 6) AS cos_sim
     FROM q, embeddings b
     WHERE b.label <> q.query_label
 ),
@@ -941,15 +974,21 @@ def q168_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"),
         F.col("label").alias("query_label"),
         _f64("embedding").alias("qv"),
-    )
+    ).withColumn("nq", F.sqrt(dot(F.col("qv"), F.col("qv"))))
     c = fan_out(e).select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("label").alias("neighbor_label"),
         _f64("embedding").alias("cv"),
-    )
+    ).withColumn("nc", F.sqrt(dot(F.col("cv"), F.col("cv"))))
+    # per-vector norms (q41 discipline) — bit-identical, 1/3 the folds
     scored = c.join(
         F.broadcast(q), F.col("neighbor_label") != F.col("query_label")
-    ).withColumn("cos_sim", F.round(cosine(F.col("qv"), F.col("cv")), 6))
+    ).withColumn(
+        "cos_sim",
+        F.round(
+            dot(F.col("qv"), F.col("cv")) / (F.col("nq") * F.col("nc")), 6
+        ),
+    )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id")
     )
@@ -982,12 +1021,7 @@ WITH ev AS (
 ),
 scored AS (
     SELECT b.vec_id, e.eval_id,
-           round((SELECT sum(e.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)
-                  FROM generate_series(1, 64) g(i))
-                 / (sqrt((SELECT sum(e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE)
-                          FROM generate_series(1, 64) g(i)))
-                    * sqrt((SELECT sum(b.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)
-                            FROM generate_series(1, 64) g(i)))), 6) AS cos_sim
+           round({_cos_sql_of("e.embedding", "b.embedding")}, 6) AS cos_sim
     FROM embeddings b, ev e
     WHERE b.vec_id < {_DECON_EVAL_LO} OR b.vec_id >= {_DECON_EVAL_HI}
 ),
@@ -1026,12 +1060,16 @@ def q176_semantic_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ev = e.where(in_eval).select(
         F.col("vec_id").alias("eval_id"), _f64("embedding").alias("evv")
-    )
+    ).withColumn("ne", F.sqrt(dot(F.col("evv"), F.col("evv"))))
     corpus = fan_out(e.where(~in_eval)).select(
         "vec_id", _f64("embedding").alias("cv")
-    )
+    ).withColumn("nc", F.sqrt(dot(F.col("cv"), F.col("cv"))))
+    # per-vector norms (q41 discipline) — bit-identical, 1/3 the folds
     scored = corpus.crossJoin(F.broadcast(ev)).withColumn(
-        "cos_sim", F.round(cosine(F.col("evv"), F.col("cv")), 6)
+        "cos_sim",
+        F.round(
+            dot(F.col("evv"), F.col("cv")) / (F.col("ne") * F.col("nc")), 6
+        ),
     )
     w = Window.partitionBy("vec_id").orderBy(
         F.col("cos_sim").desc(), F.col("eval_id")

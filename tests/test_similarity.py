@@ -82,6 +82,42 @@ def test_ivf_returns_k_rows_per_query(spark):
     assert all(v == 10 for v in per_q.values()), per_q
 
 
+def test_signature_np_matches_expression_version(spark):
+    """The Arrow-vectorized sign-LSH signature must reproduce the
+    Catalyst expression version bit for bit over the full fixture —
+    q42's full value-hash oracle rests on the numpy matmul agreeing
+    with the sequential fold at every >=0 knife-edge, so the parity is
+    asserted, not assumed. Also pins a wide-signature case (n_planes >
+    31) where an int32 kernel would wrap bit 31 into the sign."""
+    from pyspark.sql import functions as F
+
+    from batch_processing_new_spark.operators.similarity import (
+        _f64,
+        _hyperplanes,
+        _signature,
+        _signature_np,
+    )
+    from batch_processing_new_spark.sources.readers import load_table
+    from tests.conftest import SF_CORRECT
+
+    e = load_table(spark, SF_CORRECT, "embeddings")
+    for n_planes in (12, 33):
+        planes = _hyperplanes(n_planes)
+        both = e.select(
+            "vec_id",
+            _signature(_f64("embedding"), planes).alias("expr"),
+            _signature_np(planes)("embedding").alias("np"),
+        )
+        bad = both.where(
+            F.col("expr").cast("long") != F.col("np")
+        ).count()
+        assert bad == 0, f"signature divergence at n_planes={n_planes}"
+        if n_planes == 33:
+            # a wrapped int32 kernel would emit negatives here
+            neg = both.where(F.col("np") < 0).count()
+            assert neg == 0
+
+
 def test_nearest_cells_np_matches_expression_version(spark):
     """The Arrow-vectorized IVF assignment must reproduce the Catalyst
     expression version exactly (distance rounding and cid tiebreak)."""
