@@ -35,8 +35,9 @@ from __future__ import annotations
 import asyncio
 import hashlib
 import time
+from collections import deque
 from collections.abc import Callable, Iterator
-from dataclasses import dataclass, field
+from dataclasses import dataclass, field, replace
 
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -44,13 +45,12 @@ from pyspark.sql import functions as F
 
 SENTINEL = "Error: Unable to process"  # exact string, reference test.py:80
 
-# Driver-side progress accumulators pinned for session lifetime (see
-# comment at the accumulator() call in enrich()).
-_LIVE_ACCUMULATORS: list = []
-
-RESULT_FIELDS = (
-    "response string, error string, attempts int, latency_ms double"
-)
+# Driver-side progress accumulators pinned while their queries can still
+# flush updates (see comment at the accumulator() call in enrich()).
+# Bounded: a long-lived service calling enrich() per request must not
+# leak one Accumulator per call forever — only recent queries can have
+# straggler flushes, so keep the last 64 alive.
+_LIVE_ACCUMULATORS: deque = deque(maxlen=64)
 
 
 @dataclass
@@ -72,6 +72,12 @@ class EnrichConfig:
     transport: str = "mock"
     api_url: str = ""
     api_key_env: str = "OPENAI_API_KEY"
+    # resolved driver-side by enrich() from api_key_env: executors do
+    # NOT inherit the driver's env vars on a real cluster, so reading
+    # os.environ inside the transport (which runs executor-side) would
+    # silently send "Bearer " and degrade every row to the sentinel
+    # after the full retry budget
+    api_key: str = ""
     # mock-only: inputs for which the transport terminally fails, to
     # exercise the sentinel path deterministically in tests
     mock_fail_inputs: frozenset[str] = field(default_factory=frozenset)
@@ -79,6 +85,14 @@ class EnrichConfig:
     mock_latency: float = 0.0
     # cost optimization: enrich distinct inputs only, join back
     dedupe_inputs: bool = False
+
+    def __post_init__(self) -> None:
+        # the loop is `for attempt in range(1, retries + 1)` — the same
+        # total-attempts meaning as the reference's `range(retries)`
+        # (test.py:68); retries=0 would return the sentinel without a
+        # single call and zero diagnostics, so reject it loudly
+        if self.retries < 1:
+            raise ValueError("retries means TOTAL attempts; must be >= 1")
 
 
 def build_prompt(system_prompt: str, input_text: str) -> str:
@@ -96,27 +110,36 @@ def mock_response(prompt: str) -> str:
 
 
 class MalformedResponseError(Exception):
-    """A 2xx response whose body isn't the expected chat-completions
-    shape (JSON parse failure or missing choices/message/content keys).
+    """A 2xx JSON response missing the chat-completions shape
+    (choices/message/content keys, or content of the wrong type).
 
-    The reference treats this class of failure as NON-retryable: its
-    inner ``try`` around response parsing returns the sentinel
-    immediately (test.py:71-74), while only transport-level failures
-    fall through to the blanket retry loop (test.py:105-107). A server
-    that answers 200 with garbage will answer 200 with garbage seven
-    times — retrying burns quota for nothing.
+    Reference parity (test.py:68-80): ``response.json()`` raises
+    ``requests.JSONDecodeError`` — a ``RequestException`` subclass since
+    requests 2.27 — so an UNPARSEABLE body IS retried by the blanket
+    ``except RequestException``; only the subsequent key lookups
+    (``['choices'][0]['message']['content']``) raise KeyError/IndexError,
+    which escape ``make_openai_call`` entirely and degrade to the
+    sentinel in ``process_row`` with NO remaining retries. This class
+    marks exactly that second, non-retryable case; JSON parse failures
+    raise plain ``json.JSONDecodeError`` and take the retry path.
     """
 
 
 async def _call_with_retries(
-    transport: Callable, prompt: str, cfg: EnrichConfig, sem: asyncio.Semaphore
+    transport: Callable,
+    prompt: str,
+    input_text: str,
+    cfg: EnrichConfig,
+    sem: asyncio.Semaphore,
 ) -> tuple[str, str | None, int, float]:
     """Retry x N with exponential backoff; degrade to sentinel (test.py:66-80).
 
-    Error asymmetry (test.py:71-74 vs test.py:105-107): transport
-    failures (connection, HTTP >= 400, timeout) retry up to
-    ``cfg.retries`` times; a MalformedResponseError — delivered 200 but
-    unparseable — skips all remaining retries and degrades immediately.
+    Error asymmetry (test.py:68-80): transport failures — connection,
+    HTTP >= 400, timeout, AND a 200 body that isn't valid JSON (the
+    reference's response.json() raises a RequestException subclass) —
+    retry up to ``cfg.retries`` times; a MalformedResponseError (valid
+    JSON missing the chat-completions keys) skips all remaining retries
+    and degrades immediately.
     """
     t0 = time.monotonic()
     delay = cfg.base_delay
@@ -124,13 +147,17 @@ async def _call_with_retries(
     for attempt in range(1, cfg.retries + 1):
         try:
             async with sem:
-                # 2x headroom over the transport's own deadline: the
-                # blocking worker self-terminates at cfg.timeout (see
-                # http_transport), so wait_for is a backstop that fires
-                # only if a thread is truly wedged — cancelling first
-                # would leak the still-running thread's pool slot
+                # headroom over the transport's own deadline: the
+                # blocking worker self-terminates (see http_transport),
+                # so wait_for is a backstop that fires only if a thread
+                # is truly wedged — cancelling first would leak the
+                # still-running thread's pool slot. x4: the pre-body
+                # phases (connect/TLS/headers) are each bounded by the
+                # remaining budget but urllib can't re-check a deadline
+                # inside one socket op, so the worst honest case is a
+                # few ops long.
                 resp = await asyncio.wait_for(
-                    transport(prompt), timeout=cfg.timeout * 2 + 1
+                    transport(prompt, input_text), timeout=cfg.timeout * 4 + 1
                 )
             return resp, None, attempt, (time.monotonic() - t0) * 1000.0
         except MalformedResponseError as exc:
@@ -147,12 +174,13 @@ async def _call_with_retries(
 def _make_transport(cfg: EnrichConfig) -> Callable:
     if cfg.transport == "mock":
 
-        async def mock_transport(prompt: str) -> str:
+        async def mock_transport(prompt: str, input_text: str) -> str:
             if cfg.mock_latency:
                 await asyncio.sleep(cfg.mock_latency)
-            # the scripted-failure hook sees the raw input text after the
-            # prompt prefix, mirroring fixture FIXTURES.md §B
-            input_text = prompt.split("\n\nInput: ", 1)[-1]
+            # the scripted-failure hook gets the RAW input text as its
+            # own argument — re-parsing it out of the prompt broke when
+            # the system prompt itself contained the "\n\nInput: "
+            # delimiter (a few-shot prompt demonstrating the format)
             if input_text in cfg.mock_fail_inputs:
                 raise RuntimeError("scripted mock failure")
             return mock_response(prompt)
@@ -168,17 +196,18 @@ def _make_transport(cfg: EnrichConfig) -> Callable:
         # 200-in-flight topology to ~32 — the semaphore must be the only
         # concurrency limiter, so the pool matches it.
         import json
-        import os
         import urllib.request
         from concurrent.futures import ThreadPoolExecutor
 
-        api_key = os.environ.get(cfg.api_key_env, "")
+        # cfg.api_key was resolved DRIVER-side by enrich() — this code
+        # runs on executors, where the driver's env vars don't exist
+        api_key = cfg.api_key
         executor = ThreadPoolExecutor(
             max_workers=max(cfg.concurrency, 1),
             thread_name_prefix="enrich-http",
         )
 
-        async def http_transport(prompt: str) -> str:
+        async def http_transport(prompt: str, input_text: str) -> str:
             def blocking_call() -> str:
                 body = json.dumps(
                     {
@@ -197,9 +226,10 @@ def _make_transport(cfg: EnrichConfig) -> Callable:
                     },
                 )
                 # transport-level failures (connect refused, HTTP >= 400,
-                # socket timeout) raise URLError/HTTPError/OSError here
-                # and RETRY; a delivered-but-unparseable 200 raises
-                # MalformedResponseError below and does NOT (test.py:71-74)
+                # socket timeout, non-JSON 200 body) raise
+                # URLError/HTTPError/OSError/JSONDecodeError here and
+                # RETRY; a parsed-but-key-missing 200 raises
+                # MalformedResponseError below and does NOT (test.py:68-80)
                 #
                 # The read loop enforces an OVERALL deadline: urlopen's
                 # timeout bounds each socket op, so a drip-feed server
@@ -207,10 +237,22 @@ def _make_transport(cfg: EnrichConfig) -> Callable:
                 # and an abandoned (wait_for-cancelled) thread would
                 # permanently occupy one of the pool's exactly-
                 # `concurrency` slots. Self-terminating by deadline keeps
-                # the semaphore the only concurrency limiter.
+                # the semaphore the only concurrency limiter. The
+                # pre-body phases (connect/TLS/headers) can't consult
+                # the deadline mid-socket-op, so urlopen's per-op
+                # timeout is the remaining budget and the deadline is
+                # re-checked the moment headers land — the residual
+                # worst case is a few ops x remaining, which is what
+                # _call_with_retries' x4 wait_for backstop covers.
                 deadline = time.monotonic() + cfg.timeout
                 chunks: list[bytes] = []
-                with urllib.request.urlopen(req, timeout=cfg.timeout) as r:
+                with urllib.request.urlopen(
+                    req, timeout=max(1.0, deadline - time.monotonic())
+                ) as r:
+                    if time.monotonic() > deadline:
+                        raise TimeoutError(
+                            f"headers exceeded {cfg.timeout}s deadline"
+                        )
                     while True:
                         if time.monotonic() > deadline:
                             raise TimeoutError(
@@ -221,11 +263,13 @@ def _make_transport(cfg: EnrichConfig) -> Callable:
                             break
                         chunks.append(chunk)
                 raw = b"".join(chunks)
+                # JSON parse failure is RETRYABLE (reference parity:
+                # requests' .json() raises a RequestException subclass,
+                # caught by the retry loop — test.py:69,74)
+                payload = json.loads(raw)
                 try:
-                    payload = json.loads(raw)
                     return payload["choices"][0]["message"]["content"].strip()
                 except (
-                    json.JSONDecodeError,
                     KeyError,
                     IndexError,
                     TypeError,
@@ -247,11 +291,15 @@ def _make_transport(cfg: EnrichConfig) -> Callable:
 async def _enrich_series(texts: list[str], cfg: EnrichConfig) -> list[tuple]:
     transport = _make_transport(cfg)
     sem = asyncio.Semaphore(cfg.concurrency)
-    prompts = [build_prompt(cfg.system_prompt, t) for t in texts]
     try:
         return list(
             await asyncio.gather(
-                *(_call_with_retries(transport, p, cfg, sem) for p in prompts)
+                *(
+                    _call_with_retries(
+                        transport, build_prompt(cfg.system_prompt, t), t, cfg, sem
+                    )
+                    for t in texts
+                )
             )
         )
     finally:
@@ -274,20 +322,36 @@ def enrich(
     column untouched and appends ``response_col`` (plus optionally the
     typed ``_enrich`` result struct with error/attempts/latency).
     """
+    from pyspark.sql import types as T
+
     from batch_processing_new_spark.shipping import ensure_package_on_executors
 
     ensure_package_on_executors(df.sparkSession)
 
+    # resolve the API key DRIVER-side: the transport is constructed on
+    # executors, which don't inherit the driver's environment
+    if cfg.transport == "http" and not cfg.api_key:
+        import os
+
+        cfg = replace(cfg, api_key=os.environ.get(cfg.api_key_env, ""))
+
     if cfg.dedupe_inputs:
         return _enrich_deduped(df, input_col, cfg, response_col, with_result_struct)
 
-    out_schema = ", ".join(
-        [f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields]
+    appended = [response_col, "_enrich_error", "_enrich_attempts", "_enrich_latency_ms"]
+    clash = [c for c in appended if c in df.columns]
+    if clash:
+        # a silent duplicate-name schema breaks every downstream select
+        raise ValueError(f"enrich() output columns already exist: {clash}")
+    # typed StructType, not DDL-string assembly: backticked-name
+    # concatenation breaks on column names containing a backtick
+    out_schema = T.StructType(
+        list(df.schema.fields)
         + [
-            f"`{response_col}` string",
-            "`_enrich_error` string",
-            "`_enrich_attempts` int",
-            "`_enrich_latency_ms` double",
+            T.StructField(response_col, T.StringType()),
+            T.StructField("_enrich_error", T.StringType()),
+            T.StructField("_enrich_attempts", T.IntegerType()),
+            T.StructField("_enrich_latency_ms", T.DoubleType()),
         ]
     )
     acc = df.sparkSession.sparkContext.accumulator(0)  # progress (test.py:97-101)
@@ -327,18 +391,30 @@ def _enrich_deduped(
 ) -> DataFrame:
     """Enrich DISTINCT inputs, then join responses back.
 
-    Same-input rows cost one API call instead of N. The joined-back map
-    is usually tiny relative to the fact table -> broadcast; if it were
-    huge, AQE falls back to a shuffle join automatically.
+    Same-input rows cost one API call instead of N.
+
+    Semantics parity with the non-dedupe path: distinct runs on the RAW
+    column (not a Spark string cast — Spark's CAST renders booleans/
+    floats/NULL differently than the pandas ``astype(str)`` the kernel
+    applies, so casting here would change PROMPTS between the two
+    paths), and the join back is null-safe so NULL inputs receive the
+    same ``str(None)``-prompted response they get without dedupe
+    (reference test.py:86 coerces with str() too).
+
+    Join strategy is left to the optimizer: the map is usually tiny ->
+    AQE picks a broadcast join from its actual size; an explicit
+    broadcast() HINT would be forced even for a huge high-cardinality
+    map (AQE never demotes a user hint) and could abort the job at the
+    driver's broadcast limit — violating the never-abort contract.
     """
-    base_cfg = EnrichConfig(**{**cfg.__dict__, "dedupe_inputs": False})
-    distinct = df.select(F.col(input_col).cast("string").alias(input_col)).distinct()
+    base_cfg = replace(cfg, dedupe_inputs=False)
+    distinct = df.select(F.col(input_col).alias("_enrich_key")).distinct()
     enriched_map = enrich(
-        distinct, input_col, base_cfg, response_col, with_result_struct=True
-    ).withColumnRenamed(input_col, "_enrich_key")
+        distinct, "_enrich_key", base_cfg, response_col, with_result_struct=True
+    )
     joined = df.join(
-        F.broadcast(enriched_map),
-        df[input_col].cast("string") == F.col("_enrich_key"),
+        enriched_map,
+        df[input_col].eqNullSafe(enriched_map["_enrich_key"]),
         "left",
     ).drop("_enrich_key")
     if not with_result_struct:

@@ -2,11 +2,14 @@
 
 Pins the reference's error asymmetry (SURVEY.md §3.2):
 
-- transport-level failures (HTTP >= 400, connection refused) retry up to
-  cfg.retries with backoff (reference test.py:105-107 blanket except);
-- a DELIVERED 200 whose body can't be parsed into
-  choices[0].message.content skips all remaining retries and degrades to
-  the sentinel immediately (reference test.py:71-74 inner try).
+- transport-level failures (HTTP >= 400, connection refused, AND a 200
+  body that is not valid JSON) retry up to cfg.retries with backoff:
+  the reference's response.json() raises requests.JSONDecodeError, a
+  RequestException subclass, caught by the blanket retry except
+  (test.py:69,74);
+- a 200 that parses but lacks choices[0].message.content raises
+  KeyError/IndexError OUT of make_openai_call — no remaining retries,
+  sentinel via process_row's blanket except (test.py:78,104-107).
 
 The server is stdlib ThreadingHTTPServer on an ephemeral port — no
 network, no external deps, runs in CI.
@@ -114,24 +117,27 @@ def test_http_success_strips_and_returns_content(fake_server):
     assert attempts == 1
 
 
-def test_malformed_200_skips_remaining_retries(fake_server):
-    """JSON parse failure inside a 200 => sentinel after ONE attempt
-    (reference test.py:71-74), never seven."""
+def test_invalid_json_200_is_retried(fake_server):
+    """A 200 body that is NOT valid JSON retries like any transport
+    failure: the reference's response.json() raises a RequestException
+    subclass, so the blanket except retries it (test.py:69,74) — a
+    proxy-garbled body is transient; only the key shape is terminal."""
     _FakeLLMHandler.counts.pop("/malformed-json", None)
-    resp, err, attempts = _run_one(_cfg(fake_server, "/malformed-json"))
+    resp, err, attempts = _run_one(_cfg(fake_server, "/malformed-json", retries=3))
     assert resp == SENTINEL
-    assert attempts == 1
-    assert "MalformedResponseError" in err
-    assert _FakeLLMHandler.counts["/malformed-json"] == 1
+    assert attempts == 3
+    assert "JSONDecodeError" in err
+    assert _FakeLLMHandler.counts["/malformed-json"] == 3
 
 
 def test_missing_keys_200_skips_remaining_retries(fake_server):
-    """KeyError/IndexError on the choices path is the same class of
-    failure as unparseable JSON — delivered but malformed."""
+    """KeyError/IndexError on the choices path escapes the reference's
+    retry loop entirely (test.py:78) — sentinel after ONE attempt."""
     _FakeLLMHandler.counts.pop("/missing-keys", None)
     resp, err, attempts = _run_one(_cfg(fake_server, "/missing-keys"))
     assert resp == SENTINEL
     assert attempts == 1
+    assert "MalformedResponseError" in err
     assert _FakeLLMHandler.counts["/missing-keys"] == 1
 
 
