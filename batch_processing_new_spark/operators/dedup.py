@@ -273,16 +273,66 @@ def _minhash_wide(
     return base.groupBy("doc_id").agg(*aggs)
 
 
-def _minhash_signatures_universal(
-    docs: DataFrame, elements: Column, num_hashes: int
+def _shingle_sets(docs: DataFrame) -> DataFrame:
+    """(doc_id, toks): each document's 3-token shingle array,
+    materialized ONCE — three consumers derive from it (the signature
+    explode and both sides of the verify join), and the interpreted
+    shingle HOF is the single most expensive scan in either LSH
+    variant (~30% of wall each). Shared by the xxhash64 (q37) and md5
+    (q183) pipelines so verify/threshold changes cannot drift apart."""
+    from batch_processing_new_spark.functions.text_funcs import (
+        shingles_of,
+        tokens,
+    )
+
+    return (
+        fan_out(docs.select("doc_id", "text"))
+        .select("doc_id", tokens(F.col("text")).alias("_toks"))
+        .select("doc_id", shingles_of(F.col("_toks")).alias("toks"))
+        .localCheckpoint(eager=False)
+    )
+
+
+def _verify_candidates(
+    toksets: DataFrame, candidates: DataFrame, threshold: float
 ) -> DataFrame:
-    """(doc_id, hash_id, minhash): `_minhash_wide` unpivoted AFTER
-    aggregation — stack runs on one row per doc, not one per
-    (doc, element, hash)."""
-    wide = _minhash_wide(docs, elements, num_hashes)
-    stack_args = ", ".join(f"{i}, m{i}" for i in range(num_hashes))
-    return wide.selectExpr(
-        "doc_id", f"stack({num_hashes}, {stack_args}) AS (hash_id, minhash)"
+    """Exact shingle-Jaccard verification on candidate pairs only.
+
+    The threshold compares the UNROUNDED ratio (q35's discipline — a
+    pair at true Jaccard 0.49999975 must not slip in via round(6));
+    the rounded value is output-only. Shared by both LSH variants and
+    consistent with the q106 composed-pipeline oracle, which also
+    compares unrounded."""
+    ta = toksets.select(
+        F.col("doc_id").alias("id_a"), F.col("toks").alias("toks_a")
+    )
+    tb = toksets.select(
+        F.col("doc_id").alias("id_b"), F.col("toks").alias("toks_b")
+    )
+    inter = F.size(F.array_intersect("toks_a", "toks_b"))
+    union = F.size(F.array_union("toks_a", "toks_b"))
+    return (
+        candidates.join(ta, "id_a")
+        .join(tb, "id_b")
+        .withColumn("_j", inter / union)
+        .where(F.col("_j") >= threshold)
+        .select("id_a", "id_b", F.round("_j", 6).alias("jaccard"))
+    )
+
+
+def _band_self_join(bands: DataFrame) -> DataFrame:
+    """Distinct candidate pairs from any shared (band_id, band_hash)
+    bucket — the banding equi-join, shared by both LSH variants."""
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .distinct()
     )
 
 
@@ -304,37 +354,31 @@ def minhash_lsh_pairs(
     band bucket is hot, which AQE's skew-join splits; the verify join is
     |candidates|-bounded, not |pairs|.
     """
-    from batch_processing_new_spark.functions.text_funcs import shingles_of, tokens
-
-    # tokens projected to a column FIRST: embedding the split inside the
-    # shingle lambda re-tokenizes per shingle (see shingles_of); the
-    # shingle arrays are materialized ONCE (localCheckpoint) because
-    # three consumers derive from them — the signature explode and both
-    # sides of the verify join — and the interpreted shingle HOF is the
-    # single most expensive scan in the operator (~30% of wall each).
-    toksets = (
-        fan_out(docs.select("doc_id", "text"))
-        .select("doc_id", tokens(F.col("text")).alias("_toks"))
-        .select("doc_id", shingles_of(F.col("_toks")).alias("toks"))
-        .localCheckpoint(eager=False)
-    )
+    if num_hashes % band_size != 0:
+        # flooring would silently compute-and-discard the trailing
+        # minhashes and weaken the banding below what was asked for
+        raise ValueError(
+            f"num_hashes={num_hashes} must be divisible by "
+            f"band_size={band_size}"
+        )
+    toksets = _shingle_sets(docs)
     wide = _minhash_wide(toksets, F.col("toks"), num_hashes)
     # band hashes straight off the wide signature row — a projection,
-    # not the unpivot + second groupBy(doc, band) shuffle: the band key
-    # is the SET of its minhashes (sorted), same as collect_list+sort
+    # not the unpivot + second groupBy(doc, band) shuffle. The band key
+    # is the POSITIONAL tuple of the band's minhashes (hash_id order):
+    # the classic banding construction the P[cand] = 1-(1-j^r)^b math
+    # describes, and the same key the md5 twin (q183) and its SQL
+    # oracle use — a value-SORTED key would collide permuted tuples
+    # into one bucket and quietly admit extra candidates.
     n_bands = num_hashes // band_size
     band_cols = [
         F.md5(
             F.concat_ws(
                 ",",
-                F.array_sort(
-                    F.array(
-                        *[
-                            F.col(f"m{b * band_size + j}").cast("string")
-                            for j in range(band_size)
-                        ]
-                    )
-                ),
+                *[
+                    F.col(f"m{b * band_size + j}").cast("string")
+                    for j in range(band_size)
+                ],
             )
         ).alias(f"bh{b}")
         for b in range(n_bands)
@@ -349,30 +393,9 @@ def minhash_lsh_pairs(
         # don't re-run the signature pipeline per branch
         .localCheckpoint(eager=False)
     )
-    a, b = bands.alias("a"), bands.alias("b")
-    candidates = (
-        a.join(
-            b,
-            (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.band_hash") == F.col("b.band_hash"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
-        .distinct()
-    )
     # exact shingle-Jaccard verify on candidates only (same element set
     # the signatures hashed — Broder w-shingling end to end)
-    ta = toksets.withColumnRenamed("doc_id", "id_a").withColumnRenamed("toks", "toks_a")
-    tb = toksets.withColumnRenamed("doc_id", "id_b").withColumnRenamed("toks", "toks_b")
-    inter = F.size(F.array_intersect("toks_a", "toks_b"))
-    union = F.size(F.array_union("toks_a", "toks_b"))
-    return (
-        candidates.join(ta, "id_a")
-        .join(tb, "id_b")
-        .withColumn("jaccard", F.round(inter / union, 6))
-        .where(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
-    )
+    return _verify_candidates(toksets, _band_self_join(bands), threshold)
 
 
 @query("q37_minhash_lsh_pairs")  # Spark-only: LSH banding isn't sanely SQL-oracle-able
@@ -422,9 +445,18 @@ def simhash(docs: DataFrame, text_col: str = "text") -> DataFrame:
             out.append(int(((votes > 0).astype(np.uint64) << bitpos).sum()))
         return pd.Series(out, dtype="int64")
 
-    return docs.select(
-        "doc_id", distinct_tokens(F.col(text_col)).alias("_toks")
-    ).select("doc_id", sim("_toks").alias("simhash"))
+    return (
+        docs.select(
+            "doc_id", distinct_tokens(F.col(text_col)).alias("_toks")
+        )
+        # NULL/empty text: the expression twin's explode emits no rows,
+        # so those docs are ABSENT from its output — match that here
+        # (the kernel would otherwise crash on a None array, and an
+        # empty array would emit simhash=0 the twin never produces).
+        # size(NULL) = -1, so one predicate covers both.
+        .where(F.size("_toks") > 0)
+        .select("doc_id", sim("_toks").alias("simhash"))
+    )
 
 
 def simhash_expr(docs: DataFrame, text_col: str = "text") -> DataFrame:
@@ -606,38 +638,49 @@ def connected_components(
         .distinct()
         .persist()
     )
-    # size the per-iteration shuffles to the GRAPH, not the session:
+    # size the per-iteration state to the GRAPH, not the session:
     # dedup pair graphs are orders of magnitude smaller than the corpus
     # (hundreds of edges for thousands of docs), and every iteration
-    # pays 2 shuffles + a checkpoint per partition — at session width
-    # that fixed cost dominates end to end (measured ~2x on q69).
+    # pays joins + a checkpoint per partition — at session width that
+    # fixed cost dominates end to end (measured ~2x on q69). Sizing is
+    # done with LOCAL repartitions on the loop DataFrames (plus AQE's
+    # small-shuffle coalescing for the intermediate aggregates) — NOT
+    # by mutating the session-global spark.sql.shuffle.partitions,
+    # whose set/restore is non-reentrant: two concurrent jobs on one
+    # session could interleave and leave the session permanently
+    # clamped, and any unrelated query executing inside the window
+    # would silently run at the clamped width.
     spark = pairs.sparkSession
     n_edges = edges.count()
     parts = max(1, min(
         int(spark.conf.get("spark.sql.shuffle.partitions")),
         n_edges // 10_000 + 1,
     ))
-    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", str(parts))
     try:
-        return _propagate_min_labels(edges, max_iterations)
+        return _propagate_min_labels(edges, max_iterations, parts)
     finally:
-        # ALWAYS restore the session conf: an exception mid-iteration
-        # must not leave every later query clamped to `parts` shuffles
-        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
         edges.unpersist()
 
 
-def _propagate_min_labels(edges: DataFrame, max_iterations: int) -> DataFrame:
+def _propagate_min_labels(
+    edges: DataFrame, max_iterations: int, parts: int
+) -> DataFrame:
     labels = (
         edges.groupBy("src")
         .agg(F.least(F.min("dst"), F.first("src")).alias("cluster_id"))
         .select(F.col("src").alias("doc_id"), "cluster_id")
+        # pin the checkpointed state to the graph-sized width (the
+        # session-global shuffle width would otherwise decide it)
+        .repartition(parts, "doc_id")
         # truncate lineage each pass: without this, iteration k re-executes
         # all k-1 previous joins (and the pair-generation plan) from scratch
         .localCheckpoint(eager=True)
     )
-    for _ in range(max_iterations):
+    # +1: certifying that labels stopped moving takes one pass beyond
+    # the moves themselves — a component of diameter exactly
+    # max_iterations converges ON the last allowed pass and needs the
+    # extra no-change pass to prove it (otherwise correct output raises)
+    for _ in range(max_iterations + 1):
         # neighbor labels: for each node, the labels of everyone it touches
         neighbor = (
             edges.join(
@@ -656,7 +699,9 @@ def _propagate_min_labels(edges: DataFrame, max_iterations: int) -> DataFrame:
                 ).alias("cluster_id"),
             )
         )
-        new_labels = new_labels.localCheckpoint(eager=True)
+        new_labels = new_labels.repartition(parts, "doc_id").localCheckpoint(
+            eager=True
+        )
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "doc_id")
@@ -668,7 +713,7 @@ def _propagate_min_labels(edges: DataFrame, max_iterations: int) -> DataFrame:
         if changed == 0:
             break
     else:
-        # the loop exhausted max_iterations with labels still moving:
+        # the loop exhausted its passes with labels still moving:
         # returning silently would hand callers SPLIT components (q69/
         # q90's transitive-closure oracles would catch it, but callers
         # without an oracle would quietly keep extra "keepers")
@@ -733,12 +778,16 @@ def dedup_apply(docs: DataFrame, pairs: DataFrame) -> DataFrame:
     Near-dup pairs -> connected components -> keep the min-doc_id
     representative per cluster, drop the rest (anti-join). Composes with
     any pair generator (exact Jaccard q35, MinHash-LSH q37, SimHash
-    q39). The anti-join shuffles only the (small) loser set against the
-    corpus — broadcast it at any realistic dup rate.
+    q39). Join strategy is left to the optimizer: at a small dup rate
+    AQE broadcasts the loser set from its measured size, but a FORCED
+    broadcast hint (never demoted by AQE) would collect a
+    billion-doc-id loser set to the driver at a realistic 30-50% web
+    dup rate and abort at the broadcast limit — the shuffled anti-join
+    is the correct fallback and Spark picks between them.
     """
     comps = connected_components(pairs.select("id_a", "id_b"))
     losers = comps.where(F.col("doc_id") != F.col("cluster_id")).select("doc_id")
-    return docs.join(F.broadcast(losers), "doc_id", "left_anti")
+    return docs.join(losers, "doc_id", "left_anti")
 
 
 @query(
@@ -956,17 +1005,20 @@ cand AS (
                AND a.doc_id < b.doc_id
 ),
 verified AS (
+    -- threshold on the UNROUNDED ratio (q35 discipline; matches the
+    -- Spark side and the q106 composed-pipeline oracle); round is
+    -- output-only
     SELECT c.id_a, c.id_b,
-           round(len(list_intersect(sa.shingles, sb.shingles)) * 1.0
-                 / len(list_distinct(list_concat(sa.shingles, sb.shingles))),
-                 6) AS jaccard
+           len(list_intersect(sa.shingles, sb.shingles)) * 1.0
+               / len(list_distinct(list_concat(sa.shingles, sb.shingles)))
+               AS j
     FROM cand c
     JOIN sh sa ON sa.doc_id = c.id_a
     JOIN sh sb ON sb.doc_id = c.id_b
 )
-SELECT id_a, id_b, jaccard
+SELECT id_a, id_b, round(j, 6) AS jaccard
 FROM verified
-WHERE jaccard >= 0.5
+WHERE j >= 0.5
 ORDER BY id_a, id_b
 """
 
@@ -978,17 +1030,7 @@ def minhash_lsh_pairs_md5(
     SQL-replayable; used by q183 and the q106 composed pipeline so
     both carry exact oracles. ~2x the signature-scan cost of the
     xxhash64 path; q37 remains the bench/scale variant."""
-    from batch_processing_new_spark.functions.text_funcs import (
-        shingles_of,
-        tokens,
-    )
-
-    toksets = (
-        fan_out(docs.select("doc_id", "text"))
-        .select("doc_id", tokens(F.col("text")).alias("_toks"))
-        .select("doc_id", shingles_of(F.col("_toks")).alias("toks"))
-        .localCheckpoint(eager=False)
-    )
+    toksets = _shingle_sets(docs)
     sigs = _minhash_signatures(
         toksets.select("doc_id", F.col("toks").alias("text")),
         elements=F.col("text"),
@@ -1003,6 +1045,9 @@ def minhash_lsh_pairs_md5(
                 F.concat_ws(
                     ":",
                     F.transform(
+                        # positional (hash_id-ordered) band tuple — the
+                        # struct sort orders by hash_id first, same key
+                        # as q37 and the SQL oracle's ORDER BY hash_id
                         F.array_sort(
                             F.collect_list(
                                 F.struct(F.col("hash_id"), F.col("minhash"))
@@ -1015,34 +1060,7 @@ def minhash_lsh_pairs_md5(
         )
         .localCheckpoint(eager=False)
     )
-    a, b = bands.alias("a"), bands.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.band_hash") == F.col("b.band_hash"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
-        )
-        .distinct()
-    )
-    ta = toksets.select(
-        F.col("doc_id").alias("id_a"), F.col("toks").alias("toks_a")
-    )
-    tb = toksets.select(
-        F.col("doc_id").alias("id_b"), F.col("toks").alias("toks_b")
-    )
-    inter = F.size(F.array_intersect("toks_a", "toks_b"))
-    union = F.size(F.array_union("toks_a", "toks_b"))
-    return (
-        cand.join(ta, "id_a")
-        .join(tb, "id_b")
-        .withColumn("jaccard", F.round(inter / union, 6))
-        .where(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
-    )
+    return _verify_candidates(toksets, _band_self_join(bands), threshold)
 
 
 @query("q183_minhash_lsh_oracle", oracle=_Q183_ORACLE)
