@@ -9,13 +9,20 @@ keeps a full DuckDB oracle; stateful ops get rows-only checks plus
 batch-equivalence tests in tests/test_streaming.py.
 
 Scale notes: the same code targets Kafka by swapping ``readStream``
-format; watermarks bound state; windowed aggs shuffle on (window, key)
-exactly like their batch date_trunc equivalents.
+format; windowed aggs shuffle on (window, key) exactly like their
+batch date_trunc equivalents. Watermarks bound state ONLY in
+append/update output modes (q53's dedup state, q67/q103's join
+state, q78's update stream): the complete-mode queries here (q50-q52,
+q124) re-emit the whole result per trigger and never evict —
+deterministic and right for the harness's availableNow replay, but a
+live unbounded deployment of those four switches to append mode (the
+watermark calls are already in place for exactly that switch).
 """
 
 from __future__ import annotations
 
 import itertools
+import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -26,26 +33,48 @@ _SINK_COUNTER = itertools.count()
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.parquet as a file-source stream (nanos handled as in the
-    batch loader: read as long, convert to micro TIMESTAMP_NTZ)."""
+    """events.parquet as a file-source stream (ts normalized by the
+    batch loader's `_normalize_ts`, then cast to TIMESTAMP for
+    watermarks — one source of truth for the dual nanos/micros fixture
+    encodings)."""
+    from batch_processing_new_spark.sources.readers import _normalize_ts
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     # watermarks/windows require TIMESTAMP (not NTZ); pin the session TZ
     # so the instant interpretation — and window rendering — is UTC
-    # regardless of the harness session's defaults
+    # regardless of the harness session's defaults. DELIBERATELY
+    # session-global and not restored: the final stringification of
+    # window bounds evaluates lazily at the caller's collect, AFTER
+    # this function returns, and must see the same UTC rendering the
+    # oracles state. Idempotent (always UTC), and every registered
+    # query is session-TZ-robust by construction (TESTDATA.md rules +
+    # the perturbation sweeps), so the pin cannot change any other
+    # query's output.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    # the file source requires a directory; glob-filter to the one table
-    stream = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", "1")
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
+    p = f"{sf_dir}/events.parquet"
+    schema = spark.read.parquet(p).schema
+    if os.path.isdir(p):
+        # directory-style dataset: stream the directory itself —
+        # pathGlobFilter matches LEAF file names, so filtering the
+        # parent dir for 'events.parquet' would silently match nothing
+        # and yield an empty (but well-formed) stream
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(p)
+        )
+    else:
+        # single-file table: the file source requires a directory;
+        # glob-filter the parent down to the one table
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+        )
+    return stream.withColumn(
+        "ts", _normalize_ts(schema["ts"].dataType).cast("timestamp")
     )
-    from pyspark.sql import types as T
-
-    if isinstance(schema["ts"].dataType, T.LongType):
-        return stream.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
-    return stream.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 # Stateful operators fix their state-partition count at the FIRST
@@ -56,7 +85,7 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 # 24s -> 9s going 32 -> 8 at sf0.1); a production deployment sets this
 # to thousands via the env knob.
 STREAM_STATE_PARTITIONS = int(
-    __import__("os").environ.get("SPARK_GRAFT_STREAM_PARTITIONS", "8")
+    os.environ.get("SPARK_GRAFT_STREAM_PARTITIONS", "8")
 )
 
 
@@ -94,7 +123,8 @@ def run_update_to_memory(stream_df: DataFrame, query_name_prefix: str = "su") ->
 
 def _run_to_memory(stream_df: DataFrame, prefix: str, mode: str) -> DataFrame:
     name = f"{prefix}_{next(_SINK_COUNTER)}"
-    with _state_partitions(stream_df.sparkSession):
+    spark = stream_df.sparkSession
+    with _state_partitions(spark):
         q = (
             stream_df.writeStream.outputMode(mode)
             .format("memory")
@@ -103,7 +133,15 @@ def _run_to_memory(stream_df: DataFrame, prefix: str, mode: str) -> DataFrame:
             .start()
         )
         q.awaitTermination()
-    return stream_df.sparkSession.table(name)
+    # copy the finished result out of the memory sink and DROP the sink
+    # table: each run registers a fresh uniquely-named sink (q67/q103's
+    # holds the pre-aggregation join pairs), so a long session — the
+    # driver's 50-query sweep, determinism_check's double runs — would
+    # otherwise pin every streaming query's full output in driver
+    # memory forever
+    out = spark.table(name).localCheckpoint(eager=True)
+    spark.catalog.dropTempView(name)
+    return out
 
 
 @query(
@@ -445,7 +483,7 @@ def q124_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("total_value"),
         )
     )
-    res = run_to_memory(agg, "ssj")
+    res = run_to_memory(agg, "sstatic")
     return res.select(
         F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("day"),
         "segment",
