@@ -23,6 +23,20 @@ def hash60_sql(expr: str) -> str:
     return f"('0x' || substr(md5({expr}), 1, 15))::BIGINT"
 
 
+def salted_hash60(salt: str, col: Column) -> Column:
+    """Portable seeded hash of ``"{salt}:" || value`` — the ONE recipe
+    behind every deterministic sampling gate, split, shard, and cap
+    ranking (q61/q89/q97/q98/q105/q112/q147/q163/q190 + the composed
+    pipeline). Centralized so a pipeline stage re-stating an operator's
+    salt cannot drift from the operator it claims to replicate."""
+    return hash60(F.concat(F.lit(salt + ":"), col.cast("string")))
+
+
+def salted_hash60_sql(salt: str, expr: str) -> str:
+    """The identical salted hash in DuckDB SQL."""
+    return hash60_sql(f"'{salt}:' || {expr}")
+
+
 def tokens(col: Column) -> Column:
     """Whitespace tokenization of already-normalized text."""
     return F.split(F.trim(col), " ")

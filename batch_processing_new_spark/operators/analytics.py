@@ -658,10 +658,10 @@ def q89_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     same portable hash gate as q61 (partitioning-independent, stable
     under re-runs; the training-mix sampler for byte-budgeted corpora).
     """
-    from batch_processing_new_spark.functions.text_funcs import hash60
+    from batch_processing_new_spark.functions.text_funcs import salted_hash60
 
     d = load_table(spark, sf_dir, "documents")
-    gate = hash60(F.concat(F.lit("wsample:"), F.col("doc_id").cast("string"))) % 1000
+    gate = salted_hash60("wsample", F.col("doc_id")) % 1000
     return (
         d.where(gate < F.least(F.col("n_chars"), F.lit(1000)))
         .select("doc_id", "n_chars")
@@ -1950,12 +1950,12 @@ def q190_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
     9dp before ranking with doc_id tiebreak, so the libm-vs-JVM ln()
     ulp can't reorder the sample.
     """
-    from batch_processing_new_spark.functions.text_funcs import hash60
+    from batch_processing_new_spark.functions.text_funcs import salted_hash60
     from pyspark.sql import Window
 
     d = load_table(spark, sf_dir, "documents")
     u = (
-        hash60(F.concat(F.lit("aes:"), F.col("doc_id").cast("string")))
+        salted_hash60("aes", F.col("doc_id"))
         + 1.0
     ) / 1152921504606846977.0  # (2^60 + 1): u in (0, 1], ln never sees 0
     # zero-weight rows are excluded by definition (P proportional to w =

@@ -29,7 +29,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from batch_processing_new_spark.functions.text_funcs import hash60, hash60_sql
+from batch_processing_new_spark.functions.text_funcs import hash60_sql, salted_hash60
 from batch_processing_new_spark.registry import query
 from batch_processing_new_spark.sources.readers import load_table
 
@@ -40,7 +40,7 @@ _Z_CRIT = 1.959963985  # two-sided 95%
 def arm_of(user_id: Column) -> Column:
     """Deterministic 50/50 assignment: hash60(seed:user) % 2."""
     return (
-        hash60(F.concat(F.lit(_AB_SEED + ":"), user_id.cast("string"))) % 2
+        (salted_hash60(_AB_SEED, user_id) % 2)
     ).cast("int")
 
 

@@ -426,13 +426,13 @@ def q61_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle), and composes with incremental re-runs: new rows don't
     reshuffle old membership.
     """
-    from batch_processing_new_spark.functions.text_funcs import hash60
+    from batch_processing_new_spark.functions.text_funcs import salted_hash60
 
     d = load_table(spark, sf_dir, "documents")
     rate = F.create_map(
         *[x for k, v in SAMPLE_RATES.items() for x in (F.lit(k), F.lit(v))]
     )[F.col("lang")]
-    gate = hash60(F.concat(F.lit("sample:"), F.col("doc_id").cast("string"))) % 100
+    gate = salted_hash60("sample", F.col("doc_id")) % 100
     return (
         d.where(gate < F.coalesce(rate, F.lit(0)))
         .select("doc_id", "lang")

@@ -31,7 +31,11 @@ from pyspark.sql import functions as F
 
 from batch_processing_new_spark.registry import query
 from batch_processing_new_spark.sources.readers import fan_out, load_table
-from batch_processing_new_spark.functions.text_funcs import hash60, hash60_sql, tokens
+from batch_processing_new_spark.functions.text_funcs import (
+    hash60_sql,
+    salted_hash60,
+    tokens,
+)
 
 # 3-grams, not the 8-13 real pipelines use: the synthetic fixture's
 # ~30-word vocabulary makes longer grams collision-free (5-grams flag 1
@@ -47,21 +51,17 @@ SPLIT_FRAC = 0.2  # validation fraction per stratum
 MIX_BUDGET = 800  # token budget per source
 
 
-def _grams(toks: F.Column):
-    """Distinct token n-grams of an already-projected token array."""
-    return F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(0), F.greatest(F.size(toks) - _N, F.lit(0))),
-            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, _N)),
-        )
-    )
-
-
 @query(
     "q95_decontaminate",
+    # text IS NOT NULL on BOTH sides: for NULL text Spark's gram
+    # expression emits one empty-string gram (concat_ws skips NULLs)
+    # while DuckDB's list pipeline emits none (NULL list -> no unnest
+    # row) — excluding NULL-text docs identically removes the
+    # divergence class before any fixture can exhibit it
     oracle=f"""
 WITH tok AS (
-    SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents
+    SELECT doc_id, string_split(trim(text), ' ') AS t
+    FROM documents WHERE text IS NOT NULL
 ),
 grams AS (
     SELECT doc_id,
@@ -96,11 +96,19 @@ def q95_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-doc aggregation, zero corpus shuffle, which is what makes this
     viable when the corpus is 100 TB and the benchmark suite is not.
     """
+    from batch_processing_new_spark.functions.text_funcs import shingles_of
+
     d = load_table(spark, sf_dir, "documents")
+    # shingles_of IS the gram builder (identical output to the removed
+    # local _grams for every array size) — one shingle implementation
+    # repo-wide, so dedup and decontamination can't drift apart
     grams = (
         fan_out(d.select("doc_id", "text"))
+        .where(F.col("text").isNotNull())
         .select("doc_id", tokens(F.col("text")).alias("_toks"))
-        .select("doc_id", F.explode(_grams(F.col("_toks"))).alias("gram"))
+        .select(
+            "doc_id", F.explode(shingles_of(F.col("_toks"), _N)).alias("gram")
+        )
     )
     is_eval = F.col("doc_id") % EVAL_MOD == 0
     ev = (
@@ -155,7 +163,7 @@ def q97_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     d = load_table(spark, sf_dir, "documents")
-    h = hash60(F.concat(F.lit("split:"), F.col("doc_id").cast("string")))
+    h = salted_hash60("split", F.col("doc_id"))
     w = Window.partitionBy("lang").orderBy(h, "doc_id")
     wn = Window.partitionBy("lang")
     return (
@@ -215,8 +223,11 @@ def q98_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     d = load_table(spark, sf_dir, "documents")
-    h = hash60(F.concat(F.lit("mix:"), F.col("doc_id").cast("string")))
-    sized = d.select(
+    h = salted_hash60("mix", F.col("doc_id"))
+    # fan_out: the tokenize+size projection is the expression-heavy
+    # part — without it a small-row-group input runs the whole scan on
+    # one task (the measured 2.6x pattern q95 guards against)
+    sized = fan_out(d).select(
         "doc_id",
         "source",
         F.size(tokens(F.col("text"))).alias("tok_count"),
@@ -278,14 +289,16 @@ def pack_sequences(
         StructType,
     )
 
-    sized = docs.select(
+    # fan_out before the tokenize+size projection (the q95/q178
+    # single-task-scan guard); the shard shuffle follows anyway
+    sized = fan_out(docs).select(
         "doc_id",
         F.size(tokens(F.col("text"))).alias("tok_count"),
         F.pmod(
-            hash60(F.concat(F.lit("shard:"), F.col("doc_id").cast("string"))),
+            salted_hash60("shard", F.col("doc_id")),
             F.lit(n_shards),
         ).cast("int").alias("shard"),
-        hash60(F.concat(F.lit("pack:"), F.col("doc_id").cast("string"))).alias(
+        salted_hash60("pack", F.col("doc_id")).alias(
             "h"
         ),
     )
@@ -313,7 +326,6 @@ def pack_sequences(
     return sized.groupBy("shard").applyInPandas(pack, out_schema)
 
 
-# non-SQL-expressible: next-fit bin boundaries are a running recursion
 @query(
     "q96_pack_sequences",
     oracle=f"""
@@ -378,7 +390,7 @@ ORDER BY doc_id
 """,
 )
 def q105_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-domain contribution cap: at most {DOMAIN_CAP} documents per
+    """Per-domain contribution cap: at most DOMAIN_CAP (15) documents per
     source, chosen in deterministic hash order — the "no single domain
     dominates the corpus" guard (caps boilerplate-heavy domains without
     touching the rest).
@@ -392,7 +404,7 @@ def q105_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     d = load_table(spark, sf_dir, "documents")
-    h = hash60(F.concat(F.lit("cap:"), F.col("doc_id").cast("string")))
+    h = salted_hash60("cap", F.col("doc_id"))
     w = Window.partitionBy("source").orderBy(h, "doc_id")
     return (
         d.select("doc_id", "source", F.row_number().over(w).alias("rn"))
@@ -452,7 +464,7 @@ def q112_seeded_shuffle_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_package_on_executors(spark)
 
     d = load_table(spark, sf_dir, "documents")
-    h = hash60(F.concat(F.lit("shuffle:"), F.col("doc_id").cast("string")))
+    h = salted_hash60("shuffle", F.col("doc_id"))
     n_part = max(spark.sparkContext.defaultParallelism, N_SHARDS)
     part = (
         d.select("doc_id", "source", h.alias("h"))
@@ -521,9 +533,9 @@ ORDER BY p.source
 )
 def q177_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature-based source reweighting (the multilingual-
-    balancing rule: w_i proportional to c_i^alpha, alpha={_TEMP_ALPHA}): per
+    balancing rule: w_i proportional to c_i^alpha, alpha=_TEMP_ALPHA=0.3): per
     source its exact char mass, the normalized sampling weight, and
-    the floor-allocated doc budget out of {_TEMP_BUDGET}. Alpha < 1
+    the floor-allocated doc budget out of _TEMP_BUDGET=10000. Alpha < 1
     flattens the head and upsamples low-resource sources — the
     mBERT/XLM-R exponential-smoothing recipe, and the knob q98's
     token-budget sampler consumes.
@@ -594,7 +606,7 @@ ORDER BY bucket
 )
 def q178_length_bucket_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Length-bucketed batching audit: bucket documents by token count
-    (width {_BUCKET_W}), and per bucket report how much padding a
+    (width _BUCKET_W=16 tokens), and per bucket report how much padding a
     pad-to-bucket-max batcher wastes (absolute tokens and fraction) —
     the decision table for choosing bucket boundaries in a training
     dataloader (global pad-to-max is the degenerate single bucket;
@@ -605,11 +617,9 @@ def q178_length_bucket_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     One scan -> in-row token count -> groupBy(bucket) — a single
     shuffle of |buckets| rows, no window pass anywhere.
     """
-    from batch_processing_new_spark.functions.text_funcs import tokens as _toks
-
     d = load_table(spark, sf_dir, "documents")
     lens = fan_out(d.select("doc_id", "text")).select(
-        F.size(_toks(F.col("text"))).cast("bigint").alias("n_tok")
+        F.size(tokens(F.col("text"))).cast("bigint").alias("n_tok")
     )
     bucketed = lens.withColumn(
         "bucket", F.floor(F.col("n_tok") / _BUCKET_W).cast("bigint")
@@ -661,7 +671,7 @@ ORDER BY source
 """,
 )
 def q186_largest_remainder(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Largest-remainder (Hamilton) apportionment of a {_LR_SEATS}-item
+    """Largest-remainder (Hamilton) apportionment of a _LR_SEATS=1000-item
     labeling budget across sources, proportional to document counts:
     every source gets floor(n_i * S / N); the seats lost to flooring go
     to the largest fractional remainders (ties by source name). Unlike

@@ -31,7 +31,7 @@ from batch_processing_new_spark.operators.training_mix import (
     SPLIT_FRAC,
     pack_sequences,
 )
-from batch_processing_new_spark.functions.text_funcs import hash60, tokens
+from batch_processing_new_spark.functions.text_funcs import salted_hash60, tokens
 from batch_processing_new_spark.registry import query
 from batch_processing_new_spark.sources.readers import load_table
 
@@ -72,7 +72,7 @@ def assemble_corpus(
     ).join(F.broadcast(contaminated), "doc_id", "left_anti")
 
     # 4. per-domain cap (q105 semantics on the survivors)
-    h_cap = hash60(F.concat(F.lit("cap:"), F.col("doc_id").cast("string")))
+    h_cap = salted_hash60("cap", F.col("doc_id"))
     w_cap = Window.partitionBy("source").orderBy(h_cap, "doc_id")
     capped = (
         clean.withColumn("_rn", F.row_number().over(w_cap))
@@ -81,7 +81,7 @@ def assemble_corpus(
     )
 
     # 5. stratified split (q97 semantics on the survivors)
-    h_split = hash60(F.concat(F.lit("split:"), F.col("doc_id").cast("string")))
+    h_split = salted_hash60("split", F.col("doc_id"))
     w_split = Window.partitionBy("lang").orderBy(h_split, "doc_id")
     wn = Window.partitionBy("lang")
     split = capped.withColumn(
