@@ -56,8 +56,17 @@ def token_set_fingerprint(col: Column) -> Column:
 
     Two documents that are permutations/repetitions of the same word set
     share a fingerprint; byte-identical texts trivially do.
+
+    NULL text fingerprints to NULL, matching ``TOKEN_SET_FP_SQL``
+    (DuckDB's md5(NULL) is NULL): ``concat_ws`` SKIPS a NULL array, so
+    the unguarded expression silently fingerprinted NULL text as
+    md5('') — colliding every NULL-text doc with every empty-text doc
+    and splitting from the oracle (caught by tools/null_text_sweep.py).
     """
-    return F.md5(F.concat_ws(" ", F.array_sort(distinct_tokens(col))))
+    return F.when(
+        col.isNotNull(),
+        F.md5(F.concat_ws(" ", F.array_sort(distinct_tokens(col)))),
+    )
 
 
 TOKEN_SET_FP_SQL = (

@@ -279,14 +279,19 @@ def _shingle_sets(docs: DataFrame) -> DataFrame:
     explode and both sides of the verify join), and the interpreted
     shingle HOF is the single most expensive scan in either LSH
     variant (~30% of wall each). Shared by the xxhash64 (q37) and md5
-    (q183) pipelines so verify/threshold changes cannot drift apart."""
+    (q183) pipelines so verify/threshold changes cannot drift apart.
+
+    NULL-text docs are excluded: Spark's NULL-skipping ``greatest``
+    gave them the shingle set {''} (pairing every NULL-text doc with
+    every empty-text doc at Jaccard 1), while DuckDB's NULL-propagating
+    ``greatest`` drops them — tools/null_text_sweep.py finding."""
     from batch_processing_new_spark.functions.text_funcs import (
         shingles_of,
         tokens,
     )
 
     return (
-        fan_out(docs.select("doc_id", "text"))
+        fan_out(docs.select("doc_id", "text").where(F.col("text").isNotNull()))
         .select("doc_id", tokens(F.col("text")).alias("_toks"))
         .select("doc_id", shingles_of(F.col("_toks")).alias("toks"))
         .localCheckpoint(eager=False)
@@ -981,7 +986,8 @@ _SHINGLES_SQL = """
 
 _Q183_ORACLE = f"""
 WITH sh AS (
-    SELECT doc_id, {_SHINGLES_SQL} AS shingles FROM documents
+    SELECT doc_id, {_SHINGLES_SQL} AS shingles
+    FROM documents WHERE text IS NOT NULL
 ),
 el AS (
     SELECT doc_id, unnest(shingles) AS s FROM sh

@@ -18,8 +18,15 @@ from batch_processing_new_spark.sources.readers import load_table
 
 _SYSPROMPT = "Classify the sentiment of the input."
 
-# '{sys}\n\nInput: {text}' in DuckDB SQL
-_PROMPT_SQL = f"'{_SYSPROMPT}' || chr(10) || chr(10) || 'Input: ' || text"
+# '{sys}\n\nInput: {text}' in DuckDB SQL. NULL text coerces to the
+# literal 'None': the operator string-coerces cells with str() exactly
+# like the reference (test.py:86, pandas astype(str)), so the oracle
+# must coerce identically or a NULL-bearing fixture splits the sides
+# (tools/null_text_sweep.py finding).
+_PROMPT_SQL = (
+    f"'{_SYSPROMPT}' || chr(10) || chr(10) || 'Input: ' || "
+    "coalesce(text, 'None')"
+)
 _RESP_SQL = f"'resp::' || substr(md5({_PROMPT_SQL}), 1, 8)"
 
 
@@ -52,7 +59,7 @@ def q30_enrich_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q31_enrich_dedupe",
     oracle=f"""
 SELECT doc_id,
-       'resp::' || substr(md5('{_SYSPROMPT}' || chr(10) || chr(10) || 'Input: ' || lang), 1, 8) AS Response
+       'resp::' || substr(md5('{_SYSPROMPT}' || chr(10) || chr(10) || 'Input: ' || coalesce(lang, 'None')), 1, 8) AS Response
 FROM documents
 ORDER BY doc_id
 """,

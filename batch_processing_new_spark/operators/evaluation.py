@@ -149,7 +149,7 @@ WITH w AS (
 ),
 tok AS (
     SELECT doc_id, unnest(string_split(trim(text), ' ')) AS t
-    FROM documents
+    FROM documents WHERE text IS NOT NULL
 ),
 feat AS (
     SELECT doc_id,
@@ -194,7 +194,11 @@ def q193_precision_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from batch_processing_new_spark.operators.scoring import _cls_p_good
 
-    d = load_table(spark, sf_dir, "documents")
+    # NULL-text docs excluded like the oracle (its dotted-join drops
+    # them); unfiltered they'd score pred=0 and inflate tn
+    d = load_table(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull()
+    )
     judged = fan_out(d.select("doc_id", "text", "n_chars")).select(
         F.when(_cls_p_good(F.col("text")) > 0.5, 1).otherwise(0).alias("pred"),
         F.when(F.expr(_PR_LABEL_SQL), 1).otherwise(0).alias("label"),

@@ -39,8 +39,14 @@ def with_media_payload(docs: DataFrame) -> DataFrame:
     Real pipelines land bytes from object storage
     (``spark.read.format("binaryFile")``); here the fixture text is
     encoded so every stage downstream is identical.
+
+    NULL-text docs are excluded (= media rows with no payload): the
+    decode UDFs would crash on a None payload while the SQL oracles
+    would emit NULL metadata — the q95 NULL-text divergence class,
+    excluded identically on both sides (every q45-q56/q115 oracle
+    carries the matching ``WHERE text IS NOT NULL``).
     """
-    return docs.select(
+    return docs.where(F.col("text").isNotNull()).select(
         "doc_id",
         F.encode(F.col("text"), "utf-8").alias("payload"),
         F.struct(
@@ -128,7 +134,7 @@ SELECT doc_id,
        64 + (octet_length(encode(text)) % 512)     AS width,
        64 + ((octet_length(encode(text)) * 7) % 512) AS height,
        CAST(ceil(octet_length(encode(text)) / 256.0) AS INT) AS n_frames
-FROM documents
+FROM documents WHERE text IS NOT NULL
 ORDER BY doc_id
 """,
 )
@@ -149,7 +155,7 @@ WITH m AS (
     SELECT source,
            octet_length(encode(text)) AS n_bytes,
            CAST(ceil(octet_length(encode(text)) / 256.0) AS INT) AS n_frames
-    FROM documents
+    FROM documents WHERE text IS NOT NULL
 )
 SELECT source,
        count(*)                         AS n_items,
@@ -307,7 +313,7 @@ _N_FRAMES_SQL = f"CAST(ceil({_N_BYTES_SQL} / 256.0) AS INT)"
     oracle=f"""
 WITH m AS (
     SELECT doc_id, {_WIDTH_SQL} AS width, {_HEIGHT_SQL} AS height
-    FROM documents
+    FROM documents WHERE text IS NOT NULL
 )
 SELECT doc_id, width, height,
        CAST((width  * {TARGET_BOX}) // greatest(width, height) AS INT) AS out_w,
@@ -326,7 +332,8 @@ def q54_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q55_frame_sample",
     oracle=f"""
 WITH m AS (
-    SELECT doc_id, {_N_FRAMES_SQL} AS n_frames FROM documents
+    SELECT doc_id, {_N_FRAMES_SQL} AS n_frames
+    FROM documents WHERE text IS NOT NULL
 ),
 f AS (
     SELECT doc_id, unnest(range(0, n_frames, {FRAME_STRIDE})) AS f FROM m
@@ -350,7 +357,8 @@ def q55_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q56_media_features",
     oracle=f"""
 WITH m AS (
-    SELECT doc_id, {_N_BYTES_SQL} AS n_bytes FROM documents
+    SELECT doc_id, {_N_BYTES_SQL} AS n_bytes
+    FROM documents WHERE text IS NOT NULL
 )
 SELECT doc_id,
        array_to_string(
@@ -534,6 +542,7 @@ px AS (
                 ELSE ascii(substr(text, (g.i % length(text)) + 1, 1))
            END AS v
     FROM documents, generate_series(0, {PHASH_GRID * PHASH_GRID - 1}) g(i)
+    WHERE text IS NOT NULL
 ),
 t1 AS (
     SELECT px.doc_id, px.i // {PHASH_GRID} AS a, k.k,

@@ -498,22 +498,33 @@ def q65_higher_order_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from batch_processing_new_spark.functions.text_funcs import tokens
 
     toks = tokens(F.col("text"))
+    # concat_ws turns a NULL array into '' while the oracle's
+    # array_to_string(NULL) stays NULL — guard the stringified columns
+    # so NULL text yields NULLs on both sides (null_text_sweep finding)
+    has_text = F.col("text").isNotNull()
     return d.select(
         "doc_id",
         F.size(F.filter(toks, lambda x: F.length(x) > 4)).alias("n_long"),
         # Stringified (not array<string>): the driver canonicalizer
         # sorts/hashes with pandas, which cannot hash list cells
         # (CORRECTNESS_r01 q65 TypeError) — same pattern as top2_rev.
-        F.concat_ws(
-            ",", F.transform(F.slice(toks, 1, 3), lambda x: F.upper(x))
+        F.when(
+            has_text,
+            F.concat_ws(
+                ",", F.transform(F.slice(toks, 1, 3), lambda x: F.upper(x))
+            ),
         ).alias("first3_upper"),
         F.aggregate(
             F.transform(toks, lambda x: F.length(x).cast("long")),
             F.lit(0).cast("long"),
             lambda a, b: a + b,
         ).alias("total_chars"),
-        F.concat_ws(
-            ",", F.slice(F.reverse(F.array_sort(F.array_distinct(toks))), 1, 2)
+        F.when(
+            has_text,
+            F.concat_ws(
+                ",",
+                F.slice(F.reverse(F.array_sort(F.array_distinct(toks))), 1, 2),
+            ),
         ).alias("top2_rev"),
     ).orderBy("doc_id")
 

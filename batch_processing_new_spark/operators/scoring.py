@@ -51,7 +51,7 @@ _Q_SQL = "(" + ", ".join(f"'{t}'" for t in BM25_QUERY) + ")"
 #: and q151's lexical leg state the identical BM25 pipeline.
 _BM25_SCORED_CTE = f"""tok AS (
     SELECT doc_id, unnest(string_split(trim(text), ' ')) AS t
-    FROM documents
+    FROM documents WHERE text IS NOT NULL
 ),
 dl AS (
     SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id
@@ -98,8 +98,15 @@ def bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     tf (tf already holds one row per (doc, term)), and dl/avgdl read
     the checkpointed ints. Measured at sf0.1: q141 1.43 s -> ~1.0 s (steady state; the
     single-warm-up SCALE.md row reads 1.06 s), q151's fused total
-    2.2 s -> ~1.3 s steady / ~2.0 s single-warm-up."""
-    d = load_table(spark, sf_dir, "documents")
+    2.2 s -> ~1.3 s steady / ~2.0 s single-warm-up.
+
+    NULL-text docs are excluded on BOTH sides (q95 discipline): the
+    oracle's unnest drops them from every CTE, while an unfiltered
+    Spark side would still count them into n_docs (tokens(NULL) is a
+    NULL array, not zero rows) and shift every idf."""
+    d = load_table(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull()
+    )
     toks = tokens(F.col("text"))
     base = fan_out(d.select("doc_id", toks.alias("toks")))
     q_terms = list(BM25_QUERY)
@@ -221,7 +228,7 @@ WITH w AS (
 ),
 tok AS (
     SELECT doc_id, unnest(string_split(trim(text), ' ')) AS t
-    FROM documents
+    FROM documents WHERE text IS NOT NULL
 ),
 feat AS (
     SELECT doc_id, {hash60_sql('t')} % {CLS_DIM} AS j, count(*) AS cnt
@@ -254,7 +261,11 @@ def q142_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     table; the threshold/sigmoid never changes.
     """
     p = _cls_p_good(F.col("text"))
-    d = load_table(spark, sf_dir, "documents")
+    # NULL-text docs excluded identically to the oracle (whose unnest
+    # never emits them); an unfiltered scan would add NULL-p rows
+    d = load_table(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull()
+    )
     return (
         fan_out(d.select("doc_id", "text"))
         .select(
@@ -451,7 +462,7 @@ WITH w AS (
 ),
 tok AS (
     SELECT doc_id, unnest(string_split(trim(text), ' ')) AS t
-    FROM documents
+    FROM documents WHERE text IS NOT NULL
 ),
 feat AS (
     SELECT doc_id, {hash60_sql('t')} % {CLS_DIM} AS j, count(*) AS cnt
@@ -499,7 +510,11 @@ def q179_calibration_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounded to 6dp BEFORE bucketing/averaging (engine-identical), and
     bucket means reduce under the DECIMAL dsum discipline.
     """
-    d = load_table(spark, sf_dir, "documents")
+    # NULL-text docs excluded like the oracle (its dotted-join drops
+    # them); an unfiltered scan would emit a NULL calibration bucket
+    d = load_table(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull()
+    )
     p = F.round(_cls_p_good(F.col("text")), 6)
     scored = fan_out(d.select("doc_id", "text", "n_chars")).select(
         p.alias("p"),

@@ -362,7 +362,7 @@ VOCAB_TOPK = 24
     oracle=f"""
 WITH tok AS (
     SELECT doc_id, unnest(string_split(trim(text), ' ')) AS t
-    FROM documents
+    FROM documents WHERE text IS NOT NULL
 ),
 lm AS (
     SELECT t, count(*) AS c FROM tok GROUP BY t
@@ -409,8 +409,15 @@ def q99_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     exploded tokens + groupBy(doc_id)) re-shuffled one row per token
     occurrence: ~1.7 MiB at sf0.1 and O(corpus tokens) at scale;
     measured 1.39 s -> 0.24 s, identical values.
+
+    NULL-text docs are excluded on BOTH sides (q95 discipline): the
+    oracle's unnest never emits them, while the unfiltered scoring
+    scan emitted a NULL-score row per NULL-text doc
+    (tools/null_text_sweep.py finding).
     """
-    d = load_table(spark, sf_dir, "documents")
+    d = load_table(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull()
+    )
     tok = fan_out(d.select("text")).select(
         F.explode(tokens(F.col("text"))).alias("t")
     )
@@ -922,7 +929,12 @@ def q138_unicode_nfc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     @pandas_udf("string")
     def nfc(s: pd.Series) -> pd.Series:
-        return s.map(lambda x: unicodedata.normalize("NFC", x))
+        # NULL passes through as NULL (DuckDB nfc_normalize(NULL) is
+        # NULL; an unguarded normalize(None) crashes the whole batch —
+        # tools/null_text_sweep.py finding)
+        return s.map(
+            lambda x: None if x is None else unicodedata.normalize("NFC", x)
+        )
 
     d = load_table(spark, sf_dir, "documents")
     raw = F.concat(F.trim(F.col("text")), F.lit(_NFC_MIX))
@@ -948,7 +960,8 @@ CHUNK_S = 24   # stride: W - S = 8 tokens of overlap between neighbors
     "q152_chunk_overlap",
     oracle=f"""
 WITH toked AS (
-    SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents
+    SELECT doc_id, string_split(trim(text), ' ') AS toks
+    FROM documents WHERE text IS NOT NULL
 ),
 ids AS (
     SELECT doc_id, toks,
@@ -981,8 +994,16 @@ def q152_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan stage. Overlap multiplies output bytes by W/S (~1.33x), a
     sink-side cost, not a shuffle cost; at 100 TB the emitted chunks
     stream straight to the (partitioned) writer.
+
+    NULL-text docs are excluded on BOTH sides (q95 discipline): NULL
+    tokens make ``greatest(NULL, 0)`` diverge between the engines
+    (Spark skips NULLs, DuckDB propagates them —
+    tools/null_text_sweep.py finding), and a doc with no text has no
+    chunks.
     """
-    d = load_table(spark, sf_dir, "documents")
+    d = load_table(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull()
+    )
     toked = fan_out(d.select("doc_id", "text")).select(
         "doc_id", tokens(F.col("text")).alias("_toks")
     )

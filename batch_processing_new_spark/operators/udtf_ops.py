@@ -23,6 +23,11 @@ class ChunkDocUDTF:
     per chunk) — the same semantics as q60's JVM explode/slice."""
 
     def eval(self, doc_id: int, text: str):
+        if text is None:
+            # no text -> no chunks, matching the oracle's NULL-range
+            # drop (an unguarded .strip() crashed the whole batch —
+            # tools/null_text_sweep.py finding)
+            return
         toks = text.strip().split(" ")
         for i in range(0, len(toks), CHUNK_TOKENS):
             yield doc_id, i // CHUNK_TOKENS, len(toks[i : i + CHUNK_TOKENS])

@@ -144,11 +144,16 @@ BOILER_FRAC = 0.5  # a line in > this fraction of a source's docs is chrome
 
 
 def _synth_lines_sql() -> str:
-    """DuckDB list of the synthetic page lines (see Spark twin below)."""
+    """DuckDB list of the synthetic page lines (see Spark twin below).
+
+    The half slices are coalesced to '': DuckDB's degenerate slice
+    ``toks[2:1]`` (a 1-token doc's empty second half) is NULL while
+    Spark's ``slice(toks, 2, 0)`` is ``[]`` -> '' — the empty-text
+    divergence tools/null_text_sweep.py caught."""
     return (
         "[ 'NAV home | about | ' || source, "
-        "array_to_string(toks[1:h], ' '), "
-        "array_to_string(toks[h+1:n], ' '), "
+        "coalesce(array_to_string(toks[1:h], ' '), ''), "
+        "coalesce(array_to_string(toks[h+1:n], ' '), ''), "
         "'(c) 2024 ' || source || ' all rights reserved' ]"
     )
 
@@ -161,7 +166,7 @@ WITH t AS (
            string_split(trim(text), ' ') AS toks,
            len(string_split(trim(text), ' ')) AS n,
            CAST(ceil(len(string_split(trim(text), ' ')) / 2.0) AS INT) AS h
-    FROM documents
+    FROM documents WHERE text IS NOT NULL
 ),
 lines AS (
     SELECT doc_id, source,
@@ -210,8 +215,15 @@ def q140_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
     document with a per-site NAV header and copyright footer — present
     in 100% of the site's docs, so the oracle checks that exactly those
     are flagged and the content halves survive.
+
+    NULL-text docs are excluded on BOTH sides (q95 discipline): their
+    NULL middle lines join differently than they concat
+    (tools/null_text_sweep.py finding), and a page with no text has no
+    lines to strip.
     """
-    d = load_table(spark, sf_dir, "documents")
+    d = load_table(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull()
+    )
     from batch_processing_new_spark.functions.text_funcs import tokens
 
     toks = tokens(F.col("text"))
@@ -260,13 +272,21 @@ def q140_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_lines"),
             F.sum(F.col("is_boiler").cast("long")).alias("n_boiler"),
-            F.concat_ws(
-                " | ",
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(F.struct(F.col("idx"), keep.alias("l")))
+            # NULL (not '') when every line is boilerplate: string_agg
+            # over all-NULLs is NULL, concat_ws is '' — the all-chrome
+            # page divergence tools/null_text_sweep.py caught
+            F.when(
+                F.count(keep) > 0,
+                F.concat_ws(
+                    " | ",
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(
+                                F.struct(F.col("idx"), keep.alias("l"))
+                            )
+                        ),
+                        lambda s: s["l"],
                     ),
-                    lambda s: s["l"],
                 ),
             ).alias("clean_text"),
         )
