@@ -675,10 +675,14 @@ def q89_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q91_max_concurrency",
     oracle="""
 WITH s AS (
+    -- NULL-value events excluded on BOTH sides: a session with no
+    -- duration has no sweep interval, and a NULL end point otherwise
+    -- lands in a NULL day group on one engine and joins away on the
+    -- other (tools/poison_sweep.py finding)
     SELECT date_trunc('second', CAST(ts AS TIMESTAMP)) AS st,
            date_trunc('second', CAST(ts AS TIMESTAMP))
              + to_seconds(CAST(floor(value * 60 + 0.5) AS BIGINT)) AS en
-    FROM events
+    FROM events WHERE value IS NOT NULL
 ),
 pts AS (
     SELECT st AS t, 1 AS delta FROM s
@@ -725,9 +729,15 @@ def q91_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql import Window
 
-    e = load_table(spark, sf_dir, "events").select(
-        epoch_seconds(F.col("ts")).alias("s"),
-        F.floor(F.col("value") * 60 + 0.5).cast("long").alias("dur"),
+    e = (
+        load_table(spark, sf_dir, "events")
+        # NULL-value events excluded like the oracle: no duration, no
+        # sweep interval
+        .where(F.col("value").isNotNull())
+        .select(
+            epoch_seconds(F.col("ts")).alias("s"),
+            F.floor(F.col("value") * 60 + 0.5).cast("long").alias("dur"),
+        )
     )
     pts = (
         e.select(F.col("s").alias("t"), F.lit(1).alias("delta"))

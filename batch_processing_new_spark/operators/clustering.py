@@ -36,7 +36,11 @@ from pyspark.sql import functions as F
 
 from batch_processing_new_spark.operators.similarity import _f64, dot
 from batch_processing_new_spark.registry import query
-from batch_processing_new_spark.sources.readers import fan_out, load_table
+from batch_processing_new_spark.sources.readers import (
+    fan_out,
+    load_table,
+    load_vectors,
+)
 
 DIM = 64
 K_CLUSTERS = 8
@@ -214,7 +218,7 @@ def _kmeans_cte(k: int = K_CLUSTERS, iters: int = KM_ITERS) -> str:
     unrolled, one scored+assign+update CTE triple per iteration."""
     parts = [
         "emb AS (SELECT vec_id, "
-        "list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings)",
+        "list_transform(embedding, x -> x::DOUBLE) AS v FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) > 0))",
         f"c0 AS (SELECT vec_id AS cid, v AS c FROM emb WHERE vec_id < {k})",
     ]
     for it in range(iters):
@@ -267,7 +271,7 @@ def q113_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     from deterministic seeds — an iterative ML algorithm with an EXACT
     value oracle (Lloyd unrolled as SQL CTEs, as q102 does PageRank).
     """
-    e = load_table(spark, sf_dir, "embeddings")
+    e = load_vectors(spark, sf_dir)
     return (
         lloyd_kmeans(e)
         .withColumn("d2", F.round(F.col("d2"), 6))
@@ -315,7 +319,7 @@ def q114_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     left-anti join on vec_id. Deterministic end to end: assignment and
     cosine are both rounded before any comparison.
     """
-    e = load_table(spark, sf_dir, "embeddings")
+    e = load_vectors(spark, sf_dir)
     assign = lloyd_kmeans(e).select("vec_id", "cluster").localCheckpoint(
         eager=False
     )
@@ -364,15 +368,15 @@ _COV_DIM = 64
 WITH mu AS (
     SELECT i,
            CAST(sum(CAST(embedding[i]::DOUBLE AS DECIMAL(38,12)))
-                AS DOUBLE) / (SELECT count(*) FROM embeddings) AS m
-    FROM embeddings, generate_series(1, {_COV_DIM}) g(i)
+                AS DOUBLE) / (SELECT count(*) FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) > 0)) AS m
+    FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) > 0), generate_series(1, {_COV_DIM}) g(i)
     GROUP BY i
 ),
 prods AS (
     SELECT gi.i AS i, gj.i AS j,
            CAST(sum(CAST(e.embedding[gi.i]::DOUBLE * e.embedding[gj.i]::DOUBLE
                          AS DECIMAL(38,12))) AS DOUBLE) AS s
-    FROM embeddings e,
+    FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) > 0) e,
          generate_series(1, {_COV_DIM}) gi(i),
          generate_series(1, {_COV_DIM}) gj(i)
     WHERE gj.i >= gi.i
@@ -382,7 +386,7 @@ SELECT p.i - 1 AS i, p.j - 1 AS j,
        -- "+ 0" folds IEEE negative zero to +0.0: round() can emit -0.0
        -- on one engine and +0.0 on the other (equal floats, different
        -- canonicalizer strings)
-       round(p.s / (SELECT count(*) FROM embeddings)
+       round(p.s / (SELECT count(*) FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) > 0))
              - mi.m * mj.m, 6) + 0 AS cov
 FROM prods p
 JOIN mu mi ON mi.i = p.i
@@ -409,7 +413,7 @@ def q160_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     explode fan-out constant, at the cost of leaving whole-stage
     codegen — measured unnecessary at fixture scale.
     """
-    e = load_table(spark, sf_dir, "embeddings")
+    e = load_vectors(spark, sf_dir)
     n = e.count()
     v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     # the projected vector table is shared by BOTH branches (pair sums

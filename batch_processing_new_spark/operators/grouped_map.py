@@ -68,10 +68,15 @@ def ewma_per_user(events: DataFrame, alpha: float = ALPHA) -> DataFrame:
     "q62_ewma_grouped_map",
     oracle=f"""
 WITH ordered AS (
+    -- NULL-value events excluded on BOTH sides: a NaN poisons the
+    -- Python recursion (math.floor(nan) raises) while SQL's weighted
+    -- sum silently skips it but still counts its position — two
+    -- different wrong answers (tools/poison_sweep.py finding); an
+    -- unvalued event simply does not update the EWMA.
     SELECT user_id, value,
            row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS i,
            count(*)    OVER (PARTITION BY user_id)                        AS n
-    FROM events
+    FROM events WHERE value IS NOT NULL
 )
 SELECT user_id,
        n AS n_events,
@@ -91,9 +96,10 @@ def q62_ewma_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     Note the float subtlety: the Python side computes the literal
     recursion, the oracle the expanded weighted sum — with alpha = 0.5
     both are exact binary arithmetic on the same terms, so round(6)
-    comparison is stable.
+    comparison is stable. NULL-value events are excluded on both sides
+    (see the oracle comment).
     """
-    e = load_table(spark, sf_dir, "events")
+    e = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
     return ewma_per_user(e).orderBy("user_id")
 
 

@@ -44,11 +44,15 @@ EVENT_RULES: list[tuple[str, str, str]] = [
     ),
     (
         # DuckDB's json_extract ERRORS on malformed JSON (the very rows
-        # this rule exists to catch) — json_valid gates it; Spark's
-        # get_json_object already returns NULL there
+        # this rule exists to catch) — and a bare `json_valid(x) AND
+        # json_extract(x)` does NOT protect it: SQL engines may evaluate
+        # both conjuncts (DuckDB's vectorized executor does, caught by
+        # tools/poison_sweep.py), so the gate must be a CASE branch.
+        # Spark's get_json_object already returns NULL there.
         "props_has_k",
         "get_json_object(props, '$.k') IS NOT NULL",
-        "json_valid(props) AND json_extract(props, '$.k') IS NOT NULL",
+        "CASE WHEN json_valid(props) "
+        "THEN json_extract(props, '$.k') IS NOT NULL ELSE FALSE END",
     ),
 ]
 

@@ -575,17 +575,30 @@ def q17_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q18_json_funcs",
     oracle="""
+WITH x AS (
+    -- CASE-gated: DuckDB's json_extract_string ERRORS on malformed
+    -- JSON where Spark's from_json returns NULL, and a bare
+    -- json_valid() AND does not short-circuit in a vectorized engine
+    -- (tools/poison_sweep.py finding)
+    SELECT event_type,
+           CASE WHEN json_valid(props)
+                THEN CAST(json_extract_string(props, '$.k') AS INTEGER)
+           END AS k
+    FROM events
+)
 SELECT event_type,
-       count(*)                                                               AS n_events,
-       CAST(sum(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
-       round(avg(CAST(json_extract_string(props, '$.k') AS INTEGER)), 6)       AS avg_k
-FROM events
+       count(*)                          AS n_events,
+       CAST(sum(k) AS BIGINT)            AS sum_k,
+       round(avg(k), 6)                  AS avg_k
+FROM x
 GROUP BY event_type
 ORDER BY event_type
 """,
 )
 def q18_json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Semi-structured extraction: from_json on the events.props payload."""
+    """Semi-structured extraction: from_json on the events.props payload.
+    Malformed payload rows extract NULL on both sides (from_json's
+    PERMISSIVE NULL vs the oracle's json_valid CASE gate)."""
     e = load_table(spark, sf_dir, "events")
     k = F.from_json(F.col("props"), "k INT").getField("k")
     return (
@@ -765,8 +778,12 @@ def q22_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q125_variant_json",
     oracle="""
 WITH x AS (
+    -- CASE-gated like q18: malformed props must extract NULL, not
+    -- abort the audit (tools/poison_sweep.py finding)
     SELECT event_type,
-           CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+           CASE WHEN json_valid(props)
+                THEN CAST(json_extract_string(props, '$.k') AS INTEGER)
+           END AS k
     FROM events
 )
 SELECT event_type,
@@ -793,7 +810,11 @@ def q125_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     combine on a 5-key groupBy).
     """
     e = load_table(spark, sf_dir, "events")
-    v = F.parse_json(F.col("props"))
+    # try_parse_json, not parse_json: VARIANT parsing is strict, so one
+    # malformed payload row would abort the whole job instead of
+    # extracting NULL (tools/poison_sweep.py finding; matches q18's
+    # PERMISSIVE from_json and the oracle's json_valid gate)
+    v = F.try_parse_json(F.col("props"))
     k = F.variant_get(v, "$.k", "int")
     return (
         e.select("event_type", k.alias("k"))

@@ -34,7 +34,11 @@ from batch_processing_new_spark.functions.text_funcs import (
     hash60_sql,
     tokens,
 )
-from batch_processing_new_spark.sources.readers import fan_out, load_table
+from batch_processing_new_spark.sources.readers import (
+    fan_out,
+    load_table,
+    load_vectors,
+)
 
 # ------------------------------------------------------------- BM25
 
@@ -310,7 +314,7 @@ lexr AS (
 ),
 cos AS (
     SELECT b.vec_id AS doc_id, round({_HY_COS_SQL}, 6) AS cos_sim
-    FROM embeddings b, embeddings a
+    FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) > 0) b, (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) > 0) a
     WHERE a.vec_id = {HYBRID_QVEC}
     ORDER BY round({_HY_COS_SQL}, 6) DESC, b.vec_id LIMIT {HYBRID_DEPTH}
 ),
@@ -377,7 +381,7 @@ def q151_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # vector leg: broadcast the 1-row query vector against the corpus;
     # norms per VECTOR, not per pair (the q41 discipline — |q| is a
     # constant and |c| is needed once; bit-identical, 1/3 the folds)
-    e = load_table(spark, sf_dir, "embeddings")
+    e = load_vectors(spark, sf_dir)
     qv = e.where(F.col("vec_id") == HYBRID_QVEC).select(
         _f64("embedding").alias("qv")
     ).withColumn("nq", F.sqrt(dot(F.col("qv"), F.col("qv"))))

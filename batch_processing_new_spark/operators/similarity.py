@@ -29,7 +29,11 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from batch_processing_new_spark.registry import query
-from batch_processing_new_spark.sources.readers import fan_out, load_table
+from batch_processing_new_spark.sources.readers import (
+    fan_out,
+    load_table,
+    load_vectors,
+)
 
 DIM = 64
 TOPK = 10
@@ -87,7 +91,7 @@ WITH scored AS (
     SELECT a.vec_id AS query_id,
            b.vec_id AS neighbor_id,
            round({_COS_SQL}, 6) AS cos_sim
-    FROM embeddings a, embeddings b
+    FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) > 0) a, (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) > 0) b
     WHERE a.vec_id < {N_QUERIES} AND b.vec_id <> a.vec_id
 ),
 ranked AS (
@@ -109,7 +113,7 @@ def q40_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql import Window
 
-    e = load_table(spark, sf_dir, "embeddings")
+    e = load_vectors(spark, sf_dir)
     # norms precomputed per VECTOR (the q41 discipline): |q| and |c|
     # inside every pair cost two extra interpreted 64-element folds per
     # pair (~3x the scoring work); sqrt(dot(v,v)) is bit-identical per
@@ -147,7 +151,7 @@ def q40_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT a.vec_id AS id_a,
        b.vec_id AS id_b,
        round({_COS_SQL}, 6) AS cos_sim
-FROM embeddings a
+FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) > 0) a
 JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
 WHERE round({_COS_SQL}, 6) >= 0.3
 ORDER BY id_a, id_b
@@ -160,7 +164,7 @@ def q41_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     coarse cell, LSH bucket): the O(n^2) is confined to blocks. The
     unblocked scale path is q42's sign-LSH.
     """
-    e = load_table(spark, sf_dir, "embeddings")
+    e = load_vectors(spark, sf_dir)
     # norms precomputed per VECTOR, not per pair: cosine(a, b) needs
     # dot(a,b)/(|a||b|), and |a| recomputed inside every pair costs two
     # extra 64-element interpreted dots per pair (~3x the work at any
@@ -377,7 +381,7 @@ WITH dots AS (
                        (('0x' || substr(md5('plane:' || p.p || ':' || j), 1, 8))::BIGINT
                         / 2147483647.0 - 1.0))
             FROM generate_series(0, {DIM - 1}) g(j)) AS dot
-    FROM embeddings e, generate_series(0, {N_PLANES - 1}) p(p)
+    FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) > 0) e, generate_series(0, {N_PLANES - 1}) p(p)
 ),
 sig AS (
     SELECT vec_id,
@@ -443,7 +447,7 @@ def q42_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     could disagree when a plane dot is within float-ulp of 0; no
     fixture vector sits on that edge (and the recall invariant in
     tests/test_similarity.py is hash-independent regardless)."""
-    e = load_table(spark, sf_dir, "embeddings")
+    e = load_vectors(spark, sf_dir)
     return ann_lsh_topk(e).orderBy("query_id", "rank")
 
 
@@ -638,14 +642,14 @@ def ann_ivf_topk(
 _IVF_ORACLE = f"""
 WITH seeds AS (
     SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, embedding AS c
-    FROM embeddings ORDER BY vec_id LIMIT {IVF_CELLS}
+    FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) > 0) ORDER BY vec_id LIMIT {IVF_CELLS}
 ),
 a1 AS (
     SELECT e.vec_id, e.embedding,
            (SELECT s.cid FROM seeds s
             ORDER BY {_d2_sql_of("e.embedding", "s.c")} ASC, s.cid ASC
             LIMIT 1) AS cell
-    FROM embeddings e
+    FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) > 0) e
 ),
 m1 AS (
     SELECT a1.cell AS cid, g.i AS pos,
@@ -667,7 +671,7 @@ corpus AS (
            (SELECT t.cid FROM cents t
             ORDER BY {_d2_sql_of("e.embedding", "t.c")} ASC, t.cid ASC
             LIMIT 1) AS cell
-    FROM embeddings e
+    FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) > 0) e
 ),
 probes AS (
     SELECT e.vec_id AS query_id, e.embedding, t.cid AS cell,
@@ -675,7 +679,7 @@ probes AS (
                PARTITION BY e.vec_id
                ORDER BY {_d2_sql_of("e.embedding", "t.c")} ASC, t.cid ASC
            ) AS pr
-    FROM embeddings e CROSS JOIN cents t
+    FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) > 0) e CROSS JOIN cents t
     WHERE e.vec_id < {N_QUERIES}
 ),
 cand AS (
@@ -723,7 +727,7 @@ def q57_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     it, and ``exact_fold`` removes the one source of that (numpy's
     pairwise summation).
     """
-    e = load_table(spark, sf_dir, "embeddings")
+    e = load_vectors(spark, sf_dir)
     return ann_ivf_topk(e, exact_fold=True).orderBy("query_id", "rank")
 
 
@@ -740,7 +744,7 @@ def q57_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
 WITH dims AS (
     SELECT label, unnest(range({DIM})) AS dim_id, embedding
-    FROM embeddings
+    FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) > 0)
 )
 SELECT label,
        dim_id,
@@ -762,7 +766,7 @@ def q93_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     a centroid pass over 100 TB of vectors one cheap stage. (The same
     shape backs train_ivf_centroids' Lloyd step.)
     """
-    e = load_table(spark, sf_dir, "embeddings")
+    e = load_vectors(spark, sf_dir)
     return (
         fan_out(e.select("label", "embedding"))
         .select("label", F.posexplode(_f64("embedding")).alias("dim_id", "v"))
@@ -790,7 +794,7 @@ _DEC_E = "DECIMAL(38,24)"  # error terms are ~1e-6; sum exactly, then /dim
     "q120_int8_quantization",
     oracle=f"""
 WITH dims AS (
-    SELECT vec_id, unnest(range({DIM})) AS dim_id, embedding FROM embeddings
+    SELECT vec_id, unnest(range({DIM})) AS dim_id, embedding FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) > 0)
 ),
 vals AS (
     SELECT vec_id, dim_id, embedding[dim_id + 1]::DOUBLE AS x FROM dims
@@ -826,7 +830,7 @@ def q120_int8_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
     order (float addition is not associative; DECIMAL is) — same
     discipline as the revenue aggregates in relational.py.
     """
-    e = load_table(spark, sf_dir, "embeddings")
+    e = load_vectors(spark, sf_dir)
     vals = fan_out(e).select(
         "vec_id", F.posexplode(_f64("embedding")).alias("dim_id", "x")
     )
@@ -865,7 +869,7 @@ WITH scored AS (
     SELECT a.vec_id AS query_id,
            b.vec_id AS neighbor_id,
            round({_COS_SQL}, 6) AS cos_sim
-    FROM embeddings a, embeddings b
+    FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) > 0) a, (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) > 0) b
     WHERE a.vec_id < {N_QUERIES}
       AND b.vec_id <> a.vec_id
       AND b.label % 2 = 0
@@ -898,7 +902,7 @@ def q145_filtered_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql import Window
 
-    e = load_table(spark, sf_dir, "embeddings")
+    e = load_vectors(spark, sf_dir)
     q = e.where(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), _f64("embedding").alias("qv")
     ).withColumn("nq", F.sqrt(dot(F.col("qv"), F.col("qv"))))
@@ -933,13 +937,13 @@ _NEG_K = 5
     oracle=f"""
 WITH q AS (
     SELECT vec_id AS query_id, label AS query_label, embedding
-    FROM embeddings WHERE vec_id < {N_QUERIES}
+    FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) > 0) WHERE vec_id < {N_QUERIES}
 ),
 scored AS (
     SELECT q.query_id, q.query_label,
            b.vec_id AS neighbor_id, b.label AS neighbor_label,
            round({_cos_sql_of("q.embedding", "b.embedding")}, 6) AS cos_sim
-    FROM q, embeddings b
+    FROM q, (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) > 0) b
     WHERE b.label <> q.query_label
 ),
 ranked AS (
@@ -969,7 +973,7 @@ def q168_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql import Window
 
-    e = load_table(spark, sf_dir, "embeddings")
+    e = load_vectors(spark, sf_dir)
     q = e.where(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("label").alias("query_label"),
@@ -1016,13 +1020,13 @@ _DECON_TAU = 0.5
     oracle=f"""
 WITH ev AS (
     SELECT vec_id AS eval_id, embedding
-    FROM embeddings
+    FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) > 0)
     WHERE vec_id >= {_DECON_EVAL_LO} AND vec_id < {_DECON_EVAL_HI}
 ),
 scored AS (
     SELECT b.vec_id, e.eval_id,
            round({_cos_sql_of("e.embedding", "b.embedding")}, 6) AS cos_sim
-    FROM embeddings b, ev e
+    FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) > 0) b, ev e
     WHERE b.vec_id < {_DECON_EVAL_LO} OR b.vec_id >= {_DECON_EVAL_HI}
 ),
 best AS (
@@ -1054,7 +1058,7 @@ def q176_semantic_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql import Window
 
-    e = load_table(spark, sf_dir, "embeddings")
+    e = load_vectors(spark, sf_dir)
     in_eval = (F.col("vec_id") >= _DECON_EVAL_LO) & (
         F.col("vec_id") < _DECON_EVAL_HI
     )

@@ -64,6 +64,32 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load_table(spark, sf_dir, name) for name in TABLES}
 
 
+#: DuckDB twin of load_vectors() — inline wherever an oracle reads the
+#: embeddings table, so both sides share ONE vector-validity boundary.
+VECTORS_SQL = (
+    "(SELECT * FROM embeddings "
+    "WHERE embedding IS NOT NULL AND len(embedding) > 0)"
+)
+
+
+def load_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The embeddings table with invalid vectors excluded (NULL or
+    zero-length embedding) — the single load boundary for every
+    similarity/clustering consumer.
+
+    A NULL embedding crashes numpy-side kernels (``np.stack(None)``),
+    a zero-length one divides cosine by a zero norm (ANSI: job abort),
+    and the SQL oracles' NULL-propagating arithmetic silently drops or
+    NULLs the same rows — three different behaviors for one bad row
+    (tools/poison_sweep.py findings: q41/q42/q93/q113/q114/q120).
+    Excluding them HERE, with the identical predicate inlined in every
+    oracle (VECTORS_SQL), gives one defined semantics: an invalid
+    vector does not participate in vector ops.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    return e.where(F.col("embedding").isNotNull() & (F.size("embedding") > 0))
+
+
 def read_csv(
     spark: SparkSession,
     path: str,

@@ -299,15 +299,23 @@ def q184_xml_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     from batch_processing_new_spark.sources.readers import load_table
 
     ev = load_table(spark, sf_dir, "events")
+
+    # a real serializer OMITS a NULL field's element (from_xml then
+    # parses it back as NULL); a naive concat NULLs the WHOLE payload
+    # the moment any one field is NULL, collapsing unrelated rows into
+    # the NULL group (tools/poison_sweep.py finding)
+    def _opt(tag: str, col):
+        return F.coalesce(
+            F.concat(F.lit(f"<{tag}>"), col, F.lit(f"</{tag}>")), F.lit("")
+        )
+
     xml = ev.select(
         F.concat(
-            F.lit("<event><id>"),
-            F.col("event_id").cast("string"),
-            F.lit("</id><type>"),
-            F.col("event_type"),
-            F.lit("</type><value>"),
-            F.col("value").cast("string"),
-            F.lit("</value></event>"),
+            F.lit("<event>"),
+            _opt("id", F.col("event_id").cast("string")),
+            _opt("type", F.col("event_type")),
+            _opt("value", F.col("value").cast("string")),
+            F.lit("</event>"),
         ).alias("payload")
     )
     parsed = xml.select(

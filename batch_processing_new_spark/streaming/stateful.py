@@ -41,9 +41,12 @@ def _update_user_state(
         # while pandas .round() is half-to-even — a value like 0.125
         # (exactly representable, *100 = 12.5) would diverge by a cent.
         # Values here are nonnegative, so +0.5-floor IS half-away.
-        cents += int(
-            np.floor(pdf["value"].to_numpy() * 100 + 0.5).astype("int64").sum()
-        )
+        # dropna first: a NULL value arrives as NaN, and NaN.astype
+        # (int64) is INT64_MIN — one bad row silently poisoned the
+        # user's running total to -9.2e16 (tools/poison_sweep.py);
+        # SQL sum() skips NULLs, so skipping here keeps the oracle.
+        vals = pdf["value"].dropna().to_numpy()
+        cents += int(np.floor(vals * 100 + 0.5).astype("int64").sum())
         max_id = max(max_id, int(pdf["event_id"].max()))
     state.update((n, cents, max_id))
     yield pd.DataFrame(

@@ -1,0 +1,193 @@
+#!/usr/bin/env python
+"""Poisoned-fixture robustness sweep: NULL/degenerate cells in every
+CUSTOM table, verified over every oracle-able query.
+
+The driver fixtures are pristine — no NULL text, no NULL event values,
+no malformed props, no NULL embeddings — so neither the local sweep nor
+the driver can exhibit the divergence class found (and fixed) in q95,
+the dedup family, multimodal, and scoring: Spark's NULL-array/
+NULL-skipping expression semantics vs a SQL oracle's NULL-propagating /
+zero-row-unnest semantics. A FUTURE fixture generation (or any real
+deployment — 100 TB corpora are never NULL-free) would silently split
+the two sides. This sweep makes the class testable NOW:
+
+1. copy sf0.001 into a temp dir and append adversarial rows:
+   - documents: one NULL-text doc, one empty-string-text doc;
+   - events: one row with NULL value + NULL props, one with malformed
+     (non-JSON) props, one with NULL user_id, one with NULL event_type
+     (ts stays valid — a NULL timestamp is ingest-rejected data, not a
+     representable event);
+   - embeddings: one row with a NULL embedding, one with an empty
+     array (vector dim stays fixed otherwise — wrong-dim vectors
+     violate the declared FLOAT[64] contract);
+2. run EVERY registered oracle-able query, Spark vs DuckDB, with the
+   run_verify canon;
+3. report any query whose two sides disagree on the poisoned fixture.
+
+The r03 first run (documents-only variant) found 12 divergent queries
+that six per-module adversarial reviews had missed. A crash here is a
+finding, not noise. tests/test_null_text_robustness.py runs this as a
+permanent gate.
+
+Usage: python tools/poison_sweep.py [name-substr ...]
+Exit 1 on any divergence/crash.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+import tempfile
+
+import duckdb
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+BASE = "/root/testdata/sf0.001"
+
+from batch_processing_new_spark.sources.readers import TABLES  # noqa: E402
+
+
+def _max_id(con, src: str, col: str) -> int:
+    return con.sql(f"SELECT max({col}) FROM read_parquet('{src}')").fetchone()[0]
+
+
+def build_poisoned_dir(dst: str) -> None:
+    con = duckdb.connect()
+    for t in TABLES:
+        src = os.path.join(BASE, f"{t}.parquet")
+        out = os.path.join(dst, f"{t}.parquet")
+        if t == "documents":
+            mx = _max_id(con, src, "doc_id")
+            con.sql(
+                f"""
+                COPY (
+                    SELECT * FROM read_parquet('{src}')
+                    UNION ALL
+                    SELECT {mx + 1}, NULL, 'en', 'poison', NULL
+                    UNION ALL
+                    SELECT {mx + 2}, '', 'en', 'poison', 0
+                ) TO '{out}' (FORMAT PARQUET)
+                """
+            )
+        elif t == "events":
+            mx = _max_id(con, src, "event_id")
+            anchor = con.sql(
+                f"SELECT max(ts) FROM read_parquet('{src}')"
+            ).fetchone()[0]
+            ts = f"TIMESTAMP '{anchor}'"
+            con.sql(
+                f"""
+                COPY (
+                    SELECT * FROM read_parquet('{src}')
+                    UNION ALL
+                    SELECT {mx + 1}, {ts}, 7, 'view', NULL, NULL
+                    UNION ALL
+                    SELECT {mx + 2}, {ts}, 8, 'click', 1.0, '{{k: broken'
+                    UNION ALL
+                    SELECT {mx + 3}, {ts}, NULL, 'purchase', 2.0, '{{"k": 1}}'
+                    UNION ALL
+                    SELECT {mx + 4}, {ts}, 9, NULL, 3.0, '{{"k": 2}}'
+                ) TO '{out}' (FORMAT PARQUET)
+                """
+            )
+        elif t == "embeddings":
+            mx = _max_id(con, src, "vec_id")
+            con.sql(
+                f"""
+                COPY (
+                    SELECT * FROM read_parquet('{src}')
+                    UNION ALL
+                    SELECT {mx + 1}, NULL, 0
+                    UNION ALL
+                    SELECT {mx + 2}, []::FLOAT[], 1
+                ) TO '{out}' (FORMAT PARQUET)
+                """
+            )
+        else:
+            shutil.copyfile(src, out)
+    con.close()
+
+
+def main(argv: list[str]) -> int:
+    import importlib.util
+
+    from pyspark.sql import SparkSession
+
+    spec = importlib.util.spec_from_file_location(
+        "__spark_entry__",
+        os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "__spark_entry__.py",
+        ),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    from batch_processing_new_spark import registry
+
+    tmp = tempfile.mkdtemp(prefix="poison_")
+    build_poisoned_dir(tmp)
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{tmp}/{t}.parquet')"
+        )
+
+    # the run_verify canon (shared import keeps ONE comparison contract)
+    from tests.run_verify import canon_rows  # type: ignore
+
+    names = [
+        name
+        for name, s in sorted(registry.all_specs().items())
+        if s.oracle and (not argv or any(sub in name for sub in argv))
+    ]
+    failed: list[str] = []
+    for name in names:
+        s = registry.all_specs()[name]
+        try:
+            sdf = s.fn(spark, tmp)
+            a = canon_rows(sdf.columns, [tuple(r) for r in sdf.collect()])
+            rel = con.sql(s.oracle)
+            b = canon_rows(rel.columns, rel.fetchall())
+        except Exception as exc:  # noqa: BLE001
+            print(f"CRASH  {name}: {type(exc).__name__}: {str(exc)[:200]}")
+            failed.append(name)
+            continue
+        if a != b:
+            diff = next(
+                (
+                    (i, x, y)
+                    for i, (x, y) in enumerate(zip(a, b))
+                    if x != y
+                ),
+                None,
+            )
+            print(
+                f"DIFF   {name}: rows spark={len(a)} duck={len(b)}"
+                + (f" first-diff@{diff[0]}: {diff[1][:90]} | {diff[2][:90]}" if diff else "")
+            )
+            failed.append(name)
+        else:
+            print(f"ok     {name} ({len(a)} rows)")
+    shutil.rmtree(tmp, ignore_errors=True)
+    print(
+        f"\n{len(failed)} DIVERGENT of {len(names)} oracle-able queries "
+        "on the poisoned fixture"
+        + (f": {failed}" if failed else " — ALL ROBUST")
+    )
+    return 1 if failed else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main(sys.argv[1:]))
