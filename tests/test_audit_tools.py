@@ -1,0 +1,103 @@
+"""Unit tests for the measurement kernels of the audit tools.
+
+The audits gate correctness claims (fragility margins, poisoned-fixture
+parity), so their own kernels need pinning: a wrong margin formula
+passes everything silently (the first draft had the boundary distance
+INVERTED — values exactly ON a representable 9-digit number measured as
+margin 0 instead of maximal).
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+
+from fragility_audit import margin_ulps, ulp_delta  # noqa: E402
+
+
+def _fmt(v: float) -> str:
+    return f"{v:.9g}"
+
+
+def test_margin_zero_means_format_flip_within_one_ulp():
+    """A cell whose margin measures < 1 ulp must actually flip its
+    %.9g rendering under a 1-ulp nudge — the property the audit's
+    threshold reasons about."""
+    # 10-digit odd integer ending in 5: exactly ON the 9-digit boundary
+    v = 1234567895.0
+    m = margin_ulps(np.array([v]))[0]
+    assert m < 1.0
+    assert _fmt(v) != _fmt(math.nextafter(v, math.inf)) or _fmt(
+        v
+    ) != _fmt(math.nextafter(v, -math.inf))
+
+
+def test_margin_large_means_format_stable():
+    """Values representable in <= 9 significant digits sit maximally
+    FAR from the boundary (the inverted-formula regression): round(x,6)
+    outputs must measure millions of ulps, and the rendering must be
+    1-ulp stable."""
+    for v in (0.123456, 3.75, 123456789.0, 0.5, 1e-6):
+        m = margin_ulps(np.array([v]))[0]
+        assert m > 1e5, (v, m)
+        assert _fmt(v) == _fmt(math.nextafter(v, math.inf))
+        assert _fmt(v) == _fmt(math.nextafter(v, -math.inf))
+
+
+def test_margin_handles_nonfinite_and_zero():
+    out = margin_ulps(np.array([0.0, math.nan, math.inf, -0.0]))
+    assert all(x == math.inf for x in out)
+
+
+def test_margin_monotone_near_boundary():
+    """Moving k ulps off the boundary measures ~k ulps of margin."""
+    v = 1234567895.0
+    for k in (1, 5, 50):
+        moved = v
+        for _ in range(k):
+            moved = math.nextafter(moved, math.inf)
+        m = margin_ulps(np.array([moved]))[0]
+        assert k - 1.5 <= m <= k + 1.5, (k, m)
+
+
+def test_ulp_delta_symmetric_and_scaled():
+    a = np.array([1.0, 1e300, 2.5])
+    b = np.array([math.nextafter(1.0, 2.0), 1e300, 2.5])
+    d = ulp_delta(a, b)
+    assert d[0] == pytest.approx(1.0)
+    assert d[1] == 0.0
+    assert d[2] == 0.0
+
+
+def test_poisoned_fixture_builder_shape(tmp_path):
+    """The poison rows land with the adversarial cells the sweep's
+    findings depend on (NULL text, malformed props, NULL vector...)."""
+    import duckdb
+
+    from poison_sweep import build_poisoned_dir
+
+    build_poisoned_dir(str(tmp_path))
+    con = duckdb.connect()
+    docs = f"read_parquet('{tmp_path}/documents.parquet')"
+    ev = f"read_parquet('{tmp_path}/events.parquet')"
+    emb = f"read_parquet('{tmp_path}/embeddings.parquet')"
+    assert con.sql(f"SELECT count(*) FROM {docs} WHERE text IS NULL").fetchone()[0] == 1
+    assert con.sql(f"SELECT count(*) FROM {docs} WHERE text = ''").fetchone()[0] >= 1
+    assert con.sql(
+        f"SELECT count(*) FROM {ev} WHERE props IS NOT NULL AND NOT json_valid(props)"
+    ).fetchone()[0] == 1
+    assert con.sql(f"SELECT count(*) FROM {ev} WHERE value IS NULL").fetchone()[0] == 1
+    assert con.sql(f"SELECT count(*) FROM {ev} WHERE user_id IS NULL").fetchone()[0] == 1
+    assert con.sql(f"SELECT count(*) FROM {ev} WHERE event_type IS NULL").fetchone()[0] == 1
+    assert con.sql(f"SELECT count(*) FROM {emb} WHERE embedding IS NULL").fetchone()[0] == 1
+    assert con.sql(
+        f"SELECT count(*) FROM {emb} WHERE embedding IS NOT NULL AND len(embedding) = 0"
+    ).fetchone()[0] == 1
+    # the poisoned tables still contain the full original fixture
+    assert con.sql(f"SELECT count(*) FROM {docs}").fetchone()[0] == 502
