@@ -35,7 +35,14 @@ import time
 
 import duckdb
 
-SF_DIR = "/root/testdata/sf0.01"
+# sf0.01 is the driver's correctness SF; override to sweep another
+# fixture (e.g. SPARK_GRAFT_VERIFY_SF_DIR=/root/testdata/sf0.1 checks
+# for constants that only hold at the default SF)
+import os as _os
+
+SF_DIR = _os.environ.get(
+    "SPARK_GRAFT_VERIFY_SF_DIR", "/root/testdata/sf0.01"
+)
 # single source of truth for the table list (conftest does the same)
 sys.path.insert(0, "/root/repo")
 from batch_processing_new_spark.sources.readers import TABLES  # noqa: E402
