@@ -956,9 +956,14 @@ def q107_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q108_interpolate_gaps",
     oracle="""
 WITH hourly AS (
+    -- DECIMAL-exact mean (dsum discipline): a float avg() is
+    -- partition-order-dependent, and its last-ulp noise flipped one
+    -- round(6) cell at sf0.1 (caught by the SPARK_GRAFT_VERIFY_SF_DIR
+    -- sweep; invisible at the sf0.01 verify SF)
     SELECT event_type,
            date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h,
-           avg(value) AS v
+           CAST(sum(CAST(value AS DECIMAL(30,8))) AS DOUBLE)
+               / count(value) AS v
     FROM events GROUP BY 1, 2
 ),
 bounds AS (
@@ -1017,7 +1022,14 @@ def q108_interpolate_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
     hourly = e.groupBy(
         "event_type", F.date_trunc("hour", "ts").alias("h")
-    ).agg(F.avg("value").alias("v"))
+    ).agg(
+        # DECIMAL-exact mean, not F.avg: float avg is partition-order-
+        # dependent and one sf0.1 cell sat on a round(6) boundary
+        (
+            F.sum(F.col("value").cast("decimal(30,8)")).cast("double")
+            / F.count("value")
+        ).alias("v")
+    )
     bounds = hourly.agg(
         F.min("h").alias("h0"), F.max("h").alias("h1")
     )

@@ -232,8 +232,17 @@ def _kmeans_cte(k: int = K_CLUSTERS, iters: int = KM_ITERS) -> str:
             PARTITION BY vec_id ORDER BY d2, cid) AS rn
         FROM s{it})
     WHERE rn = 1)""",
+            # the mean replays Spark's quantize-then-exact-sum chain
+            # (round to 1e-10 units -> exact int sum -> double -> two
+            # divisions, same op order) instead of a float avg(): the
+            # float avg agrees with the quantized mean only to ~5e-11,
+            # which sits INSIDE the round(6) boundary width often
+            # enough to matter across k x dim x iters cells (the q108
+            # sf0.1 boundary-flip class, preempted here)
             f"""u{it} AS (
-    SELECT a.cluster AS cid, g.i AS pos, round(avg(e.v[g.i]), 6) AS m
+    SELECT a.cluster AS cid, g.i AS pos,
+           round(CAST(sum(CAST(round(e.v[g.i] * 10000000000.0) AS BIGINT))
+                      AS DOUBLE) / 10000000000.0 / count(*), 6) AS m
     FROM a{it} a JOIN emb e USING (vec_id), generate_series(1, 64) g(i)
     GROUP BY 1, 2)""",
             f"""c{it + 1} AS (

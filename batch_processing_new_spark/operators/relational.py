@@ -607,7 +607,9 @@ def q18_json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             F.sum("k").alias("sum_k"),
-            F.round(F.avg("k"), 6).alias("avg_k"),
+            # exact mean: F.avg over ints sums in DOUBLE (partition-
+            # order noise) while DuckDB's int avg sums exactly
+            F.round(F.sum("k") / F.count("k"), 6).alias("avg_k"),
         )
         .orderBy("event_type")
     )
@@ -712,7 +714,8 @@ sessions AS (
 SELECT user_id,
        CAST(max(session_id) AS BIGINT)  AS n_sessions,
        count(*)                         AS n_events,
-       round(sum(value), 4)             AS total_value
+       round(CAST(sum(CAST(value AS DECIMAL(30,8))) AS DOUBLE), 4)
+                                        AS total_value
 FROM sessions
 GROUP BY user_id
 ORDER BY user_id
@@ -742,7 +745,9 @@ def q21_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.max("session_id").cast("bigint").alias("n_sessions"),
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 4).alias("total_value"),
+            # dsum discipline: a raw double sum is partition-order-
+            # dependent (the q108 sf0.1 boundary-flip class)
+            F.round(dsum("value"), 4).alias("total_value"),
         )
         .orderBy("user_id")
     )

@@ -121,7 +121,10 @@ def bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).localCheckpoint()
     dl = per_doc.select("doc_id", "dl")
     stats = per_doc.agg(
-        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+        F.count(F.lit(1)).alias("n_docs"),
+        # exact mean (long sum / count), not F.avg: Spark's int avg
+        # sums in DOUBLE with partition-order noise; DuckDB's is exact
+        (F.sum("dl") / F.count("dl")).alias("avgdl"),
     )
     tf = (
         per_doc.select("doc_id", F.explode("hits").alias("t"))

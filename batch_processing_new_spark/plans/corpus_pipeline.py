@@ -293,10 +293,16 @@ dup AS (
 )
 SELECT t.source,
        count(*)                                            AS n_docs,
-       round(avg(t.n_tokens), 6)                           AS avg_tokens,
-       round(avg(t.n_distinct * 1.0 / t.n_tokens), 6)      AS avg_ttr,
-       round(avg(e.entropy_bits), 6)                       AS avg_entropy,
-       round(avg(d.is_dup), 6)                             AS dup_fraction
+       -- exact means (dsum discipline): int sums are exact on both
+       -- engines; the double columns reduce under DECIMAL so no mean
+       -- depends on partition/scan order (the q108 sf0.1 lesson)
+       round(sum(t.n_tokens) * 1.0 / count(*), 6)          AS avg_tokens,
+       round(CAST(sum(CAST(t.n_distinct * 1.0 / t.n_tokens
+                           AS DECIMAL(30,12))) AS DOUBLE)
+             / count(*), 6)                                AS avg_ttr,
+       round(CAST(sum(CAST(e.entropy_bits AS DECIMAL(30,12))) AS DOUBLE)
+             / count(*), 6)                                AS avg_entropy,
+       round(sum(d.is_dup) * 1.0 / count(*), 6)            AS dup_fraction
 FROM toks t
 JOIN ent e USING (doc_id)
 JOIN dup d ON d.doc_id = t.doc_id
@@ -341,17 +347,28 @@ def q130_source_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).otherwise(0)
     base = base.withColumn("is_dup", is_dup)
     ent = q127_byte_entropy(spark, sf_dir).select("doc_id", "entropy_bits")
+    dec = "decimal(30,12)"
+    n = F.count(F.lit(1))
     return (
         base.join(ent, "doc_id")
         .groupBy("source")
         .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.round(F.avg("n_tokens"), 6).alias("avg_tokens"),
-            F.round(F.avg(F.col("n_distinct") / F.col("n_tokens")), 6).alias(
-                "avg_ttr"
-            ),
-            F.round(F.avg("entropy_bits"), 6).alias("avg_entropy"),
-            F.round(F.avg("is_dup"), 6).alias("dup_fraction"),
+            n.alias("n_docs"),
+            # exact means, not F.avg: Spark sums int avg inputs in
+            # DOUBLE (partition-order-dependent last ulps) while DuckDB
+            # sums exactly — the q108 sf0.1 boundary-flip class
+            F.round(F.sum("n_tokens") / n, 6).alias("avg_tokens"),
+            F.round(
+                F.sum(
+                    (F.col("n_distinct") / F.col("n_tokens")).cast(dec)
+                ).cast("double")
+                / n,
+                6,
+            ).alias("avg_ttr"),
+            F.round(
+                F.sum(F.col("entropy_bits").cast(dec)).cast("double") / n, 6
+            ).alias("avg_entropy"),
+            F.round(F.sum("is_dup") / n, 6).alias("dup_fraction"),
         )
         .orderBy("source")
     )
