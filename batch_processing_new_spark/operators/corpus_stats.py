@@ -389,6 +389,14 @@ def q164_source_lang_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _TREND_HALF_LIFE_DECAY = 0.5  # per-day decay factor (half-life = 1 day)
 _TREND_TOP = 20
+#: decay horizon in days: activity older than this scores 0 (weight
+#: would be 2^-40 ~ 9e-13 — invisible on a trending board). The clamp
+#: is what keeps the score an EXACT integer multiple of 2^-40 at any
+#: scale: without it, a term 2^-age with age beyond ~45 days next to a
+#: count of thousands exceeds the 52-bit mantissa and the float sum
+#: silently becomes partition-order-dependent again (the TESTDATA.md
+#: rule-8 class — the fixture's 29-day span masked it).
+_TREND_HORIZON = 40
 
 
 @query(
@@ -405,8 +413,14 @@ WITH daily AS (
 anchor AS (SELECT max(day) AS last_day FROM daily),
 scored AS (
     SELECT d.item,
-           sum(d.n * pow({_TREND_HALF_LIFE_DECAY},
-                         date_diff('day', d.day, a.last_day))) AS score,
+           CAST(sum(CASE WHEN date_diff('day', d.day, a.last_day)
+                              <= {_TREND_HORIZON}
+                    THEN d.n::DECIMAL(38,0)
+                         * CAST(power(2.0, {_TREND_HORIZON}
+                                  - date_diff('day', d.day, a.last_day))
+                                AS DECIMAL(38,0))
+                    ELSE 0::DECIMAL(38,0) END) AS DOUBLE)
+           / {float(2.0 ** _TREND_HORIZON)!r} AS score,
            sum(d.n)::BIGINT AS total_n
     FROM daily d CROSS JOIN anchor a
     GROUP BY d.item
@@ -418,22 +432,28 @@ LIMIT {_TREND_TOP}
 """,
 )
 def q187_decayed_trending(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exponentially-decayed trending items (half-life one day): each
-    item's daily event counts weighted by 0.5^age and summed — recent
-    activity dominates, history fades; the top {_TREND_TOP} by decayed
-    score. The recency-weighted popularity shape behind trending
-    dashboards and freshness-aware sampling.
+    """Exponentially-decayed trending items (half-life one day,
+    horizon {_TREND_HORIZON} days): each item's daily event counts
+    weighted by 0.5^age and summed — recent activity dominates,
+    history fades, activity past the horizon scores 0; the top
+    {_TREND_TOP} by decayed score. The recency-weighted popularity
+    shape behind trending dashboards and freshness-aware sampling.
 
-    Determinism note: the decay weights are exact powers of two and
-    the daily counts are small integers, so every product is a dyadic
-    rational that a float64 holds EXACTLY — the decayed sum is
-    order-independent without any DECIMAL discipline (the one float
-    aggregation in the engine that is exact by construction). The
-    score ships UNROUNDED: bit-identical doubles hash identically on
-    every engine build, while round(·, 6) of a dyadic (e.g. 2^-7 ->
-    7812.5 ulps) sits exactly on the half-way boundary whose
-    convention differs across engine versions — the r02 q83 failure
-    class. Malformed props rows are guarded on BOTH sides (Spark's
+    Determinism note: the weights are powers of two, so the score is
+    accumulated as an EXACT integer — each cell contributes
+    n * 2^(H - age) (a DECIMAL(38,0) integer; power(2.0, k) is an
+    exact double for k in [0, {_TREND_HORIZON}] and its DECIMAL cast
+    is exact), the sum is order-independent by construction, and the
+    single float rounding is the final cast-to-double / 2^H scaling —
+    one correctly-rounded conversion of an exact integer, identical
+    on every engine build. The horizon clamp is load-bearing: an
+    UNCLAMPED dyadic sum is only exact while the age spread stays
+    under the 52-bit mantissa (~45 days next to thousand-scale
+    counts), beyond which partition-order noise returns — the
+    TESTDATA.md rule-8 class. The score ships UNROUNDED (round(·, 6)
+    of a dyadic sits exactly on the half-way boundary whose convention
+    differs across engine versions — the r02 q83 failure class).
+    Malformed props rows are guarded on BOTH sides (Spark's
     get_json_object NULLs them; the oracle gates json_extract behind
     json_valid the way q173 does).
 
@@ -448,16 +468,20 @@ def q187_decayed_trending(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(F.count("*").alias("n"))
     daily = daily.localCheckpoint(eager=False)
     anchor = daily.agg(F.max("day").alias("last_day"))
+    age = F.datediff(F.col("last_day"), F.col("day"))
+    dec0 = "decimal(38,0)"
+    scaled_term = F.when(
+        age <= _TREND_HORIZON,
+        F.col("n").cast(dec0)
+        * F.pow(F.lit(2.0), _TREND_HORIZON - age).cast(dec0),
+    ).otherwise(F.lit(0).cast(dec0))
     scored = (
         daily.crossJoin(F.broadcast(anchor))
         .groupBy("item")
         .agg(
-            F.sum(
-                F.col("n")
-                * F.pow(
-                    F.lit(_TREND_HALF_LIFE_DECAY),
-                    F.datediff(F.col("last_day"), F.col("day")),
-                )
+            (
+                F.sum(scaled_term).cast("double")
+                / F.lit(float(2.0 ** _TREND_HORIZON))
             ).alias("score"),
             F.sum("n").alias("total_n"),
         )

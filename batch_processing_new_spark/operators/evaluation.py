@@ -69,7 +69,12 @@ tot AS (
     FROM cells
 ),
 chance AS (
-    SELECT sum(lm.ln::DOUBLE * pm.pn) / (t.total::DOUBLE * t.total) AS pe
+    -- marginal products summed EXACTLY (DECIMAL(38,0)): as doubles
+    -- they are exact only below 2^53, i.e. ~1e8 rows per class —
+    -- beyond that the tiny sum turns partition-order-dependent
+    -- (TESTDATA.md rule 8); one double conversion at the end
+    SELECT CAST(sum(lm.ln::DECIMAL(38,0) * pm.pn) AS DOUBLE)
+           / (t.total::DOUBLE * t.total) AS pe
     FROM (SELECT label AS c, sum(n) AS ln FROM cells GROUP BY label) lm
     JOIN (SELECT pred AS c, sum(n) AS pn FROM cells GROUP BY pred) pm
       USING (c)
@@ -114,7 +119,10 @@ def q192_annotator_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(tot))
         .agg(
             (
-                F.sum(F.col("ln").cast("double") * F.col("pn"))
+                # exact DECIMAL product sum (rule 8): the double
+                # products are only exact below 2^53 per cell
+                F.sum(F.col("ln").cast("decimal(38,0)") * F.col("pn"))
+                .cast("double")
                 / F.first(F.col("total").cast("double") * F.col("total"))
             ).alias("pe")
         )

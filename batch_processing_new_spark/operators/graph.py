@@ -80,27 +80,44 @@ def pagerank(edges: DataFrame, iters: int = PR_ITERS, damp: float = PR_DAMP) -> 
     list is materialized once (localCheckpoint) — it feeds every
     iteration plus the degree table, and re-deriving the self-join per
     iteration would dominate the cost.
+
+    The per-dst contribution sum is a data-scale float aggregation, so
+    the r/d terms are rounded to 9dp and reduced under DECIMAL (the
+    q188 term-sum discipline): a raw double sum is partition-order-
+    dependent at the last ulp, which compounds per iteration
+    (TESTDATA.md rule 8). One double conversion per iteration, after
+    the exact sum.
     """
     edges = edges.localCheckpoint(eager=False)
     deg = edges.groupBy("src").agg(F.count("*").alias("d"))
     contrib_base = edges.join(deg, "src")  # (src, dst, d)
     ranks = deg.select(F.col("src").alias("v"), F.lit(1.0).alias("r"))
+    contrib = F.round(F.col("r") / F.col("d"), 9).cast("decimal(30,9)")
     for _ in range(iters):
         ranks = (
             contrib_base.join(ranks, contrib_base["src"] == ranks["v"])
-            .select("dst", (F.col("r") / F.col("d")).alias("c"))
+            .select("dst", contrib.alias("c"))
             .groupBy("dst")
-            .agg((F.lit(1.0 - damp) + F.lit(damp) * F.sum("c")).alias("r"))
+            .agg(
+                (
+                    F.lit(1.0 - damp)
+                    + F.lit(damp) * F.sum("c").cast("double")
+                ).alias("r")
+            )
             .select(F.col("dst").alias("v"), "r")
         )
     return ranks
 
 
 def _pr_iter_sql(prev: str, cur: str) -> str:
+    # contributions rounded then DECIMAL-summed — the exact twin of
+    # pagerank()'s order-independent reduce (q188 discipline)
     return f"""
 {cur} AS (
     SELECT p.dst AS v,
-           {1 - PR_DAMP} + {PR_DAMP} * sum({prev}.r / deg.d) AS r
+           {1 - PR_DAMP} + {PR_DAMP} * CAST(sum(
+               CAST(round({prev}.r / deg.d, 9) AS DECIMAL(30,9))
+           ) AS DOUBLE) AS r
     FROM pairs p
     JOIN {prev} ON {prev}.v = p.src
     JOIN deg ON deg.src = p.src

@@ -146,9 +146,13 @@ def skew_profile(df, key: str):
         F.count(F.lit(1)).alias("n_keys"),
         F.max("c").alias("max_rows"),
         F.round(F.max("c") / F.sum("c"), 9).alias("top1_share"),
-        F.round(F.max("c") * F.count(F.lit(1)) / F.sum("c"), 6).alias(
-            "skew_factor"
-        ),
+        # double BEFORE the product: max_rows * n_keys as long*long
+        # silently wraps past 2^63 at data scale (the q185/q164
+        # overflow class); the oracle's max(c)*1.0*count(*) is the
+        # identical double-first DAG
+        F.round(
+            F.max("c").cast("double") * F.count(F.lit(1)) / F.sum("c"), 6
+        ).alias("skew_factor"),
     )
 
 

@@ -48,41 +48,46 @@ BM25_TOPK = 20
 #: fixture-vocabulary query terms (the query is an input, not a dial)
 BM25_QUERY = ("data", "table", "row")
 
-_Q_SQL = "(" + ", ".join(f"'{t}'" for t in BM25_QUERY) + ")"
+def _bm25_term_sql(i: int) -> str:
+    """SQL twin of one fixed-position BM25 term (see bm25_scored)."""
+    return (
+        f"ln((s.n_docs - s.df{i} + 0.5) / (s.df{i} + 0.5) + 1)"
+        f" * p.tf{i} * ({BM25_K1} + 1)"
+        f" / (p.tf{i} + {BM25_K1} * (1 - {BM25_B}"
+        f" + {BM25_B} * p.dl / s.avgdl))"
+    )
 
+
+_TFS_SQL = ",\n           ".join(
+    f"len(list_filter(string_split(trim(text), ' '), x -> x = '{t}'))"
+    f" AS tf{i}"
+    for i, t in enumerate(BM25_QUERY)
+)
+_DFS_SQL = ",\n           ".join(
+    f"sum(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS df{i}"
+    for i in range(len(BM25_QUERY))
+)
 
 #: shared CTE chain producing scored(doc_id, score) — q141's ranking
 #: and q151's lexical leg state the identical BM25 pipeline.
-_BM25_SCORED_CTE = f"""tok AS (
-    SELECT doc_id, unnest(string_split(trim(text), ' ')) AS t
+_BM25_SCORED_CTE = f"""perdoc AS (
+    SELECT doc_id,
+           len(string_split(trim(text), ' ')) AS dl,
+           {_TFS_SQL}
     FROM documents WHERE text IS NOT NULL
 ),
-dl AS (
-    SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id
-),
 stats AS (
-    SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl
-),
-tf AS (
-    SELECT doc_id, t, count(*) AS tf FROM tok WHERE t IN {_Q_SQL}
-    GROUP BY doc_id, t
-),
-df AS (
-    -- tf already holds ONE row per (doc_id, t), so document frequency
-    -- is a plain row count over tf: no second pass over tok
-    SELECT t, count(*) AS df FROM tf GROUP BY t
+    SELECT count(*) AS n_docs,
+           sum(dl) * 1.0 / count(dl) AS avgdl,
+           {_DFS_SQL}
+    FROM perdoc
 ),
 scored AS (
-    SELECT tf.doc_id,
-           sum(
-             ln((stats.n_docs - df.df + 0.5) / (df.df + 0.5) + 1)
-             * tf.tf * ({BM25_K1} + 1)
-             / (tf.tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * dl.dl / stats.avgdl))
-           ) AS score
-    FROM tf
-    JOIN df USING (t)
-    JOIN dl USING (doc_id), stats
-    GROUP BY tf.doc_id
+    SELECT p.doc_id,
+           ({" + ".join(_bm25_term_sql(i) for i in range(len(BM25_QUERY)))})
+               AS score
+    FROM perdoc p CROSS JOIN stats s
+    WHERE {" OR ".join(f"p.tf{i} > 0" for i in range(len(BM25_QUERY)))}
 )"""
 
 
@@ -91,70 +96,92 @@ def bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     document containing at least one query term. The Spark twin of
     ``_BM25_SCORED_CTE`` — see q141's docstring for the plan shape.
 
-    The corpus is tokenized EXACTLY ONCE: the naive dataframe graph
-    consumes the tokenize subtree four times (tf, df, dl, avgdl) and
-    Spark recomputes it per consumer — the pre-fix audited plan had
-    three full corpus scans. One localCheckpoint of the per-document
-    projection (doc_id, dl, query-term hits) pins the single pass;
-    the materialized rows are O(docs) ints plus a <=|query|-element
-    array, not O(corpus bytes), so the checkpoint stays cheap at any
-    scale. tf explodes the checkpointed hits, df is a row count over
-    tf (tf already holds one row per (doc, term)), and dl/avgdl read
-    the checkpointed ints. Measured at sf0.1: q141 1.43 s -> ~1.0 s (steady state; the
-    single-warm-up SCALE.md row reads 1.06 s), q151's fused total
-    2.2 s -> ~1.3 s steady / ~2.0 s single-warm-up.
+    The query terms are a small CONSTANT list, so the per-term tf
+    counts pivot into fixed columns inside the scan stage (one
+    ``size(filter(toks, = term))`` per term) and the score is a single
+    fixed-order scalar expression ``term0 + term1 + term2`` over the
+    broadcast 1-row stats frame. Two properties follow:
+
+    - ZERO joins and zero per-(doc, term) shuffle. The previous shape
+      (explode hits -> groupBy(doc, t) -> broadcast df join ->
+      groupBy(doc) float sum) summed each doc's <=3 float terms in
+      SHUFFLE-FETCH order: the per-doc term rows live in different
+      (doc, t)-hashed partitions, so even a single engine could round
+      the last ulp differently run to run — nondeterminism no oracle
+      or determinism re-run can reliably catch. The pivoted form
+      evaluates the identical fixed-order scalar DAG on both engines:
+      bit-identical before any rounding, by construction (the q163
+      final-scalar discipline). A zero tf contributes exactly 0.0, so
+      absent terms are exact no-ops in the sum.
+    - The corpus is tokenized EXACTLY ONCE: one localCheckpoint of the
+      per-document projection (doc_id, dl, per-term tfs — O(docs)
+      ints, not corpus bytes) feeds both the stats aggregate and the
+      score projection; df/avgdl/n_docs are one tiny aggregate
+      broadcast back.
+
+    At real query widths (hundreds of terms) the pivot stays viable up
+    to codegen expression limits; beyond that the (doc, term) join
+    shape returns, with the term sum DECIMAL-quantized for order
+    independence.
 
     NULL-text docs are excluded on BOTH sides (q95 discipline): the
-    oracle's unnest drops them from every CTE, while an unfiltered
-    Spark side would still count them into n_docs (tokens(NULL) is a
-    NULL array, not zero rows) and shift every idf."""
+    oracle's perdoc CTE drops them, while an unfiltered Spark side
+    would still count them into n_docs (tokens(NULL) is a NULL array,
+    not zero rows) and shift every idf."""
     d = load_table(spark, sf_dir, "documents").where(
         F.col("text").isNotNull()
     )
     toks = tokens(F.col("text"))
     base = fan_out(d.select("doc_id", toks.alias("toks")))
     q_terms = list(BM25_QUERY)
+
+    def tf_of(term: str) -> Column:
+        # NOTE: a plain 1-arg lambda per call — a default-arg closure
+        # (lambda x, t=t: ...) has arity 2, which F.filter interprets
+        # as the (element, index) form and binds the term to the index
+        return F.size(F.filter(F.col("toks"), lambda x: x == F.lit(term)))
+
     per_doc = base.select(
         "doc_id",
         F.size("toks").alias("dl"),
-        F.filter(F.col("toks"), lambda x: x.isin(*q_terms)).alias("hits"),
+        *[tf_of(t).alias(f"tf{i}") for i, t in enumerate(q_terms)],
     ).localCheckpoint()
-    dl = per_doc.select("doc_id", "dl")
     stats = per_doc.agg(
         F.count(F.lit(1)).alias("n_docs"),
         # exact mean (long sum / count), not F.avg: Spark's int avg
         # sums in DOUBLE with partition-order noise; DuckDB's is exact
         (F.sum("dl") / F.count("dl")).alias("avgdl"),
+        *[
+            F.sum(F.when(F.col(f"tf{i}") > 0, 1).otherwise(0)).alias(
+                f"df{i}"
+            )
+            for i in range(len(q_terms))
+        ],
     )
-    tf = (
-        per_doc.select("doc_id", F.explode("hits").alias("t"))
-        .groupBy("doc_id", "t")
-        .agg(F.count(F.lit(1)).alias("tf"))
-    )
-    # tf has exactly one row per (doc_id, t), so document frequency is
-    # a row count over tf — no second pass over the corpus tokens
-    df = tf.groupBy("t").agg(F.count(F.lit(1)).alias("df"))
-    return (
-        tf.join(F.broadcast(df), "t")
-        .join(dl, "doc_id")
-        .crossJoin(F.broadcast(stats))
-        .groupBy("doc_id")
-        .agg(
-            F.sum(
-                F.log(
-                    (F.col("n_docs") - F.col("df") + 0.5)
-                    / (F.col("df") + 0.5)
-                    + 1
-                )
-                * F.col("tf")
-                * (BM25_K1 + 1)
-                / (
-                    F.col("tf")
-                    + BM25_K1
-                    * (1 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))
-                )
-            ).alias("score")
+
+    def term(i: int) -> Column:
+        tf = F.col(f"tf{i}")
+        dfi = F.col(f"df{i}")
+        return (
+            F.log((F.col("n_docs") - dfi + 0.5) / (dfi + 0.5) + 1)
+            * tf
+            * (BM25_K1 + 1)
+            / (
+                tf
+                + BM25_K1
+                * (1 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))
+            )
         )
+
+    score = term(0)
+    has_hit = F.col("tf0") > 0
+    for i in range(1, len(q_terms)):
+        score = score + term(i)
+        has_hit = has_hit | (F.col(f"tf{i}") > 0)
+    return (
+        per_doc.where(has_hit)
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", score.alias("score"))
     )
 
 
@@ -176,15 +203,14 @@ def q141_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     {BM25_QUERY} under the Lucene BM25 formula (k1={BM25_K1},
     b={BM25_B}).
 
-    Scale shape: the only corpus-sized shuffle is the per-doc length
-    aggregation (map-side combined counts). Query-term tf rows are
-    filtered BEFORE the explode leaves the scan stage (``t IN query``
-    — |query| rows per doc, not |doc| rows), and df/avgdl/n_docs are
-    tiny aggregates joined back broadcast. The final top-k is a
-    single-partition sort over the already-scored candidate set (only
-    docs containing a query term), not the corpus. The deterministic
-    cut is (round(score,6) DESC, doc_id) so the top-k row SET is
-    engine-independent even under float-ordering ties.
+    Scale shape: scoring is bm25_scored's zero-join in-scan pivot —
+    per-term tf columns computed inside the scan stage, df/avgdl/
+    n_docs one tiny aggregate broadcast back, no per-(doc, term)
+    shuffle anywhere. The final top-k is a TakeOrdered over the
+    already-scored candidate set (only docs containing a query term),
+    not the corpus. The deterministic cut is (round(score,6) DESC,
+    doc_id) so the top-k row SET is engine-independent even under
+    float-ordering ties.
     """
     scored = bm25_scored(spark, sf_dir)
     from pyspark.sql import Window
