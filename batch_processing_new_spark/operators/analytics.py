@@ -1568,7 +1568,10 @@ def q157_jackknife_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         "total",
         (
             (F.col("total") - F.col("s")).cast("double")
-            / (F.col("n") - F.col("cnt"))
+            # nullif: when one shard holds the ENTIRE sample (n == cnt,
+            # e.g. a 1-row relation) the leave-it-out mean is 0/0 —
+            # NULL in DuckDB, an ANSI raise in Spark without the guard
+            / F.nullif(F.col("n") - F.col("cnt"), F.lit(0))
         ).alias("m"),
     )
     mb = loo.agg(

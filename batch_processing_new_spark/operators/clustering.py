@@ -164,6 +164,16 @@ def lloyd_kmeans(
         .collect()
     )
     centroids = [list(r.v) for r in seeds]
+    if not centroids:
+        # empty corpus -> no seeds: emit the 0-row contract frame
+        # instead of indexing into an empty centroid list (the oracle's
+        # c0/a_final chain is likewise empty). An upstream filter that
+        # matches nothing is routine at scale, not an error.
+        return vecs.select(
+            "vec_id",
+            F.lit(None).cast("int").alias("cluster"),
+            F.lit(None).cast("double").alias("d2"),
+        ).where(F.lit(False))
     for _ in range(iters):
         partials = vecs.mapInPandas(
             _partial_centroid_sums(centroids),
@@ -197,7 +207,11 @@ def lloyd_kmeans(
             .collect()
         )
         new = {r.cluster: list(r.centroid) for r in means}
-        centroids = [new.get(i, centroids[i]) for i in range(k)]
+        # range over the ACTUAL seed count, not the requested k: a
+        # corpus with fewer than k rows seeds fewer centroids, and
+        # indexing centroids[i] past that is an IndexError, not a
+        # cluster (the oracle's c0 is likewise |corpus|-bounded)
+        centroids = [new.get(i, centroids[i]) for i in range(len(centroids))]
     a = _assign_with_d2_np(centroids)("embedding").alias("a")
     return vecs.select("vec_id", a).select(
         "vec_id", F.col("a.cluster").alias("cluster"), F.col("a.d2").alias("d2")

@@ -301,18 +301,26 @@ def q162_ks_statistic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         cdf.crossJoin(F.broadcast(tot))
+        # grouped (not global) agg, mirroring the oracle's GROUP BY
+        # tot.na, tot.nb: on an empty corpus both sides then emit ZERO
+        # rows instead of Spark fabricating one all-NULL global-agg row
+        .groupBy("n_a", "n_b")
         .agg(
             F.round(
                 F.max(
                     F.abs(
-                        F.col("ca") / F.col("n_a") - F.col("cb") / F.col("n_b")
+                        # nullif: with only ONE source present (e.g. a
+                        # 1-row relation) the other side's count is 0
+                        # — the D statistic is undefined, NULL in
+                        # DuckDB, an ANSI raise in Spark unguarded
+                        F.col("ca") / F.nullif(F.col("n_a"), F.lit(0))
+                        - F.col("cb") / F.nullif(F.col("n_b"), F.lit(0))
                     )
                 ),
                 6,
             ).alias("ks_d"),
-            F.first("n_a").alias("n_a"),
-            F.first("n_b").alias("n_b"),
         )
+        .select("ks_d", "n_a", "n_b")
     )
 
 
@@ -380,7 +388,15 @@ def q164_source_lang_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_y",
             F.round(pmi, 6).alias("pmi"),
             F.round(
-                pmi / -F.log(F.col("n_xy").cast("double") / F.col("n")), 6
+                # nullif: a cell holding the ENTIRE corpus (n_xy == n,
+                # e.g. a 1-row relation) has -ln(p) = 0 — npmi is
+                # undefined, NULL in DuckDB, an ANSI raise in Spark
+                pmi
+                / F.nullif(
+                    -F.log(F.col("n_xy").cast("double") / F.col("n")),
+                    F.lit(0.0),
+                ),
+                6,
             ).alias("npmi"),
         )
         .orderBy("source", "lang")
@@ -578,7 +594,12 @@ def q188_chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             F.sqrt(
                 F.col("chi2")
-                / (F.col("n") * min(n_src - 1, n_lang - 1))
+                # nullif: a 1x1 contingency table (single source or
+                # single lang) has min(r-1, c-1) = 0 — Cramer's V is
+                # undefined, NULL in DuckDB, an ANSI raise in Spark
+                / F.nullif(
+                    F.col("n") * min(n_src - 1, n_lang - 1), F.lit(0)
+                )
             ),
             6,
         ).alias("cramers_v"),
@@ -610,9 +631,12 @@ ent AS (
            any_value(t.k) AS k
     FROM per_source p CROSS JOIN tot t GROUP BY t.total
 )
-SELECT round(g.g, 6) AS gini,
+SELECT round(g.g, 6) + 0.0 AS gini,
        round(h.h, 6) AS hhi,
-       round(e.e, 6) AS shannon_entropy,
+       -- + 0.0 canonicalizes IEEE negative zero: a single-source
+       -- corpus has e = -(1 * ln 1) = -0.0, which renders "-0" vs
+       -- Spark's "0" in the driver's %.9g hash
+       round(e.e, 6) + 0.0 AS shannon_entropy,
        round(e.e / ln(e.k), 6) AS evenness
 FROM gini g, hhi h, ent e
 """,
@@ -643,20 +667,38 @@ def q189_concentration_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     joined = ranked.crossJoin(F.broadcast(tot))
     p = F.col("n") / F.col("total")
-    agg = joined.agg(
-        (
-            F.sum((2 * F.col("i") - F.col("k") - 1) * F.col("n"))
-            / F.first(F.col("k") * F.col("total"))
-        ).alias("gini"),
-        F.sum(p * p).alias("hhi"),
-        (-F.sum(p * F.log(p))).alias("shannon_entropy"),
-        F.first("k").alias("k"),
+    # grouped (not global) agg, mirroring the oracle's GROUP BY t.k,
+    # t.total: on an empty corpus both sides then emit ZERO rows
+    # instead of Spark fabricating one all-NULL global-agg row
+    agg = (
+        joined.groupBy("k", "total")
+        .agg(
+            F.sum((2 * F.col("i") - F.col("k") - 1) * F.col("n")).alias(
+                "gnum"
+            ),
+            F.sum(p * p).alias("hhi"),
+            (-F.sum(p * F.log(p))).alias("shannon_entropy"),
+        )
+        .select(
+            (F.col("gnum") / (F.col("k") * F.col("total"))).alias("gini"),
+            "hhi",
+            "shannon_entropy",
+            "k",
+        )
     )
     return agg.select(
-        F.round("gini", 6).alias("gini"),
+        # + 0.0 mirrors the oracle's negative-zero canonicalization
+        (F.round("gini", 6) + F.lit(0.0)).alias("gini"),
         F.round("hhi", 6).alias("hhi"),
-        F.round("shannon_entropy", 6).alias("shannon_entropy"),
+        (F.round("shannon_entropy", 6) + F.lit(0.0)).alias(
+            "shannon_entropy"
+        ),
         F.round(
-            F.col("shannon_entropy") / F.log(F.col("k").cast("double")), 6
+            # nullif: a single-source corpus has ln(k) = ln(1) = 0 —
+            # Pielou evenness is undefined, NULL in DuckDB, an ANSI
+            # raise in Spark without the guard
+            F.col("shannon_entropy")
+            / F.nullif(F.log(F.col("k").cast("double")), F.lit(0.0)),
+            6,
         ).alias("evenness"),
     )

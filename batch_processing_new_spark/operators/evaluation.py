@@ -117,13 +117,22 @@ def q192_annotator_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     chance = (
         lm.join(pm, "c")
         .crossJoin(F.broadcast(tot))
+        # grouped (not global) agg, mirroring the oracle's GROUP BY
+        # t.total: when the label and pred marginals share no class
+        # (possible on a 1-row relation) both sides emit ZERO rows
+        # instead of Spark fabricating one all-NULL global-agg row
+        .groupBy("total")
         .agg(
+            # exact DECIMAL product sum (rule 8): the double
+            # products are only exact below 2^53 per cell
+            F.sum(F.col("ln").cast("decimal(38,0)") * F.col("pn"))
+            .cast("double")
+            .alias("pe_num")
+        )
+        .select(
             (
-                # exact DECIMAL product sum (rule 8): the double
-                # products are only exact below 2^53 per cell
-                F.sum(F.col("ln").cast("decimal(38,0)") * F.col("pn"))
-                .cast("double")
-                / F.first(F.col("total").cast("double") * F.col("total"))
+                F.col("pe_num")
+                / (F.col("total").cast("double") * F.col("total"))
             ).alias("pe")
         )
     )
@@ -136,9 +145,13 @@ def q192_annotator_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
             "pred",
             "n",
             F.round(acc, 6).alias("accuracy"),
-            F.round((acc - F.col("pe")) / (1 - F.col("pe")), 6).alias(
-                "kappa"
-            ),
+            # nullif: pe = 1 (all mass in one agreeing cell) makes
+            # kappa 0/0 — NULL in DuckDB, an ANSI raise in Spark
+            F.round(
+                (acc - F.col("pe"))
+                / F.nullif(1 - F.col("pe"), F.lit(0.0)),
+                6,
+            ).alias("kappa"),
         )
         .orderBy("label", "pred")
     )
@@ -223,10 +236,18 @@ def q193_precision_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         "fp",
         "fn",
         "tn",
-        F.round(tp / (tp + fp), 6).alias("precision"),
-        F.round(tp / (tp + fn), 6).alias("recall"),
-        F.round(2.0 * tp / (2 * tp + fp + fn), 6).alias("f1"),
-        F.round((tp + tn) / (tp + fp + fn + tn), 6).alias("accuracy"),
+        # nullif every confusion-count denominator: a degenerate
+        # relation can empty any of them (no predicted positives ->
+        # precision 0/0, no actual positives -> recall 0/0) — NULL in
+        # DuckDB, an ANSI DIVIDE_BY_ZERO raise in Spark unguarded
+        F.round(tp / F.nullif(tp + fp, F.lit(0)), 6).alias("precision"),
+        F.round(tp / F.nullif(tp + fn, F.lit(0)), 6).alias("recall"),
+        F.round(
+            2.0 * tp / F.nullif(2 * tp + fp + fn, F.lit(0)), 6
+        ).alias("f1"),
+        F.round(
+            (tp + tn) / F.nullif(tp + fp + fn + tn, F.lit(0)), 6
+        ).alias("accuracy"),
     )
 
 

@@ -114,13 +114,19 @@ def q163_ab_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
             "conv_b"
         ),
     )
-    cvr_a = F.col("conv_a") / F.col("n_a")
-    cvr_b = F.col("conv_b") / F.col("n_b")
-    pooled = (F.col("conv_a") + F.col("conv_b")) / (
-        F.col("n_a") + F.col("n_b")
+    # nullif every arm-count denominator: with one arm empty (e.g. a
+    # single-user relation) the rate is 0/0 — NULL in DuckDB, an ANSI
+    # DIVIDE_BY_ZERO raise in Spark without the guard (integral `/`
+    # is checked even though the result type is double)
+    na = F.nullif(F.col("n_a"), F.lit(0))
+    nb = F.nullif(F.col("n_b"), F.lit(0))
+    cvr_a = F.col("conv_a") / na
+    cvr_b = F.col("conv_b") / nb
+    pooled = (F.col("conv_a") + F.col("conv_b")) / F.nullif(
+        F.col("n_a") + F.col("n_b"), F.lit(0)
     )
     z = (cvr_b - cvr_a) / F.sqrt(
-        pooled * (1 - pooled) * (1.0 / F.col("n_a") + 1.0 / F.col("n_b"))
+        pooled * (1 - pooled) * (1.0 / na + 1.0 / nb)
     )
     return arms.select(
         "n_a",
@@ -236,7 +242,13 @@ def q172_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("sx") / F.col("n")).alias("mx"),
         (
             (F.col("sxy") - F.col("sx") * F.col("sy") / F.col("n"))
-            / (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n"))
+            # nullif: a degenerate pre-period (one user, or constant
+            # covariate) has var(pre) = 0 — theta is undefined, NULL
+            # in DuckDB, an ANSI raise in Spark without the guard
+            / F.nullif(
+                F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n"),
+                F.lit(0.0),
+            )
         ).alias("th"),
     )
     adjusted = per_user.crossJoin(F.broadcast(theta)).select(

@@ -298,6 +298,11 @@ SELECT o_orderstatus,
        {_dsum_sql('o_totalprice')}    AS revenue
 FROM orders
 GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+-- no-op on any non-empty input (every real group aggregates >= 1
+-- row); exists because Spark's rollup/cube emit NOTHING over an
+-- empty relation while ANSI emits the () grand-total row — the
+-- HAVING pins the oracle to the engine's (documented) behavior
+HAVING count(*) > 0
 ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
 """,
 )
@@ -326,6 +331,8 @@ SELECT l_returnflag,
        {_dsum_sql('l_quantity')}    AS sum_qty
 FROM lineitem
 GROUP BY CUBE (l_returnflag, l_linestatus)
+-- same empty-relation pin as q08_rollup's HAVING (see there)
+HAVING count(*) > 0
 ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
 """,
 )

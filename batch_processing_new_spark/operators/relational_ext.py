@@ -390,8 +390,16 @@ def q48_stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "var_qty",
         "corr_qty_price",
         "covar_qty_disc",
-        F.round(m3 / F.pow(m2, 1.5), 6).alias("skew_qty"),
-        F.round(m4 / F.pow(m2, 2) - 3, 6).alias("kurt_qty"),
+        # nullif the zero-variance denominator: a single-sample group
+        # has m2 = 0, where DuckDB's x/0.0 is NULL but Spark's ANSI
+        # division raises — skew/kurtosis are undefined there, so NULL
+        # on BOTH sides is the contract (values untouched otherwise)
+        F.round(m3 / F.nullif(F.pow(m2, 1.5), F.lit(0.0)), 6).alias(
+            "skew_qty"
+        ),
+        F.round(m4 / F.nullif(F.pow(m2, 2), F.lit(0.0)) - 3, 6).alias(
+            "kurt_qty"
+        ),
     ).orderBy("l_returnflag")
 
 
@@ -946,9 +954,16 @@ def q77_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("o_totalprice").alias("lo"), F.max("o_totalprice").alias("hi")
     )
     w = (F.col("hi") - F.col("lo")) / float(N_BINS)
+    # nullif the zero-width case (all values identical, e.g. a 1-row
+    # relation): DuckDB's 0/0.0 is NULL and least() skips NULLs on
+    # both engines, so each side lands the row in the top bin; Spark's
+    # ANSI division would instead raise
     binned = o.crossJoin(F.broadcast(stats)).select(
         F.least(
-            F.floor((F.col("o_totalprice") - F.col("lo")) / w).cast("int"),
+            F.floor(
+                (F.col("o_totalprice") - F.col("lo"))
+                / F.nullif(w, F.lit(0.0))
+            ).cast("int"),
             F.lit(N_BINS - 1),
         ).alias("bin"),
         "lo",

@@ -540,6 +540,11 @@ def train_ivf_centroids(
         .collect()
     )
     centroids = [list(r.v) for r in seeds]
+    if not centroids:
+        # empty corpus -> no quantizer; the caller emits a 0-row frame
+        # rather than building argmin expressions over an empty (VOID-
+        # typed) centroid array literal
+        return []
     wide = emb.select("embedding")
     for _ in range(lloyd_iters):
         cell1 = (
@@ -575,7 +580,10 @@ def train_ivf_centroids(
             .collect()
         )
         new = {r.cell: list(r.centroid) for r in means}
-        centroids = [new.get(i, centroids[i]) for i in range(k)]
+        # range over the ACTUAL seed count, not the requested k (a
+        # corpus smaller than the cell count seeds fewer centroids;
+        # same clamp as lloyd_kmeans)
+        centroids = [new.get(i, centroids[i]) for i in range(len(centroids))]
     return centroids
 
 
@@ -599,6 +607,15 @@ def ann_ivf_topk(
     from pyspark.sql import Window
 
     centroids = train_ivf_centroids(emb, cells, exact_fold=exact_fold)
+    if not centroids:
+        # empty corpus: no cells to probe — 0-row contract frame (the
+        # oracle's seeds/a1 CTE chain is likewise empty)
+        return emb.select(
+            F.col("vec_id").alias("query_id"),
+            F.col("vec_id").alias("neighbor_id"),
+            F.lit(None).cast("double").alias("cos_sim"),
+            F.lit(None).cast("int").alias("rank"),
+        ).where(F.lit(False))
     cell1 = (
         _nearest_cells(_f64("embedding"), centroids, 1).getItem(0)
         if exact_fold

@@ -432,6 +432,15 @@ def q99_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     # bounded collects: K (token, count) rows + one total row
     top = lm.orderBy(F.desc("c"), "t").limit(VOCAB_TOPK).collect()
     n_total = lm.agg(F.sum("c").alias("n")).collect()[0].n
+    if n_total is None:
+        # empty corpus: sum() over zero vocab rows is NULL — there is
+        # no language model to score with, and no documents to score;
+        # emit the 0-row contract frame instead of NULL arithmetic
+        return d.select(
+            "doc_id",
+            F.lit(0).alias("n_tokens"),
+            F.lit(None).cast("double").alias("avg_neg_logprob"),
+        ).orderBy("doc_id")
     unk_count = n_total - sum(r.c for r in top)
     import math
 
