@@ -1138,7 +1138,14 @@ def q121_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_segments"),
             F.round(
                 F.sum((F.col("value") * F.col("dur")).cast(DEC)).cast("double")
-                / F.sum(F.col("dur").cast(DEC)).cast("double"),
+                # nullif: a user whose observations all share ONE
+                # timestamp has total duration 0 — the time-weighted
+                # average is undefined, NULL in DuckDB, an ANSI raise
+                # in Spark without the guard
+                / F.nullif(
+                    F.sum(F.col("dur").cast(DEC)).cast("double"),
+                    F.lit(0.0),
+                ),
                 6,
             ).alias("twa"),
         )

@@ -125,8 +125,12 @@ def q163_ab_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
     pooled = (F.col("conv_a") + F.col("conv_b")) / F.nullif(
         F.col("n_a") + F.col("n_b"), F.lit(0)
     )
-    z = (cvr_b - cvr_a) / F.sqrt(
-        pooled * (1 - pooled) * (1.0 / na + 1.0 / nb)
+    # outer nullif: a degenerate experiment (zero conversions in BOTH
+    # arms, or everyone converting) has pooled variance 0 — z is
+    # undefined, NULL in DuckDB, an ANSI raise in Spark unguarded
+    z = (cvr_b - cvr_a) / F.nullif(
+        F.sqrt(pooled * (1 - pooled) * (1.0 / na + 1.0 / nb)),
+        F.lit(0.0),
     )
     return arms.select(
         "n_a",

@@ -325,7 +325,14 @@ WITH sums AS (
            CAST(sum(CAST(l_quantity * l_quantity * l_quantity * l_quantity AS DECIMAL(38,8))) AS DOUBLE) AS s4,
            round(stddev_samp(l_quantity), 4)                  AS sd_qty,
            round(var_samp(l_quantity), 4)                     AS var_qty,
-           round(corr(l_quantity, l_extendedprice), 6)        AS corr_qty_price,
+           -- corr as covar/(sd*sd), NOT the corr() builtin: with n >= 2
+           -- and a zero-variance column Spark's ANSI corr RAISES
+           -- (0/0 inside the aggregate) while DuckDB's yields NULL;
+           -- the composition nullif-degrades identically on both
+           -- engines and agrees with corr() within round(6) otherwise
+           round(covar_samp(l_quantity, l_extendedprice)
+                 / nullif(stddev_samp(l_quantity)
+                          * stddev_samp(l_extendedprice), 0), 6) AS corr_qty_price,
            round(covar_samp(l_quantity, l_discount), 6)       AS covar_qty_disc
     FROM lineitem
     GROUP BY l_returnflag
@@ -364,9 +371,17 @@ def q48_stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum((q * q * q * q).cast(d38)).cast("double").alias("s4"),
         F.round(F.stddev_samp("l_quantity"), 4).alias("sd_qty"),
         F.round(F.var_samp("l_quantity"), 4).alias("var_qty"),
-        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias(
-            "corr_qty_price"
-        ),
+        # covar/(sd*sd), not F.corr: the builtin raises DIVIDE_BY_ZERO
+        # under ANSI on a zero-variance group with n >= 2 (see oracle)
+        F.round(
+            F.covar_samp("l_quantity", "l_extendedprice")
+            / F.nullif(
+                F.stddev_samp("l_quantity")
+                * F.stddev_samp("l_extendedprice"),
+                F.lit(0.0),
+            ),
+            6,
+        ).alias("corr_qty_price"),
         F.round(F.covar_samp("l_quantity", "l_discount"), 6).alias(
             "covar_qty_disc"
         ),

@@ -23,14 +23,21 @@ here:
   centroids, top-k of an empty corpus).
 
 1. copy sf0.001 into a temp dir, truncating every table to 0 rows
-   (``empty`` mode) or its min-key row (``single`` mode) —
-   schema-preserving in both;
+   (``empty`` mode), its min-key row (``single`` mode), or — the
+   third axis — keeping every row but collapsing ALL dispersion
+   (``constant`` mode: every measure, timestamp, text, and embedding
+   identical across rows; keys stay unique). Zero dispersion at full
+   cardinality is a DIFFERENT hazard set from the 1-row relation:
+   zero variance with n > 1 (regression slopes, z-scores), zero time
+   spread (rates per elapsed day), a 1-token vocabulary, an
+   all-duplicates corpus, and universal ties (every ranking decided
+   only by the tiebreaker);
 2. run EVERY registered oracle-able query, Spark vs DuckDB, with the
    run_verify canon;
 3. report any query whose sides disagree — a CRASH is a finding,
    not noise.
 
-Usage: python tools/degenerate_sweep.py [empty|single] [name-substr ...]
+Usage: python tools/degenerate_sweep.py [empty|single|constant] [name-substr ...]
        # default mode: empty
 Exit 1 on any divergence/crash.
 """
@@ -66,6 +73,50 @@ _KEY = {
 }
 
 
+# constant mode: per-table projections that keep keys/categoricals
+# but collapse every measure, timestamp, text, and embedding to one
+# shared value (types match the source schema exactly)
+_CONST_TEXT = "the quick brown fox jumps over the lazy dog"
+_CONST = {
+    "customer": (
+        "c_custkey, c_name, c_nationkey, CAST(1000.0 AS DOUBLE) AS"
+        " c_acctbal, c_mktsegment"
+    ),
+    "supplier": (
+        "s_suppkey, s_name, s_nationkey, CAST(1000.0 AS DOUBLE) AS"
+        " s_acctbal"
+    ),
+    "part": (
+        "p_partkey, p_name, p_brand, p_type, CAST(10 AS INTEGER) AS"
+        " p_size, CAST(500.0 AS DOUBLE) AS p_retailprice"
+    ),
+    "orders": (
+        "o_orderkey, o_custkey, o_orderstatus, CAST(100000.0 AS DOUBLE)"
+        " AS o_totalprice, {ts_o} AS o_orderdate, o_orderpriority"
+    ),
+    "lineitem": (
+        "l_orderkey, l_partkey, l_suppkey, l_linenumber,"
+        " CAST(25.0 AS DOUBLE) AS l_quantity,"
+        " CAST(1000.0 AS DOUBLE) AS l_extendedprice,"
+        " CAST(0.05 AS DOUBLE) AS l_discount,"
+        " CAST(0.02 AS DOUBLE) AS l_tax,"
+        " l_returnflag, l_linestatus, {ts_l} AS l_shipdate"
+    ),
+    "events": (
+        "event_id, {ts_e} AS ts, user_id, event_type,"
+        " CAST(10.0 AS DOUBLE) AS value, props"
+    ),
+    "documents": (
+        f"doc_id, '{_CONST_TEXT}' AS text, lang, source,"
+        f" CAST({len(_CONST_TEXT)} AS BIGINT) AS n_chars"
+    ),
+    "embeddings": (
+        "vec_id, (SELECT embedding FROM src ORDER BY vec_id LIMIT 1)"
+        " AS embedding, label"
+    ),
+}
+
+
 def build_degenerate_dir(dst: str, mode: str) -> None:
     con = duckdb.connect()
     for t in TABLES:
@@ -73,11 +124,27 @@ def build_degenerate_dir(dst: str, mode: str) -> None:
         out = os.path.join(dst, f"{t}.parquet")
         if mode == "empty":
             sel = f"SELECT * FROM read_parquet('{src}') WHERE false"
-        else:
+        elif mode == "single":
             sel = (
                 f"SELECT * FROM read_parquet('{src}') "
                 f"ORDER BY {_KEY[t]} LIMIT 1"
             )
+        else:  # constant
+            proj = _CONST.get(t)
+            if proj is None:  # region/nation: keys+names only, keep
+                sel = f"SELECT * FROM read_parquet('{src}')"
+            else:
+                # every timestamp collapses to the table's min (a
+                # real instant of the right parquet logical type)
+                proj = proj.format(
+                    ts_o="(SELECT min(o_orderdate) FROM src)",
+                    ts_l="(SELECT min(l_shipdate) FROM src)",
+                    ts_e="(SELECT min(ts) FROM src)",
+                )
+                sel = (
+                    f"WITH src AS (SELECT * FROM read_parquet('{src}')) "
+                    f"SELECT {proj} FROM src"
+                )
         con.sql(f"COPY ({sel}) TO '{out}' (FORMAT PARQUET)")
     con.close()
 
@@ -88,7 +155,7 @@ def main(argv: list[str]) -> int:
     from pyspark.sql import SparkSession
 
     mode = "empty"
-    if argv and argv[0] in ("empty", "single"):
+    if argv and argv[0] in ("empty", "single", "constant"):
         mode, argv = argv[0], argv[1:]
 
     spec = importlib.util.spec_from_file_location(
