@@ -42,6 +42,26 @@ def tokens(col: Column) -> Column:
     return F.split(F.trim(col), " ")
 
 
+_ASCII_UPPER = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+_ASCII_LOWER = "abcdefghijklmnopqrstuvwxyz"
+
+
+def ascii_lower(col: Column) -> Column:
+    """ASCII-only case fold — the PORTABLE normalization for content
+    fingerprints. Full `lower()` is engine-specific off the ASCII
+    plane (Java's full case mapping turns U+0130 'İ' into "i" + a
+    combining dot; DuckDB's utf8proc simple mapping yields plain "i"),
+    so an md5 over `lower(text)` silently splits engines on real-world
+    unicode. translate() is byte-identical on both engines and leaves
+    non-ASCII untouched."""
+    return F.translate(col, _ASCII_UPPER, _ASCII_LOWER)
+
+
+def ascii_lower_sql(expr: str) -> str:
+    """The identical ASCII fold in DuckDB SQL."""
+    return f"translate({expr}, '{_ASCII_UPPER}', '{_ASCII_LOWER}')"
+
+
 def distinct_tokens(col: Column) -> Column:
     return F.array_distinct(tokens(col))
 

@@ -30,6 +30,7 @@ from pyspark.sql import functions as F
 
 from batch_processing_new_spark.functions.text_funcs import (
     TOKEN_SET_FP_SQL,
+    ascii_lower,
     distinct_tokens,
     hash60,
     hash60_sql,
@@ -838,13 +839,20 @@ def q90_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ------------------------------------------- canonicalized exact dedup
 
-# Shared canonicalization: lower, non-alphanumerics -> space, collapse
-# runs, trim. The practical exact-dedup key for web/scraped text, where
-# byte-identity misses trivial reformattings (case, punctuation,
-# whitespace) that q33's token-set fingerprint also treats as distinct
-# when tokens themselves change (e.g. "Hello," vs "hello").
+# Shared canonicalization: ASCII case fold, non-alphanumerics ->
+# space, collapse runs, trim. The practical exact-dedup key for
+# web/scraped text, where byte-identity misses trivial reformattings
+# (case, punctuation, whitespace) that q33's token-set fingerprint
+# also treats as distinct when tokens themselves change (e.g.
+# "Hello," vs "hello"). ascii_lower, not lower(): full case folding
+# is engine-specific off the ASCII plane (Java's full mapping of
+# U+0130 emits a combining dot that the punctuation pass then turns
+# into a stray space; utf8proc's simple mapping does not), and a
+# dedup KEY must be bit-stable across engines.
 _CANON_SQL = (
-    "md5(trim(regexp_replace(regexp_replace(lower(text), "
+    "md5(trim(regexp_replace(regexp_replace("
+    "translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ',"
+    " 'abcdefghijklmnopqrstuvwxyz'), "
     "'[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')))"
 )
 
@@ -853,7 +861,7 @@ def canonical_fingerprint(col: Column) -> Column:
     """md5 over normalized text (Spark twin of ``_CANON_SQL``)."""
     norm = F.trim(
         F.regexp_replace(
-            F.regexp_replace(F.lower(col), "[^a-z0-9 ]", " "), " +", " "
+            F.regexp_replace(ascii_lower(col), "[^a-z0-9 ]", " "), " +", " "
         )
     )
     return F.md5(norm)
@@ -905,11 +913,11 @@ HIST_KEEP = 8
     "q144_incremental_dedup",
     oracle=f"""
 WITH hist AS (
-    SELECT DISTINCT md5(lower(trim(text))) AS fp
+    SELECT DISTINCT md5(translate(trim(text), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz')) AS fp
     FROM documents WHERE doc_id % {HIST_MOD} < {HIST_KEEP}
 ),
 batch AS (
-    SELECT doc_id, md5(lower(trim(text))) AS fp
+    SELECT doc_id, md5(translate(trim(text), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz')) AS fp
     FROM documents WHERE doc_id % {HIST_MOD} >= {HIST_KEEP}
 ),
 marked AS (
@@ -941,7 +949,9 @@ def q144_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     >= {HIST_KEEP} is the arrival batch, the rest is history.
     """
     d = load_table(spark, sf_dir, "documents")
-    fp = F.md5(F.lower(F.trim(F.col("text"))))
+    # ascii_lower, not lower(): fingerprints must be bit-stable across
+    # engines (text_funcs.ascii_lower docstring)
+    fp = F.md5(ascii_lower(F.trim(F.col("text"))))
     hist = (
         d.where(F.col("doc_id") % HIST_MOD < HIST_KEEP)
         .select(fp.alias("fp"))

@@ -537,9 +537,14 @@ def _phash_oracle() -> str:
     return f"""
 WITH dq AS (SELECT {m} AS m),
 px AS (
+    -- TRUE UTF-8 bytes via hex pairs (the kernel's np.frombuffer):
+    -- ascii() codepoints only coincide with bytes on pure-ASCII text,
+    -- and a CJK codepoint (~35k) overflows the INT32 multiply below
     SELECT doc_id, g.i AS i,
-           CASE WHEN length(text) = 0 THEN 0
-                ELSE ascii(substr(text, (g.i % length(text)) + 1, 1))
+           CASE WHEN octet_length(encode(text)) = 0 THEN 0::BIGINT
+                ELSE ('0x' || substr(hex(encode(text)),
+                      2 * (g.i % octet_length(encode(text))) + 1,
+                      2))::BIGINT
            END AS v
     FROM documents, generate_series(0, {PHASH_GRID * PHASH_GRID - 1}) g(i)
     WHERE text IS NOT NULL

@@ -15,6 +15,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from batch_processing_new_spark.functions.text_funcs import (
+    ascii_lower,
+    ascii_lower_sql,
     distinct_tokens,
     hash60,
     hash60_sql,
@@ -152,11 +154,14 @@ def q25_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q26_fingerprint",
+    # ascii_lower, not lower(): full case folding is engine-specific
+    # off the ASCII plane (text_funcs.ascii_lower docstring), and a
+    # fingerprint must be bit-stable across engines
     oracle=f"""
 SELECT doc_id,
-       md5(lower(trim(text)))                    AS content_fp,
+       md5({ascii_lower_sql("trim(text)")})      AS content_fp,
        {TOKEN_SET_FP_SQL}                        AS token_set_fp,
-       {hash60_sql("lower(trim(text))")}         AS fp60
+       {hash60_sql(ascii_lower_sql("trim(text)"))} AS fp60
 FROM documents
 ORDER BY doc_id
 """,
@@ -165,7 +170,7 @@ def q26_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprinting: content hash, order-insensitive token-set
     hash, and the engine's 60-bit numeric fingerprint."""
     d = load_table(spark, sf_dir, "documents")
-    norm = F.lower(F.trim(F.col("text")))
+    norm = ascii_lower(F.trim(F.col("text")))
     return d.select(
         "doc_id",
         F.md5(norm).alias("content_fp"),
@@ -728,10 +733,15 @@ def q119_vocab_oov(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q127_byte_entropy",
+    # TRUE byte frequencies: hex(encode(text)) is the UTF-8 byte
+    # stream as hex pairs, so multi-byte characters contribute their
+    # individual bytes exactly like the kernel's np.frombuffer —
+    # per-CHARACTER frequencies (the old oracle) only coincide on
+    # pure-ASCII text
     oracle="""
 WITH chars AS (
-    SELECT doc_id, substr(text, i, 1) AS ch
-    FROM documents, unnest(range(1, length(text) + 1)) AS u(i)
+    SELECT doc_id, substr(hex(encode(text)), 2 * i + 1, 2) AS ch
+    FROM documents, unnest(range(octet_length(encode(text)))) AS u(i)
 ),
 freq AS (
     SELECT doc_id, ch, count(*) AS c FROM chars GROUP BY doc_id, ch
@@ -753,8 +763,9 @@ def q127_byte_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     the UTF-8 encoding) — the two-sided corpus-hygiene signal:
     near-8-bit entropy flags binary/encrypted/base64 junk, abnormally
     LOW entropy flags degenerate repetition; natural text sits in
-    between. (Fixture text is ASCII, so the SQL oracle's per-character
-    frequencies equal the byte frequencies exactly.)
+    between. (The SQL oracle explodes hex(encode(text)) pairs, so its
+    frequencies are the same UTF-8 BYTES the kernel sees — exact on
+    multi-byte text too, not just ASCII.)
 
     Implemented over ``mapInArrow`` — the zero-pandas Arrow path: each
     batch's strings feed numpy bincount directly, no pandas Series

@@ -267,19 +267,27 @@ WITH toks AS (
     SELECT doc_id, source,
            len(string_split(trim(text), ' '))                  AS n_tokens,
            len(list_distinct(string_split(trim(text), ' ')))   AS n_distinct,
-           md5(trim(regexp_replace(regexp_replace(lower(text),
+           -- ascii_lower canonicalizer (dedup._CANON_SQL twin): full
+           -- lower() is engine-specific off the ASCII plane
+           md5(trim(regexp_replace(regexp_replace(
+               translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ',
+                         'abcdefghijklmnopqrstuvwxyz'),
                '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')))      AS canon_fp
     FROM documents
 ),
 ent AS (
     -- per-doc round(6) mirrors q127's output, which the Spark side
-    -- consumes as-is before averaging
+    -- consumes as-is before averaging; hex(encode()) pairs = the
+    -- UTF-8 BYTE stream (q127's oracle), exact beyond ASCII
     SELECT doc_id, round(-sum(p * log2(p)), 6) AS entropy_bits
     FROM (
-        SELECT doc_id, count(*) * 1.0 / length(any_value(txt)) AS p
+        SELECT doc_id,
+               count(*) * 1.0 / octet_length(any_value(b)) AS p
         FROM (
-            SELECT doc_id, text AS txt, substr(text, i, 1) AS ch
-            FROM documents, unnest(range(1, length(text) + 1)) AS u(i)
+            SELECT doc_id, encode(text) AS b,
+                   substr(hex(encode(text)), 2 * i + 1, 2) AS ch
+            FROM documents,
+                 unnest(range(octet_length(encode(text)))) AS u(i)
         )
         GROUP BY doc_id, ch
     )

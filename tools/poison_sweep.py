@@ -12,7 +12,12 @@ deployment — 100 TB corpora are never NULL-free) would silently split
 the two sides. This sweep makes the class testable NOW:
 
 1. copy sf0.001 into a temp dir and append adversarial rows:
-   - documents: one NULL-text doc, one empty-string-text doc;
+   - documents: one NULL-text doc, one empty-string-text doc, and
+     eight unicode-adversarial docs (tab/NBSP/vertical-tab
+     whitespace, spaceless CJK, emoji+ZWJ, NFC-vs-NFD accents,
+     Turkish U+0130 / sharp s, runs of spaces) — the axis that
+     caught full-vs-simple case mapping splitting fingerprints
+     (ascii_lower rule);
    - events: one row with NULL value + NULL props, one with malformed
      (non-JSON) props, one with NULL user_id, one with NULL event_type
      (ts stays valid — a NULL timestamp is ingest-rejected data, not a
@@ -53,6 +58,23 @@ def _max_id(con, src: str, col: str) -> int:
     return con.sql(f"SELECT max({col}) FROM read_parquet('{src}')").fetchone()[0]
 
 
+def _sql_str(s: str) -> str:
+    """A DuckDB string literal carrying arbitrary unicode/control chars
+    (chr() concatenation for non-printables, '' escaping for quotes)."""
+    parts, run = [], ""
+    for ch in s:
+        if ch.isprintable() and ch != "'":
+            run += ch
+        else:
+            if run:
+                parts.append(f"'{run}'")
+                run = ""
+            parts.append(f"chr({ord(ch)})")
+    if run:
+        parts.append(f"'{run}'")
+    return " || ".join(parts) if parts else "''"
+
+
 def build_poisoned_dir(dst: str) -> None:
     con = duckdb.connect()
     for t in TABLES:
@@ -60,6 +82,28 @@ def build_poisoned_dir(dst: str) -> None:
         out = os.path.join(dst, f"{t}.parquet")
         if t == "documents":
             mx = _max_id(con, src, "doc_id")
+            # unicode-adversarial texts (r03): tab / NBSP / vertical-tab
+            # whitespace (Java \s includes \x0B, RE2's does not), CJK
+            # with no spaces, emoji + ZWJ, NFC-vs-NFD accents, Turkish
+            # U+0130 + sharp s (full vs simple case mapping — the class
+            # that forced ascii_lower for fingerprints), runs of spaces
+            uni = [
+                "tab\tseparated\ttokens and spaces",
+                "nbsp\u00a0between\u00a0words here",
+                "vertical\x0btab and\x0bmore",
+                "\u4e2d\u6587\u6ca1\u6709\u7a7a\u683c\u7684\u957f"
+                "\u53e5\u5b50\u6d4b\u8bd5\u4e00\u4e0b\u5206\u8bcd",
+                "emoji \U0001f642 and zwj "
+                "\U0001f469\u200d\U0001f4bb done",
+                "caf\u00e9 versus cafe\u0301 nfc nfd",
+                "Turkish \u0130stanbul and stra\u00dfe",
+                "MIXED Case PUNCT!!! ???  double  spaces",
+            ]
+            uni_rows = " UNION ALL ".join(
+                f"SELECT {mx + 3 + i}, {_sql_str(s)}, 'en', 'poison', "
+                f"{len(s)}"
+                for i, s in enumerate(uni)
+            )
             con.sql(
                 f"""
                 COPY (
@@ -68,6 +112,8 @@ def build_poisoned_dir(dst: str) -> None:
                     SELECT {mx + 1}, NULL, 'en', 'poison', NULL
                     UNION ALL
                     SELECT {mx + 2}, '', 'en', 'poison', 0
+                    UNION ALL
+                    {uni_rows}
                 ) TO '{out}' (FORMAT PARQUET)
                 """
             )
