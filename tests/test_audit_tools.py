@@ -100,4 +100,17 @@ def test_poisoned_fixture_builder_shape(tmp_path):
         f"SELECT count(*) FROM {emb} WHERE embedding IS NOT NULL AND len(embedding) = 0"
     ).fetchone()[0] == 1
     # the poisoned tables still contain the full original fixture
-    assert con.sql(f"SELECT count(*) FROM {docs}").fetchone()[0] == 502
+    # 500 originals + NULL + empty + the 8 unicode-adversarial docs
+    assert con.sql(f"SELECT count(*) FROM {docs}").fetchone()[0] == 510
+    # the unicode axis is present: at least one non-ASCII doc and one
+    # with embedded control/NBSP whitespace (TESTDATA.md rule 13-15
+    # classes stay exercised if the row set is ever edited)
+    assert con.sql(
+        f"SELECT count(*) FROM {docs} "
+        "WHERE octet_length(encode(text)) > length(text)"
+    ).fetchone()[0] >= 3
+    assert con.sql(
+        f"SELECT count(*) FROM {docs} "
+        "WHERE text LIKE '%' || chr(9) || '%' "
+        "   OR text LIKE '%' || chr(11) || '%'"
+    ).fetchone()[0] >= 2

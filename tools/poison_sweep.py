@@ -31,7 +31,7 @@ the two sides. This sweep makes the class testable NOW:
 
 The r03 first run (documents-only variant) found 12 divergent queries
 that six per-module adversarial reviews had missed. A crash here is a
-finding, not noise. tests/test_null_text_robustness.py runs this as a
+finding, not noise. tests/test_poison_robustness.py runs this as a
 permanent gate.
 
 Usage: python tools/poison_sweep.py [name-substr ...]
