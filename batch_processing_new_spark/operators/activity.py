@@ -114,7 +114,7 @@ numbered AS (
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ep
     FROM flagged
 )
-SELECT user_id, ep AS episode,
+SELECT user_id, CAST(ep AS BIGINT) AS episode,
        min(s) AS episode_start,
        max(e) AS episode_end,
        count(*) AS n_intervals

@@ -170,9 +170,14 @@ def q80_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _MAD_ORACLE = """
 WITH c AS (
+    -- NULL values excluded on BOTH sides: a NULL cent bucket would sit
+    -- at a different end of each engine's window ORDER BY (DuckDB
+    -- defaults NULLS LAST, Spark NULLS FIRST), shifting every
+    -- cumulative rank and therefore both medians (tools/dtype_audit.py
+    -- era finding, reproduced with a 10%-NULL fixture)
     SELECT event_type,
            CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
-    FROM events
+    FROM events WHERE value IS NOT NULL
 ),
 h AS (
     SELECT event_type, c, count(*) AS k FROM c GROUP BY event_type, c
@@ -219,8 +224,8 @@ mad AS (
 )
 SELECT d.event_type,
        count(*)                                                 AS n_total,
-       sum(CASE WHEN 10000 * d.d > 22239 * mad.madd2
-                THEN 1 ELSE 0 END)                              AS n_outliers
+       CAST(sum(CASE WHEN 10000 * d.d > 22239 * mad.madd2
+                     THEN 1 ELSE 0 END) AS BIGINT)              AS n_outliers
 FROM d JOIN mad ON d.event_type = mad.event_type
 GROUP BY d.event_type
 ORDER BY d.event_type
@@ -257,9 +262,17 @@ def q81_outliers_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql.window import Window
 
-    e = load_table(spark, sf_dir, "events").select(
-        "event_type",
-        F.floor(F.col("value") * 100 + 0.5).cast("long").alias("c"),
+    e = (
+        load_table(spark, sf_dir, "events")
+        # NULL values excluded like the oracle: the engines disagree on
+        # where a NULL sorts inside a window ORDER BY (Spark NULLS
+        # FIRST, DuckDB NULLS LAST), so a NULL cent bucket shifts the
+        # cumulative ranks — and both medians — differently per engine
+        .where(F.col("value").isNotNull())
+        .select(
+            "event_type",
+            F.floor(F.col("value") * 100 + 0.5).cast("long").alias("c"),
+        )
     )
 
     def _med2(vals: DataFrame, col: str) -> DataFrame:
@@ -374,8 +387,9 @@ per_gram AS (
     FROM g GROUP BY doc_id, gram
 )
 SELECT doc_id,
-       sum(cnt)                                            AS n_grams,
-       sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END)          AS n_dup
+       CAST(sum(cnt) AS BIGINT)                            AS n_grams,
+       CAST(sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END)
+            AS BIGINT)                                     AS n_dup
 FROM per_gram
 GROUP BY doc_id
 ORDER BY doc_id
@@ -692,7 +706,8 @@ pts AS (
 r AS (
     SELECT t, sum(delta) OVER (ORDER BY t, delta) AS c FROM pts
 )
-SELECT CAST(date_trunc('day', t) AS TIMESTAMP) AS day, max(c) AS max_concurrent
+SELECT CAST(date_trunc('day', t) AS TIMESTAMP) AS day,
+       CAST(max(c) AS BIGINT) AS max_concurrent
 FROM r GROUP BY 1 ORDER BY day
 """,
 )
@@ -1525,7 +1540,7 @@ vr AS (
            * ({_JK_SHARDS} - 1.0) / {_JK_SHARDS} AS var_jk
     FROM loo, mb
 )
-SELECT tot.n                                            AS n,
+SELECT CAST(tot.n AS BIGINT)                            AS n,
        round(CAST(tot.total AS DOUBLE) / tot.n, 4)      AS mean_price,
        round(sqrt(vr.var_jk), 4)                        AS jk_se,
        round(CAST(tot.total AS DOUBLE) / tot.n

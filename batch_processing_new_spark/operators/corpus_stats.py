@@ -259,7 +259,7 @@ cdf AS (
     FROM pts GROUP BY x
 )
 SELECT round(max(abs(ca * 1.0 / tot.na - cb * 1.0 / tot.nb)), 6) AS ks_d,
-       tot.na AS n_a, tot.nb AS n_b
+       CAST(tot.na AS BIGINT) AS n_a, CAST(tot.nb AS BIGINT) AS n_b
 FROM cdf, tot
 GROUP BY tot.na, tot.nb
 """,

@@ -67,7 +67,8 @@ arms AS (
         sum(CASE WHEN arm = 1 THEN conv ELSE 0 END) AS conv_b
     FROM per_user
 )
-SELECT n_a, n_b, conv_a, conv_b,
+SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+       CAST(conv_a AS BIGINT) AS conv_a, CAST(conv_b AS BIGINT) AS conv_b,
        round(conv_a / n_a, 6) AS cvr_a,
        round(conv_b / n_b, 6) AS cvr_b,
        round(conv_b / n_b - conv_a / n_a, 6) AS lift,

@@ -121,13 +121,28 @@ def q28_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH p AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
            FROM events WHERE event_type = 'purchase'),
      v AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
-           FROM events WHERE event_type = 'view')
-SELECT p.event_id                                        AS purchase_id,
-       p.user_id                                         AS user_id,
-       strftime(p.ts, '%Y-%m-%d %H:%M:%S')               AS purchase_ts,
-       v.event_id                                        AS view_id,
-       strftime(v.ts, '%Y-%m-%d %H:%M:%S')               AS view_ts
-FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts
+           FROM events WHERE event_type = 'view'),
+-- NOT DuckDB's native ASOF JOIN: ASOF leaves the pick among EQUAL view
+-- timestamps undefined (observed flipping run-to-run on a fixture with
+-- duplicated-ts views), while this operator's declared semantics break
+-- ties on the larger event_id. row_number pins the same total order
+-- the Spark window uses.
+ranked AS (
+    SELECT p.event_id AS purchase_id, p.user_id, p.ts AS purchase_ts,
+           v.event_id AS view_id, v.ts AS view_ts,
+           row_number() OVER (
+               PARTITION BY p.event_id
+               ORDER BY v.ts DESC, v.event_id DESC
+           ) AS rn
+    FROM p LEFT JOIN v
+      ON v.user_id = p.user_id AND v.ts <= p.ts
+)
+SELECT purchase_id,
+       user_id,
+       strftime(purchase_ts, '%Y-%m-%d %H:%M:%S')        AS purchase_ts,
+       view_id,
+       strftime(view_ts, '%Y-%m-%d %H:%M:%S')            AS view_ts
+FROM ranked WHERE rn = 1
 ORDER BY purchase_id
 """,
 )
@@ -142,7 +157,11 @@ def q29_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     each purchase row. One shuffle on user_id, sorted once; at 100 TB
     this is a single range-partitioned sort-merge pass, the same shape
     Flink uses for temporal joins. Equal timestamps order views before
-    purchases, matching ASOF's >= semantics.
+    purchases, matching ASOF's >= semantics; among views TIED on ts the
+    larger event_id wins (the window sorts event_id ascending and
+    ``last`` keeps the final one) — pinned explicitly because native
+    ASOF engines leave the tied pick undefined and flip it between
+    runs (poison-sweep finding on duplicated-ts fixtures).
     """
     ev = load_table(spark, sf_dir, "events").select(
         "event_id", "ts", "user_id", "event_type"
@@ -1127,10 +1146,14 @@ N_EH_BUCKETS = 10
     "q118_equiheight_histogram",
     oracle=f"""
 WITH ranked AS (
+    -- NULL prices excluded on BOTH sides: a histogram of unknown
+    -- values is meaningless, and the engines disagree on where NULL
+    -- sorts in the ntile ORDER BY (Spark NULLS FIRST, DuckDB NULLS
+    -- LAST), which would shift every bucket boundary
     SELECT o_totalprice,
            ntile({N_EH_BUCKETS}) OVER (
                ORDER BY o_totalprice, o_orderkey) AS bucket
-    FROM orders
+    FROM orders WHERE o_totalprice IS NOT NULL
 )
 SELECT bucket,
        count(*)                    AS n,
@@ -1154,7 +1177,12 @@ def q118_equiheight_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     drop the sort entirely — that's the 100 TB default, this query is
     the exact variant.
     """
-    o = load_table(spark, sf_dir, "orders").select("o_totalprice", "o_orderkey")
+    o = (
+        load_table(spark, sf_dir, "orders")
+        # NULL prices excluded like the oracle (engine null-order skew)
+        .where(F.col("o_totalprice").isNotNull())
+        .select("o_totalprice", "o_orderkey")
+    )
     w = Window.orderBy("o_totalprice", "o_orderkey")
     return (
         o.withColumn("bucket", F.ntile(N_EH_BUCKETS).over(w))

@@ -197,9 +197,9 @@ WITH sized AS (
 ),
 cum AS (
     SELECT doc_id, source, tok_count,
-           sum(tok_count) OVER (
+           CAST(sum(tok_count) OVER (
                PARTITION BY source ORDER BY h, doc_id
-           ) AS cum_tokens
+           ) AS BIGINT) AS cum_tokens
     FROM sized
 )
 SELECT doc_id, source, tok_count, cum_tokens

@@ -71,7 +71,17 @@ _QUERY_MODULES = [
     "batch_processing_new_spark.sources.kafka_shim",
     "batch_processing_new_spark.streaming.stream_queries",
     "batch_processing_new_spark.streaming.incremental",
+    "batch_processing_new_spark.probes",
 ]
+
+# Diagnostic probes that DIVERGE BY DESIGN (see probes.py): they
+# measure the driver's comparison semantics, so local harnesses must
+# report them without counting them as failures.
+EXPECTED_DIVERGENT_PROBES = {
+    "p03_probe_hugeint_sum",
+    "p06_probe_null_window_order",
+    "p07_probe_decimal_scale",
+}
 
 _loaded = False
 _proven_cache: set[str] | None = None
@@ -131,37 +141,51 @@ def _driver_verified() -> set[str]:
     return green
 
 
-# Unproven queries whose COMPONENT has zero driver evidence after two
-# rounds (VERDICT r02 §2B: enrich, similarity/ANN, Excel, scraped/tweet,
-# streaming, multimodal) — pulled to the very front of the driver's
-# 50-per-round correctness window so every §2B component gains a hard
-# driver row in round 3. The r02 driver-red trio leads (the fix must be
-# re-checked first). Queries not listed keep their registration order
-# behind these; driver-proven queries sort last as before.
+# Round-4 window (VERDICT r03 "Next round" #1/#3): the diagnostic
+# probe battery leads — it measures the driver's engine versions and
+# comparison semantics (probes.py), which two rounds of blind rewrites
+# could not. Then the five r03 driver-reds, all now explained by the
+# HUGEINT-output mechanism and fixed (CAST AS BIGINT + q81's NULL
+# filter) — these MUST flip green to close the two-round stall. Then
+# the judge-named never-checked clusters (format ingestion, corpus
+# pipeline, kmeans/semantic-dedup — the only LLM-pipeline components
+# with zero driver rows) plus the three never-checked queries that
+# carried the same latent HUGEINT defect (q162/q163/q171). Remaining
+# never-checked queries follow in registration order; driver-proven
+# queries sort last as before.
 _WINDOW_PRIORITY = [
-    # r02 driver-red, rewritten environment-robust this round
+    # diagnostics (expected pattern documented in probes.py)
+    "p01_probe_duckdb_version", "p02_probe_spark_version",
+    "p03_probe_hugeint_sum", "p04_probe_bigint_cast_sum",
+    "p05_probe_nullable_int", "p06_probe_null_window_order",
+    "p07_probe_decimal_scale",
+    # r03 driver-red, mechanism found + fixed this round
     "q81_outliers_mad", "q83_dup_ngram_fraction", "q91_max_concurrency",
-    # enrich — the reference's core operator (test.py:57-138)
-    "q30_enrich_map", "q31_enrich_dedupe", "q32_enrich_pipeline",
-    # similarity / ANN
-    "q40_cosine_topk", "q41_embedding_neardup", "q42_ann_lsh_topk",
-    "q57_ann_ivf_topk",
-    # Excel source/sink
-    "q49_excel_roundtrip",
-    # scraped HTML / tweet sources
-    "q136_scraped_html", "q137_tweet_parse",
-    # streaming (tumbling/sliding/session, stateful, joins, MVs)
-    "q50_stream_tumbling_window", "q51_stream_sliding_window",
-    "q52_stream_session_window", "q53_stream_dedupe",
-    "q67_stream_stream_join", "q78_stateful_running_stats",
-    "q85_kafka_roundtrip", "q86_incremental_user_stats",
-    "q92_hll_distinct_mv", "q103_stream_left_outer_join",
-    "q124_stream_static_join",
-    # multimodal
-    "q45_multimodal_decode", "q46_multimodal_filter_agg",
-    "q54_multimodal_resize", "q55_frame_sample", "q56_media_features",
-    "q115_phash_neardup",
+    "q98_token_budget_mix", "q157_jackknife_ci",
+    # format-ingestion cluster (judge: keep inside the window)
+    "q154_corrupt_records", "q155_gzip_csv_roundtrip",
+    "q156_quoted_multiline_csv", "q184_xml_ingest",
+    "q126_python_datasource",
+    # LLM-pipeline components with zero driver rows
+    "q106_corpus_pipeline", "q112_seeded_shuffle_shard",
+    "q113_kmeans", "q114_semantic_dedup",
+    # latent HUGEINT carriers, fixed this round, never driver-checked
+    "q162_ks_statistic", "q163_ab_ztest", "q171_interval_coalesce",
+    # BPE pair: upgraded from rows-only to exact oracles this round
+    "q169_bpe_vocab", "q180_bpe_tokenize_corpus",
 ]
+
+# Unproven queries explicitly PUSHED BEHIND every other unproven query
+# (VERDICT r03 #3: pure-analytics extensions wait for round 5 — the
+# window has exactly 50 slots and the clusters above outrank these).
+_WINDOW_DEFER = {
+    "q186_largest_remainder", "q187_decayed_trending",
+    "q188_chi_square_independence", "q189_concentration_audit",
+    "q192_annotator_agreement", "q193_precision_recall",
+    "q194_wilson_intervals", "q148_zorder_layout",
+    "q150_zone_map_stats", "q165_snapshot_diff",
+    "q173_expectations_audit", "q174_fk_orphan_audit",
+}
 
 
 def all_specs() -> dict[str, QuerySpec]:
@@ -169,9 +193,14 @@ def all_specs() -> dict[str, QuerySpec]:
     proven = _driver_verified()
     prio = {n: i for i, n in enumerate(_WINDOW_PRIORITY)}
     idx = {n: i for i, n in enumerate(_REGISTRY)}
+    base = len(prio)
     ordered = sorted(
         _REGISTRY,
-        key=lambda n: (n in proven, prio.get(n, len(prio)), idx[n]),
+        key=lambda n: (
+            n in proven,
+            prio.get(n, base + 1 if n in _WINDOW_DEFER else base),
+            idx[n],
+        ),
     )
     return {n: _REGISTRY[n] for n in ordered}
 

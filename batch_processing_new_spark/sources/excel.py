@@ -448,11 +448,15 @@ def q154_corrupt_records(spark, sf_dir: str):
     from pyspark.sql import functions as F
 
     o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    # coalesce('') keeps a NULL price as an EMPTY CSV FIELD ("42,"):
+    # concat_ws silently SKIPS null args, which would emit a one-column
+    # line ("42") that parses as malformed instead of as a null price
+    # (heavy-null poison-sweep finding)
     line = F.concat_ws(
         ",",
         F.col("o_orderkey").cast("string"),
         F.when(F.col("o_orderkey") % 10 == 7, F.lit("N/A")).otherwise(
-            F.col("o_totalprice").cast("string")
+            F.coalesce(F.col("o_totalprice").cast("string"), F.lit(""))
         ),
     )
     path = os.path.join(_scratch_dir("dirty_csv"), "orders")
@@ -551,9 +555,9 @@ WITH noisy AS (
     FROM documents
 )
 SELECT count(*)                                   AS n_docs,
-       sum(length(payload))                       AS total_chars,
-       sum(CASE WHEN contains(payload, chr(10))
-                THEN 1 ELSE 0 END)                AS n_multiline
+       CAST(sum(length(payload)) AS BIGINT)       AS total_chars,
+       CAST(sum(CASE WHEN contains(payload, chr(10))
+                THEN 1 ELSE 0 END) AS BIGINT)     AS n_multiline
 FROM noisy
 """,
 )

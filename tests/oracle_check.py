@@ -12,6 +12,28 @@ import math
 
 import pandas as pd
 
+# dtype "print classes": two pandas columns in the same class render
+# every shared value identically under str() formatting, so only a
+# cross-class pair can split a formatted-value hash
+_PRINT_CLASSES = {
+    "int8": "int", "int16": "int", "int32": "int", "int64": "int",
+    "uint8": "int", "uint16": "int", "uint32": "int", "uint64": "int",
+    "float32": "float32", "float64": "float",
+    "bool": "bool",
+    "object": "object", "string": "object",
+    "datetime64[ns]": "ts", "datetime64[us]": "ts", "datetime64[ms]": "ts",
+}
+
+
+def _print_class(series) -> str:
+    cls = _PRINT_CLASSES.get(str(series.dtype), str(series.dtype))
+    if cls == "object":
+        # an all-int object column (Spark nullable long) prints like int
+        vals = [v for v in series if v is not None]
+        if vals and all(isinstance(v, int) and not isinstance(v, bool) for v in vals):
+            return "int"
+    return cls
+
 
 def normalize(pdf: pd.DataFrame) -> pd.DataFrame:
     pdf = pdf.reindex(sorted(pdf.columns), axis=1)
@@ -25,11 +47,6 @@ def normalize(pdf: pd.DataFrame) -> pd.DataFrame:
             return v.isoformat()
         if isinstance(v, (list, tuple)):
             return tuple(canon(x) for x in v)
-        if isinstance(v, float) and v.is_integer():
-            # canonicalize 3.0 (Spark DOUBLE) and 3 (DuckDB BIGINT) to
-            # the same sort key — returning the float unchanged left
-            # '3.0' vs '3' ordering the frames differently
-            return int(v)
         return v
 
     out = pdf.map(canon)
@@ -49,6 +66,29 @@ def assert_parity(spark_df, duck_rel, name: str, float_tol: float = 1e-9) -> Non
     # genuine case-insensitive alignment (the old list-comp was a no-op)
     spdf.columns = [c.lower() for c in spdf.columns]
     ddf.columns = [c.lower() for c in ddf.columns]
+    # pandas-dtype print-class parity: a driver-style harness hashes
+    # FORMATTED values, so Spark int64 `1500` vs DuckDB float64 `1500.0`
+    # is a guaranteed mismatch even when every value is numerically
+    # equal. This is exactly how DuckDB's HUGEINT (the type of
+    # sum(BIGINT)) split the five r03 driver-red queries while the old
+    # canon here int-ified integer-valued floats and called them green.
+    # Exception: a float column CONTAINING NaN whose counterpart is
+    # int-class is pandas' unavoidable nullable-int promotion, not an
+    # oracle bug — compared numerically below instead of flagged.
+    dtype_flags = []
+    for col in sorted(set(spdf.columns) & set(ddf.columns)):
+        sc, dc = _print_class(spdf[col]), _print_class(ddf[col])
+        if sc == dc:
+            continue
+        if {sc, dc} == {"int", "float"}:
+            fl = spdf[col] if sc == "float" else ddf[col]
+            if fl.isna().any():
+                continue  # nullable-int promotion artifact
+        dtype_flags.append(f"{col}: spark={spdf[col].dtype} duck={ddf[col].dtype}")
+    assert not dtype_flags, (
+        f"{name}: dtype print-class mismatch (formatted-value hash would "
+        f"differ): {dtype_flags}"
+    )
     a, b = normalize(spdf), normalize(ddf)
     b.columns = a.columns  # case-insensitive alignment after sorting
     def is_null(v):

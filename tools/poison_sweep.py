@@ -135,6 +135,30 @@ def build_poisoned_dir(dst: str) -> None:
                     SELECT {mx + 3}, {ts}, NULL, 'purchase', 2.0, '{{"k": 1}}'
                     UNION ALL
                     SELECT {mx + 4}, {ts}, 9, NULL, 3.0, '{{"k": 2}}'
+                    UNION ALL
+                    -- HEAVY NULL dose (~10% of rows get a NULL-value
+                    -- clone): ONE null row shifts a cumulative rank by
+                    -- 1, which rarely crosses a histogram-bin edge —
+                    -- q81's engine-specific window null placement
+                    -- (Spark NULLS FIRST vs DuckDB NULLS LAST) survived
+                    -- the single-row dose for two driver-red rounds and
+                    -- only reproduces at volume
+                    SELECT event_id + {mx + 10}, ts, user_id, event_type,
+                           NULL, props
+                    FROM read_parquet('{src}') WHERE event_id % 10 = 0
+                ) TO '{out}' (FORMAT PARQUET)
+                """
+            )
+        elif t == "orders":
+            mx = _max_id(con, src, "o_orderkey")
+            con.sql(
+                f"""
+                COPY (
+                    SELECT * FROM read_parquet('{src}')
+                    UNION ALL
+                    SELECT o_orderkey + {mx + 1}, o_custkey, o_orderstatus,
+                           NULL, o_orderdate, o_orderpriority
+                    FROM read_parquet('{src}') WHERE o_orderkey % 20 = 0
                 ) TO '{out}' (FORMAT PARQUET)
                 """
             )
@@ -196,7 +220,9 @@ def main(argv: list[str]) -> int:
     names = [
         name
         for name, s in sorted(registry.all_specs().items())
-        if s.oracle and (not argv or any(sub in name for sub in argv))
+        if s.oracle
+        and "_probe_" not in name  # probes diverge by design (probes.py)
+        and (not argv or any(sub in name for sub in argv))
     ]
     failed: list[str] = []
     for name in names:
