@@ -28,11 +28,12 @@ clustering.py / graph.py):
 Ties break (count desc, left asc, right asc) — fully deterministic
 across partitionings and engines; pair counts are exact integers.
 
-No SQL oracle: the merge loop's fold-update is not expressible in
-one DuckDB query (same policy as the other genuinely-iterative or
-stateful rows-only queries); tests/test_bpe.py pins the full merge
-list and the final segmentation against an independent pure-Python
-reference implementation on the same fixture.
+Full SQL oracles (upgraded from rows-only in round 4): the merge
+loop IS replayable as a generated CTE chain — each round is a pair
+aggregate, a 1-row argmax, and a ``list_reduce`` fold whose lambda
+captures the argmax row (``_bpe_state_ctes``). tests/test_bpe.py
+additionally pins the merge list and segmentation against an
+independent pure-Python reference implementation.
 """
 
 from __future__ import annotations
@@ -124,11 +125,84 @@ def segment(words: DataFrame, merges: list[tuple[int, str, str, int]]) -> DataFr
     return words.withColumn("pieces", syms)
 
 
+def _bpe_state_ctes(n_merges: int) -> str:
+    """CTE chain replaying the merge loop in DuckDB SQL (upgrades the
+    BPE pair from rows-only to full value-hash oracles, VERDICT r03 #5).
+
+    Verified engine-parity prerequisites (sandbox duckdb 1.0.0):
+    ``string_split(word, '')`` splits by CODEPOINT exactly like Spark's
+    ``F.split(col, '')`` (both handle astral-plane emoji as one symbol),
+    and ``list_reduce`` lambdas capture outer row columns, so the
+    leftmost-first non-overlapping replacement fold is expressible with
+    the chosen merge (l, r) coming from each round's 1-row argmax CTE.
+    The LEFT JOIN ON TRUE keeps a round a no-op when its argmax is
+    empty (merges can dry up before n_merges on degenerate corpora),
+    mirroring ``learn_bpe``'s early break.
+
+    Every state CTE is ``AS MATERIALIZED``: DuckDB inlines plain CTEs,
+    and each round references its predecessor TWICE (pair aggregate +
+    fold), so the un-materialized chain re-evaluates state0 2^n times
+    — measured minutes at n=12 where the materialized chain runs in
+    seconds (the SQL mirror of the Spark side's per-round
+    localCheckpoint lineage cut).
+    """
+    parts = [
+        """
+words AS MATERIALIZED (
+    SELECT word, count(*) AS cnt FROM (
+        SELECT unnest(string_split(trim(text), ' ')) AS word FROM documents
+    ) WHERE word <> '' GROUP BY word
+),
+state0 AS MATERIALIZED (
+    SELECT list_append(string_split(word, ''), '</w>') AS syms, cnt
+    FROM words
+)"""
+    ]
+    for k in range(1, n_merges + 1):
+        p = k - 1
+        parts.append(
+            f"""
+pairs{k} AS (
+    SELECT l, r, CAST(sum(cnt) AS BIGINT) AS pc FROM (
+        SELECT unnest(list_slice(syms, 1, len(syms) - 1)) AS l,
+               unnest(list_slice(syms, 2, len(syms)))     AS r,
+               cnt
+        FROM state{p} WHERE len(syms) >= 2
+    ) GROUP BY l, r
+),
+m{k} AS MATERIALIZED (
+    SELECT l, r, pc FROM pairs{k} ORDER BY pc DESC, l, r LIMIT 1),
+state{k} AS MATERIALIZED (
+    SELECT CASE WHEN m.l IS NULL THEN syms
+           ELSE list_reduce(
+               list_transform(syms, x -> [x]),
+               (acc, e) -> CASE
+                   WHEN acc[-1] = m.l AND e[1] = m.r
+                   THEN list_append(
+                       list_slice(acc, 1, len(acc) - 1), m.l || m.r)
+                   ELSE list_append(acc, e[1]) END)
+           END AS syms, cnt
+    FROM state{p} LEFT JOIN m{k} m ON TRUE
+)"""
+        )
+    return ",".join(parts)
+
+
+_MERGE_UNION = " UNION ALL ".join(
+    f'SELECT {k} AS merge_rank, l AS "left", r AS "right", '
+    f"pc AS pair_count FROM m{k}"
+    for k in range(1, N_MERGES + 1)
+)
+
+_BPE_VOCAB_ORACLE = f"""
+WITH {_bpe_state_ctes(N_MERGES)}
+SELECT * FROM ({_MERGE_UNION}) ORDER BY merge_rank
+"""
+
+
 @query(
     "q169_bpe_vocab",
-    doc="rows-only: iterative merge loop (no single-query SQL oracle); "
-    "merge list + segmentation pinned against a pure-Python reference "
-    "in tests/test_bpe.py",
+    oracle=_BPE_VOCAB_ORACLE,
 )
 def q169_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First {N_MERGES} BPE merges learned from the documents corpus:
@@ -150,10 +224,26 @@ def q169_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PIECE_TOP = 20
 
 
+_BPE_TOKENIZE_ORACLE = f"""
+WITH {_bpe_state_ctes(N_MERGES)},
+pieces AS (
+    SELECT unnest(syms) AS piece, cnt FROM state{N_MERGES}
+),
+agg AS (
+    SELECT piece, CAST(sum(cnt) AS BIGINT) AS n
+    FROM pieces GROUP BY piece
+),
+tot AS (SELECT CAST(sum(n) AS BIGINT) AS tot FROM agg)
+SELECT piece, n, round(CAST(n AS DOUBLE) / tot, 6) AS frac
+FROM agg, tot
+ORDER BY n DESC, piece
+LIMIT {_PIECE_TOP}
+"""
+
+
 @query(
     "q180_bpe_tokenize_corpus",
-    doc="rows-only: applies the learned (iterative) merge list; piece "
-    "counts pinned against the pure-Python reference in tests/test_bpe.py",
+    oracle=_BPE_TOKENIZE_ORACLE,
 )
 def q180_bpe_tokenize_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenize the corpus with the learned BPE merges (train ->
