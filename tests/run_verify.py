@@ -23,6 +23,12 @@ defaults, so robustness now gets tested, not assumed):
                 parallelism, another reduction-order axis)
   --arrow       enable Arrow collect (different timestamp/decimal
                 python materialization path than row collect)
+  --ansi MODE   spark.sql.ansi.enabled true|false (default: leave the
+                build's default — Spark 4 ships ANSI ON; a driver
+                running Spark 3.x would have it OFF, where div-by-zero
+                and bad casts return NULL instead of raising — the
+                r04 environment-hardening axis: every query must
+                produce IDENTICAL output under both)
 """
 
 from __future__ import annotations
@@ -91,22 +97,28 @@ def main() -> int:
     tz = _pop_opt(perturb_args, "--tz", "UTC")
     shuffle = _pop_opt(perturb_args, "--shuffle", "8")
     cores = _pop_opt(perturb_args, "--cores", "8")
+    ansi = _pop_opt(perturb_args, "--ansi", None)
     arrow = "--arrow" in perturb_args
     if arrow:
         perturb_args.remove("--arrow")
     sys.argv[1:] = perturb_args
 
-    spark = (
+    builder = (
         SparkSession.builder.master(f"local[{cores}]")
         .config("spark.sql.shuffle.partitions", shuffle)
         .config("spark.sql.session.timeZone", tz)
         .config("spark.sql.execution.arrow.pyspark.enabled", str(arrow).lower())
         .config("spark.ui.enabled", "false")
-        .getOrCreate()
     )
+    if ansi is not None:
+        builder = builder.config("spark.sql.ansi.enabled", ansi)
+    spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    if (tz, shuffle, cores, arrow) != ("UTC", "8", "8", False):
-        print(f"PERTURBED env: tz={tz} shuffle={shuffle} cores={cores} arrow={arrow}")
+    if (tz, shuffle, cores, arrow, ansi) != ("UTC", "8", "8", False, None):
+        print(
+            f"PERTURBED env: tz={tz} shuffle={shuffle} cores={cores} "
+            f"arrow={arrow} ansi={ansi}"
+        )
 
     n = mod.entry(spark).count()
     print(f"SMOKE entry(): {n} rows {'OK' if n > 0 else 'FAILED'}")
