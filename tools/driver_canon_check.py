@@ -1,22 +1,40 @@
 #!/usr/bin/env python
-"""Replicate the DRIVER's pandas-based canonicalizer over every oracle
-pair — a stricter gate than tests/run_verify.py's string canon.
+"""Replicate the DRIVER's pandas-based hasher over every oracle pair —
+the strictest local gate: dtype-sensitive and float-BIT-exact.
 
-The r01 driver canonicalizer sorts the result DataFrame with pandas
-(``sort_values`` over all columns, column order = sorted names) and
-value-hashes it; that path raises on unhashable cells (q65's
-array<string>, CORRECTNESS_r01) and is sensitive to pandas dtype
-quirks (None vs NaN, object columns, timestamps) that a str()-based
-canon can mask. This tool runs the same shape: Spark result ->
-``toPandas``-equivalent frame, DuckDB result -> ``df()`` frame,
-normalize float precision, lexsort both with pandas, compare cell
-strings. Any query that passes here AND run_verify cannot plausibly
-fail the driver's harness.
+Evidence for the model (r04 reconstruction): the r01 driver failure on
+q65's ``array<string>`` column was ``TypeError: unhashable type:
+'list'`` — the signature of ``pd.util.hash_pandas_object`` over an
+object column, not of any string formatter. A pandas object hash is
+
+  1. DTYPE-SENSITIVE: int64 ``1500`` and float64 ``1500.0`` hash
+     differently even though the values compare equal. This is exactly
+     how DuckDB's HUGEINT outputs (pandas float64) put five queries
+     driver-red for two rounds while every string-based local canon —
+     including this tool's previous ``%.9g`` formatting, which renders
+     ``1500.0`` as ``"1500"`` — said green.
+  2. BIT-EXACT ON FLOATS: a 1-ulp engine difference flips the hash,
+     where ``%.9g`` forgives anything below the 9th significant digit.
+     The DECIMAL-discipline pipeline is designed to make both engines
+     produce the same double via one deterministic rounding, so
+     bit-equality is the honest bar — this tool now enforces it.
+
+Checks per query, in order: pandas dtype print-class parity (the
+r04 red mechanism), row count, and cell-level comparison where float64
+columns are compared on raw IEEE BITS (uint64 views, NaNs must
+coincide) and everything else on exact reprs. Rows are aligned by a
+string lexsort of both frames — alignment only; the comparison itself
+never goes through a lossy format.
+
+Probes (``_probe_``) are excluded: three diverge by design.
+
+Usage: python tools/driver_canon_check.py [name-substr ...]
 """
 
 from __future__ import annotations
 
 import importlib.util
+import math
 import os
 import sys
 
@@ -28,33 +46,100 @@ import pandas as pd
 # root — same bootstrap as explain_audit.py
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-SF_DIR = "/root/testdata/sf0.01"
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
 from batch_processing_new_spark.sources.readers import TABLES  # noqa: E402
 
+_PRINT_CLASSES = {
+    "int8": "int", "int16": "int", "int32": "int", "int64": "int",
+    "uint8": "int", "uint16": "int", "uint32": "int", "uint64": "int",
+    "float32": "float32", "float64": "float",
+    "bool": "bool", "object": "object", "string": "object",
+    "datetime64[ns]": "ts", "datetime64[us]": "ts", "datetime64[ms]": "ts",
+}
 
-def canon(df: pd.DataFrame) -> list[str]:
-    df = df.copy()
-    df.columns = [c.lower() for c in df.columns]
-    df = df[sorted(df.columns)]
-    for c in df.columns:
-        s = df[c]
-        if s.dtype.kind == "f":
-            df[c] = s.map(lambda v: "NULL" if pd.isna(v) else f"{v:.9g}")
-        elif s.dtype.kind == "M":
-            df[c] = s.map(
-                lambda v: "NULL" if pd.isna(v) else v.isoformat(sep=" ")
-            )
-        elif s.dtype == object:
-            df[c] = s.map(
-                lambda v: "NULL"
-                if v is None or (isinstance(v, float) and np.isnan(v))
-                else (f"{v:.9g}" if isinstance(v, float) else str(v))
-            )
+
+def _print_class(s: pd.Series) -> str:
+    cls = _PRINT_CLASSES.get(str(s.dtype), str(s.dtype))
+    if cls == "object":
+        vals = [v for v in s if v is not None]
+        if vals and all(
+            isinstance(v, int) and not isinstance(v, bool) for v in vals
+        ):
+            return "int"
+    return cls
+
+
+def _sort_key(df: pd.DataFrame) -> pd.DataFrame:
+    """Deterministic row alignment: lexsort on stringified cells.
+    Alignment only — comparison happens on the raw values."""
+    key = df.apply(
+        lambda row: tuple("\0" if pd.isna(v) else str(v) for v in row), axis=1
+    )
+    return df.iloc[key.argsort(kind="mergesort").values].reset_index(drop=True)
+
+
+def compare(name: str, spdf: pd.DataFrame, ddf: pd.DataFrame) -> list[str]:
+    problems: list[str] = []
+    spdf = spdf.copy()
+    ddf = ddf.copy()
+    spdf.columns = [c.lower() for c in spdf.columns]
+    ddf.columns = [c.lower() for c in ddf.columns]
+    if sorted(spdf.columns) != sorted(ddf.columns):
+        return [f"columns spark={sorted(spdf.columns)} duck={sorted(ddf.columns)}"]
+    spdf = spdf[sorted(spdf.columns)]
+    ddf = ddf[sorted(ddf.columns)]
+    for c in spdf.columns:
+        sc, dc = _print_class(spdf[c]), _print_class(ddf[c])
+        if sc != dc:
+            # pandas cannot represent a nullable int as int64; a float
+            # column WITH NaN against an int column is promotion, not a
+            # query bug (compared numerically below after alignment)
+            fl = spdf[c] if sc == "float" else ddf[c]
+            if {sc, dc} == {"int", "float"} and fl.isna().any():
+                continue
+            problems.append(f"{c}: dtype-class spark={sc} duck={dc}")
+    if problems:
+        return problems
+    if len(spdf) != len(ddf):
+        return [f"rowcount spark={len(spdf)} duck={len(ddf)}"]
+    a, b = _sort_key(spdf), _sort_key(ddf)
+    for c in a.columns:
+        sa, sb = a[c], b[c]
+        if str(sa.dtype) == "float64" and str(sb.dtype) == "float64":
+            va, vb = sa.to_numpy(), sb.to_numpy()
+            na, nb = np.isnan(va), np.isnan(vb)
+            if not np.array_equal(na, nb):
+                problems.append(f"{c}: NaN placement differs")
+                continue
+            bits_a = va[~na].view(np.uint64)
+            bits_b = vb[~nb].view(np.uint64)
+            if not np.array_equal(bits_a, bits_b):
+                i = int(np.nonzero(bits_a != bits_b)[0][0])
+                problems.append(
+                    f"{c}: float BITS differ at aligned-row {i}: "
+                    f"{va[~na][i]!r} vs {vb[~nb][i]!r}"
+                )
         else:
-            df[c] = s.map(lambda v: "NULL" if pd.isna(v) else str(v))
-    # the driver's lexsort — this is where unhashable cells explode
-    df = df.sort_values(by=list(df.columns), kind="mergesort")
-    return ["|".join(map(str, row)) for row in df.itertuples(index=False)]
+            for i, (x, y) in enumerate(zip(sa.tolist(), sb.tolist())):
+                xn = x is None or (isinstance(x, float) and math.isnan(x)) or x is pd.NaT
+                yn = y is None or (isinstance(y, float) and math.isnan(y)) or y is pd.NaT
+                if xn or yn:
+                    if xn != yn:
+                        problems.append(f"{c}: null mismatch at row {i}")
+                        break
+                    continue
+                if isinstance(x, float) or isinstance(y, float):
+                    # object-column floats (nullable promotion): bit-compare
+                    if np.float64(x).tobytes() != np.float64(y).tobytes():
+                        problems.append(
+                            f"{c}: float BITS differ at row {i}: {x!r} vs {y!r}"
+                        )
+                        break
+                    continue
+                if str(x) != str(y):
+                    problems.append(f"{c}: {x!r} != {y!r} at aligned-row {i}")
+                    break
+    return problems
 
 
 def main() -> int:
@@ -79,36 +164,28 @@ def main() -> int:
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
         )
     queries, oracles = mod.queries(), mod.oracle_sql()
+    args = sys.argv[1:]
     failed = []
     for name, fn in sorted(queries.items()):
-        if name not in oracles:
+        if name not in oracles or "_probe_" in name:
+            continue
+        if args and not any(a in name for a in args):
             continue
         try:
-            sdf = fn(spark, SF_DIR).toPandas()
+            spdf = fn(spark, SF_DIR).toPandas()
             ddf = con.sql(oracles[name]).df()
-            a, b = canon(sdf), canon(ddf)
+            problems = compare(name, spdf, ddf)
         except Exception as exc:  # noqa: BLE001
             print(f"FAILED {name}: {type(exc).__name__}: {exc}")
             failed.append(name)
             continue
-        if a != b:
-            bad = next(
-                ((i, x, y) for i, (x, y) in enumerate(zip(a, b)) if x != y),
-                None,
-            )
-            if bad is None:  # equal prefix, different lengths
-                print(
-                    f"FAILED {name}: rowcount spark={len(a)} duck={len(b)}"
-                )
-            else:
-                print(f"FAILED {name}: differs at sorted-row {bad[0]}")
-                print(f"  spark: {bad[1][:160]}")
-                print(f"  duck : {bad[2][:160]}")
+        if problems:
+            print(f"FAILED {name}: " + "; ".join(problems[:3]))
             failed.append(name)
         else:
-            print(f"ok     {name} ({len(a)} rows)")
-    print(f"\n{len(failed)} FAILED of {len(oracles)}"
-          + (f": {failed}" if failed else " — ALL OK"))
+            print(f"ok     {name} ({len(spdf)} rows, bit-exact)")
+    print(f"\n{len(failed)} FAILED"
+          + (f": {failed}" if failed else " — ALL BIT-EXACT"))
     return 1 if failed else 0
 
 
