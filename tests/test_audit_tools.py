@@ -124,3 +124,56 @@ def test_poisoned_fixture_builder_shape(tmp_path):
         "WHERE text LIKE '%' || chr(9) || '%' "
         "   OR text LIKE '%' || chr(11) || '%'"
     ).fetchone()[0] >= 2
+
+
+# -- round_report kernels ------------------------------------------------
+
+from round_report import decode_version, probe_report, status  # noqa: E402
+
+
+def test_round_report_status_classification():
+    assert status({"hash_match": True}) == "green"
+    assert status({"hash_match": False, "rows_match": True}) == "red"
+    assert (
+        status({"hash_match": None, "err": "no_oracle", "spark_rows": 5})
+        == "rows_only"
+    )
+    # an erroring rows-only query (spark side crashed) is NOT evidence
+    assert (
+        status({"hash_match": None, "err": "no_oracle", "spark_rows": None})
+        != "rows_only"
+    )
+    assert status({"hash_match": None, "err": "boom"}) == "err:boom"
+
+
+def test_round_report_version_decoding():
+    """10000*major + 100*minor + patch — must invert probes.py's
+    encoding exactly, or a red p01/p02 misreports the driver engine."""
+    assert decode_version(10000) == "1.0.0"
+    assert decode_version(40102) == "4.1.2"
+    assert decode_version(10300) == "1.3.0"
+    assert decode_version(None) == "?"
+
+
+def test_round_report_probe_red_decodes_driver_versions():
+    art = {
+        "p01_probe_duckdb_version": {
+            "hash_match": False, "spark_rows": 10000, "oracle_rows": 10300,
+        },
+        "p03_probe_hugeint_sum": {"hash_match": True},
+    }
+    lines = "\n".join(probe_report(art))
+    # a red p01 reports the DRIVER's duckdb version from oracle_rows
+    assert "driver DuckDB = 1.3.0" in lines
+    # a green p03 must carry the falsification warning
+    assert "FALSIFIES" in lines
+
+
+def test_round_report_probe_expected_pattern_is_quiet():
+    art = {
+        "p03_probe_hugeint_sum": {
+            "hash_match": False, "spark_rows": 1, "oracle_rows": 1,
+        },
+    }
+    lines = "\n".join(probe_report(art))
+    assert "as-expected" in lines and "FALSIFIES" not in lines

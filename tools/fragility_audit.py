@@ -5,11 +5,14 @@ sits to a driver-hash flip instead of guessing.
 The r02 driver-reds (q81/q83/q91) all passed the identical check
 locally and flipped only in the driver's environment — engine-build
 noise (libm vs JVM ulps, rounding-convention skew) moved a value
-across a formatting boundary. The driver hashes floats through
-``"%.9g"`` (tools/driver_canon_check.py replicates its canon), so a
-cell can only flip the hash if build noise pushes it across a
-9-significant-digit rounding boundary. Both quantities are measurable
-at sf0.01:
+across a formatting boundary. This audit covers the FORMATTING model
+of the driver's hash: floats rendered through ``"%.9g"``, so a cell
+can only flip if build noise pushes it across a 9-significant-digit
+rounding boundary. (The r04 reconstruction favors a stricter
+pandas-object BIT hash — tools/driver_canon_check.py now enforces
+that model, under which ANY nonzero engine delta flips; the two tools
+together bound both candidate semantics.) Both quantities are
+measurable at sf0.01:
 
 - **margin**: the distance (in ulps of the cell value) from the value
   to its nearest %.9g rounding boundary. A value 1e6 ulps from the
