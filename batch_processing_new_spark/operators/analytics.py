@@ -562,7 +562,7 @@ SELECT '{c}'                                               AS col_name,
        count(DISTINCT {c})                                 AS n_distinct,
        round(min({c}), 6)                                  AS min_v,
        round(max({c}), 6)                                  AS max_v,
-       round(CAST(sum(CAST({c} AS DECIMAL(30,8))) AS DOUBLE)
+       round(CAST(CAST(sum(CAST({c} AS DECIMAL(30,8))) AS VARCHAR) AS DOUBLE)
              / count({c}), 6)                              AS mean_v
 FROM lineitem"""
         for c in _PROFILE_COLS
@@ -863,7 +863,7 @@ SELECT CAST(bucket AS TIMESTAMP) AS bucket,
        gran,
        event_type,
        count(*) AS n_events,
-       CAST(sum(CAST(value AS DECIMAL(30,8))) AS DOUBLE) AS total_value
+       CAST(CAST(sum(CAST(value AS DECIMAL(30,8))) AS VARCHAR) AS DOUBLE) AS total_value
 FROM g
 GROUP BY bucket, gran, event_type
 HAVING gran <> 'minute' OR n_events > 1
@@ -977,7 +977,7 @@ WITH hourly AS (
     -- sweep; invisible at the sf0.01 verify SF)
     SELECT event_type,
            date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h,
-           CAST(sum(CAST(value AS DECIMAL(30,8))) AS DOUBLE)
+           CAST(CAST(sum(CAST(value AS DECIMAL(30,8))) AS VARCHAR) AS DOUBLE)
                / count(value) AS v
     FROM events GROUP BY 1, 2
 ),
@@ -1114,8 +1114,8 @@ seg AS (
 )
 SELECT user_id,
        count(*) AS n_segments,
-       round(CAST(sum(CAST(value * dur AS DECIMAL(30,8))) AS DOUBLE)
-             / CAST(sum(CAST(dur AS DECIMAL(30,8))) AS DOUBLE), 6) AS twa
+       round(CAST(CAST(sum(CAST(value * dur AS DECIMAL(30,8))) AS VARCHAR) AS DOUBLE)
+             / CAST(CAST(sum(CAST(dur AS DECIMAL(30,8))) AS VARCHAR) AS DOUBLE), 6) AS twa
 FROM seg
 GROUP BY user_id
 ORDER BY user_id
@@ -1525,27 +1525,26 @@ tot AS (
 ),
 loo AS (
     SELECT shard,
-           CAST(tot.total - per_shard.s AS DOUBLE)
+           CAST(CAST(tot.total - per_shard.s AS VARCHAR) AS DOUBLE)
                / (tot.n - per_shard.cnt) AS m
     FROM per_shard, tot
 ),
 mb AS (
-    SELECT CAST(sum(CAST(m AS DECIMAL(38,15))) AS DOUBLE)
+    SELECT CAST(CAST(sum(CAST(m AS DECIMAL(38,15))) AS VARCHAR) AS DOUBLE)
                / {_JK_SHARDS} AS mbar
     FROM loo
 ),
 vr AS (
-    SELECT CAST(sum(CAST((m - mbar) * (m - mbar) AS DECIMAL(38,18)))
-               AS DOUBLE)
+    SELECT CAST(CAST(sum(CAST((m - mbar) * (m - mbar) AS DECIMAL(38,18))) AS VARCHAR) AS DOUBLE)
            * ({_JK_SHARDS} - 1.0) / {_JK_SHARDS} AS var_jk
     FROM loo, mb
 )
 SELECT CAST(tot.n AS BIGINT)                            AS n,
-       round(CAST(tot.total AS DOUBLE) / tot.n, 4)      AS mean_price,
+       round(CAST(CAST(tot.total AS VARCHAR) AS DOUBLE) / tot.n, 4)      AS mean_price,
        round(sqrt(vr.var_jk), 4)                        AS jk_se,
-       round(CAST(tot.total AS DOUBLE) / tot.n
+       round(CAST(CAST(tot.total AS VARCHAR) AS DOUBLE) / tot.n
              - 1.96 * sqrt(vr.var_jk), 4)               AS ci_lo,
-       round(CAST(tot.total AS DOUBLE) / tot.n
+       round(CAST(CAST(tot.total AS VARCHAR) AS DOUBLE) / tot.n
              + 1.96 * sqrt(vr.var_jk), 4)               AS ci_hi
 FROM tot, vr
 """,
@@ -1783,7 +1782,7 @@ weighted AS (
 )
 SELECT user_id,
        count(*)::BIGINT AS n_touches,
-       round(CAST(sum(CAST(credit AS DECIMAL(30,8))) AS DOUBLE), 6)
+       round(CAST(CAST(sum(CAST(credit AS DECIMAL(30,8))) AS VARCHAR) AS DOUBLE), 6)
            AS total_credit,
        round(max(CASE WHEN pos = 1 THEN credit END), 6) AS first_credit,
        round(max(CASE WHEN pos = path_len THEN credit END), 6)

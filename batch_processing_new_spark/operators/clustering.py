@@ -390,15 +390,14 @@ _COV_DIM = 64
     oracle=f"""
 WITH mu AS (
     SELECT i,
-           CAST(sum(CAST(embedding[i]::DOUBLE AS DECIMAL(38,12)))
-                AS DOUBLE) / (SELECT count(*) FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) > 0)) AS m
+           CAST(CAST(sum(CAST(embedding[i]::DOUBLE AS DECIMAL(38,12))) AS VARCHAR) AS DOUBLE) / (SELECT count(*) FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) > 0)) AS m
     FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) > 0), generate_series(1, {_COV_DIM}) g(i)
     GROUP BY i
 ),
 prods AS (
     SELECT gi.i AS i, gj.i AS j,
-           CAST(sum(CAST(e.embedding[gi.i]::DOUBLE * e.embedding[gj.i]::DOUBLE
-                         AS DECIMAL(38,12))) AS DOUBLE) AS s
+           CAST(CAST(sum(CAST(e.embedding[gi.i]::DOUBLE * e.embedding[gj.i]::DOUBLE
+                         AS DECIMAL(38,12))) AS VARCHAR) AS DOUBLE) AS s
     FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) > 0) e,
          generate_series(1, {_COV_DIM}) gi(i),
          generate_series(1, {_COV_DIM}) gj(i)

@@ -532,7 +532,7 @@ terms AS (
     FROM grid
 ),
 stat AS (
-    SELECT CAST(sum(term) AS DOUBLE) AS chi2,
+    SELECT CAST(CAST(sum(term) AS VARCHAR) AS DOUBLE) AS chi2,
            (SELECT (count(*) - 1) FROM mx)
            * (SELECT (count(*) - 1) FROM my) AS dof
     FROM terms

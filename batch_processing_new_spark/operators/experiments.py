@@ -155,20 +155,20 @@ _CUPED_CUTOFF = "2024-01-16"  # pre-period: events before this day
 WITH per_user AS (
     SELECT user_id,
            {_arm_sql("user_id::VARCHAR")} AS arm,
-           CAST(sum(CASE WHEN ts <  TIMESTAMP '{_CUPED_CUTOFF}'
-                         THEN CAST(value AS DECIMAL(30,8)) ELSE 0 END) AS DOUBLE) AS pre,
-           CAST(sum(CASE WHEN ts >= TIMESTAMP '{_CUPED_CUTOFF}'
+           CAST(CAST(sum(CASE WHEN ts <  TIMESTAMP '{_CUPED_CUTOFF}'
+                         THEN CAST(value AS DECIMAL(30,8)) ELSE 0 END) AS VARCHAR) AS DOUBLE) AS pre,
+           CAST(CAST(sum(CASE WHEN ts >= TIMESTAMP '{_CUPED_CUTOFF}'
                           AND event_type = 'purchase'
-                         THEN CAST(value AS DECIMAL(30,8)) ELSE 0 END) AS DOUBLE) AS post
+                         THEN CAST(value AS DECIMAL(30,8)) ELSE 0 END) AS VARCHAR) AS DOUBLE) AS post
     FROM events
     GROUP BY user_id
 ),
 moments AS (
     SELECT count(*) AS n,
-           CAST(sum(CAST(pre  AS DECIMAL(30,8))) AS DOUBLE) AS sx,
-           CAST(sum(CAST(post AS DECIMAL(30,8))) AS DOUBLE) AS sy,
-           CAST(sum(CAST(pre * post AS DECIMAL(30,8))) AS DOUBLE) AS sxy,
-           CAST(sum(CAST(pre * pre  AS DECIMAL(30,8))) AS DOUBLE) AS sxx
+           CAST(CAST(sum(CAST(pre  AS DECIMAL(30,8))) AS VARCHAR) AS DOUBLE) AS sx,
+           CAST(CAST(sum(CAST(post AS DECIMAL(30,8))) AS VARCHAR) AS DOUBLE) AS sy,
+           CAST(CAST(sum(CAST(pre * post AS DECIMAL(30,8))) AS VARCHAR) AS DOUBLE) AS sxy,
+           CAST(CAST(sum(CAST(pre * pre  AS DECIMAL(30,8))) AS VARCHAR) AS DOUBLE) AS sxx
     FROM per_user
 ),
 theta AS (
@@ -182,8 +182,8 @@ adjusted AS (
 )
 SELECT arm,
        count(*) AS n_users,
-       round(CAST(sum(CAST(post AS DECIMAL(30,8))) AS DOUBLE) / count(*), 6) AS mean_post,
-       round(CAST(sum(CAST(adj  AS DECIMAL(30,8))) AS DOUBLE) / count(*), 6) AS mean_adjusted,
+       round(CAST(CAST(sum(CAST(post AS DECIMAL(30,8))) AS VARCHAR) AS DOUBLE) / count(*), 6) AS mean_post,
+       round(CAST(CAST(sum(CAST(adj  AS DECIMAL(30,8))) AS VARCHAR) AS DOUBLE) / count(*), 6) AS mean_adjusted,
        round(any_value(th), 6) AS theta
 FROM adjusted
 GROUP BY arm

@@ -115,9 +115,9 @@ def _pr_iter_sql(prev: str, cur: str) -> str:
     return f"""
 {cur} AS (
     SELECT p.dst AS v,
-           {1 - PR_DAMP} + {PR_DAMP} * CAST(sum(
+           {1 - PR_DAMP} + {PR_DAMP} * CAST(CAST(sum(
                CAST(round({prev}.r / deg.d, 9) AS DECIMAL(30,9))
-           ) AS DOUBLE) AS r
+           ) AS VARCHAR) AS DOUBLE) AS r
     FROM pairs p
     JOIN {prev} ON {prev}.v = p.src
     JOIN deg ON deg.src = p.src

@@ -44,11 +44,11 @@ def davg(col: Column | str) -> Column:
 
 
 def _dsum_sql(expr: str) -> str:
-    return f"CAST(sum(CAST(({expr}) AS DECIMAL(30,8))) AS DOUBLE)"
+    return f"CAST(CAST(sum(CAST(({expr}) AS DECIMAL(30,8))) AS VARCHAR) AS DOUBLE)"
 
 
 def _davg_sql(expr: str) -> str:
-    return f"CAST(sum(CAST(({expr}) AS DECIMAL(30,8))) AS DOUBLE) / count(*)"
+    return f"CAST(CAST(sum(CAST(({expr}) AS DECIMAL(30,8))) AS VARCHAR) AS DOUBLE) / count(*)"
 
 
 # ---------------------------------------------------------------- Q1: agg
@@ -721,7 +721,7 @@ sessions AS (
 SELECT user_id,
        CAST(max(session_id) AS BIGINT)  AS n_sessions,
        count(*)                         AS n_events,
-       round(CAST(sum(CAST(value AS DECIMAL(30,8))) AS DOUBLE), 4)
+       round(CAST(CAST(sum(CAST(value AS DECIMAL(30,8))) AS VARCHAR) AS DOUBLE), 4)
                                         AS total_value
 FROM sessions
 GROUP BY user_id

@@ -338,10 +338,10 @@ def q47_sketch_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH sums AS (
     SELECT l_returnflag,
            count(*)::BIGINT AS n,
-           CAST(sum(CAST(l_quantity AS DECIMAL(30,8))) AS DOUBLE) AS s1,
-           CAST(sum(CAST(l_quantity * l_quantity AS DECIMAL(38,8))) AS DOUBLE) AS s2,
-           CAST(sum(CAST(l_quantity * l_quantity * l_quantity AS DECIMAL(38,8))) AS DOUBLE) AS s3,
-           CAST(sum(CAST(l_quantity * l_quantity * l_quantity * l_quantity AS DECIMAL(38,8))) AS DOUBLE) AS s4,
+           CAST(CAST(sum(CAST(l_quantity AS DECIMAL(30,8))) AS VARCHAR) AS DOUBLE) AS s1,
+           CAST(CAST(sum(CAST(l_quantity * l_quantity AS DECIMAL(38,8))) AS VARCHAR) AS DOUBLE) AS s2,
+           CAST(CAST(sum(CAST(l_quantity * l_quantity * l_quantity AS DECIMAL(38,8))) AS VARCHAR) AS DOUBLE) AS s3,
+           CAST(CAST(sum(CAST(l_quantity * l_quantity * l_quantity * l_quantity AS DECIMAL(38,8))) AS VARCHAR) AS DOUBLE) AS s4,
            round(stddev_samp(l_quantity), 4)                  AS sd_qty,
            round(var_samp(l_quantity), 4)                     AS var_qty,
            -- corr as covar/(sd*sd), NOT the corr() builtin: with n >= 2
@@ -578,10 +578,10 @@ def q65_higher_order_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT event_id,
        user_id,
-       CAST(sum(CAST(value AS DECIMAL(30,8))) OVER (
+       CAST(CAST(sum(CAST(value AS DECIMAL(30,8))) OVER (
            PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP)
            RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW
-       ) AS DOUBLE)                                  AS rolling_1h_value,
+       ) AS VARCHAR) AS DOUBLE)                      AS rolling_1h_value,
        count(*) OVER (
            PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP)
            RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW
@@ -1475,7 +1475,7 @@ def q158_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH revenue AS (
     SELECT l_suppkey AS supplier_no,
-           CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,8))) AS DOUBLE)
+           CAST(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,8))) AS VARCHAR) AS DOUBLE)
                AS total_revenue
     FROM lineitem
     WHERE l_shipdate >= DATE '1996-01-01'
@@ -1535,7 +1535,7 @@ def q175_top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q191_dormant_customers",
     oracle="""
 WITH avg_bal AS (
-    SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(30,8))) AS DOUBLE) / count(*)
+    SELECT CAST(CAST(sum(CAST(c_acctbal AS DECIMAL(30,8))) AS VARCHAR) AS DOUBLE) / count(*)
                AS ab
     FROM customer WHERE c_acctbal > 0
 ),
@@ -1551,7 +1551,7 @@ dormant AS (
 )
 SELECT c_nationkey,
        count(*)::BIGINT AS n_custs,
-       CAST(sum(CAST(c_acctbal AS DECIMAL(30,8))) AS DOUBLE) AS total_bal
+       CAST(CAST(sum(CAST(c_acctbal AS DECIMAL(30,8))) AS VARCHAR) AS DOUBLE) AS total_bal
 FROM dormant
 GROUP BY c_nationkey
 ORDER BY c_nationkey

@@ -519,10 +519,10 @@ bucketed AS (
 )
 SELECT bucket,
        count(*)::BIGINT AS n_docs,
-       round(CAST(sum(CAST(p AS DECIMAL(30,8))) AS DOUBLE) / count(*), 6)
+       round(CAST(CAST(sum(CAST(p AS DECIMAL(30,8))) AS VARCHAR) AS DOUBLE) / count(*), 6)
            AS mean_p,
        round(sum(label) / count(*), 6) AS frac_good,
-       round(abs(CAST(sum(CAST(p AS DECIMAL(30,8))) AS DOUBLE) / count(*)
+       round(abs(CAST(CAST(sum(CAST(p AS DECIMAL(30,8))) AS VARCHAR) AS DOUBLE) / count(*)
                  - sum(label) / count(*)), 6) AS gap
 FROM bucketed
 GROUP BY bucket

@@ -670,8 +670,8 @@ a1 AS (
 ),
 m1 AS (
     SELECT a1.cell AS cid, g.i AS pos,
-           round(CAST(sum(CAST(a1.embedding[g.i + 1]::DOUBLE
-                               AS DECIMAL(30,8))) AS DOUBLE)
+           round(CAST(CAST(sum(CAST(a1.embedding[g.i + 1]::DOUBLE
+                               AS DECIMAL(30,8))) AS VARCHAR) AS DOUBLE)
                  / count(*), 6) AS m
     FROM a1, generate_series(0, {DIM - 1}) g(i)
     GROUP BY a1.cell, g.i
@@ -765,8 +765,7 @@ WITH dims AS (
 )
 SELECT label,
        dim_id,
-       round(CAST(sum(CAST(embedding[dim_id + 1]::DOUBLE AS DECIMAL(30,8)))
-                  AS DOUBLE) / count(*), 6) AS centroid_v
+       round(CAST(CAST(sum(CAST(embedding[dim_id + 1]::DOUBLE AS DECIMAL(30,8))) AS VARCHAR) AS DOUBLE) / count(*), 6) AS centroid_v
 FROM dims
 GROUP BY label, dim_id
 ORDER BY label, dim_id

@@ -1080,7 +1080,7 @@ labeled AS (
 )
 SELECT source, sentiment,
        count(*)::BIGINT AS n_docs,
-       round(CAST(sum(CAST(score AS DECIMAL(30,12))) AS DOUBLE)
+       round(CAST(CAST(sum(CAST(score AS DECIMAL(30,12))) AS VARCHAR) AS DOUBLE)
              / count(*), 6) AS mean_score
 FROM labeled
 GROUP BY source, sentiment

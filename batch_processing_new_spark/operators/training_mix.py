@@ -524,8 +524,11 @@ powed AS (
 ),
 tot AS (SELECT sum(pw) AS spw FROM powed)
 SELECT p.source, p.chars, p.docs,
-       round(CAST(p.pw / t.spw AS DOUBLE), 6) AS weight,
-       CAST(floor(CAST(p.pw / t.spw AS DOUBLE) * {_TEMP_BUDGET}) AS BIGINT)
+       round(CAST(CAST(p.pw AS VARCHAR) AS DOUBLE)
+             / CAST(CAST(t.spw AS VARCHAR) AS DOUBLE), 6) AS weight,
+       CAST(floor(CAST(CAST(p.pw AS VARCHAR) AS DOUBLE)
+                  / CAST(CAST(t.spw AS VARCHAR) AS DOUBLE)
+                  * {_TEMP_BUDGET}) AS BIGINT)
            AS alloc_docs
 FROM powed p CROSS JOIN tot t
 ORDER BY p.source

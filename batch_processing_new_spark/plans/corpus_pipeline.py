@@ -305,10 +305,10 @@ SELECT t.source,
        -- engines; the double columns reduce under DECIMAL so no mean
        -- depends on partition/scan order (the q108 sf0.1 lesson)
        round(sum(t.n_tokens) * 1.0 / count(*), 6)          AS avg_tokens,
-       round(CAST(sum(CAST(t.n_distinct * 1.0 / t.n_tokens
-                           AS DECIMAL(30,12))) AS DOUBLE)
+       round(CAST(CAST(sum(CAST(t.n_distinct * 1.0 / t.n_tokens
+                           AS DECIMAL(30,12))) AS VARCHAR) AS DOUBLE)
              / count(*), 6)                                AS avg_ttr,
-       round(CAST(sum(CAST(e.entropy_bits AS DECIMAL(30,12))) AS DOUBLE)
+       round(CAST(CAST(sum(CAST(e.entropy_bits AS DECIMAL(30,12))) AS VARCHAR) AS DOUBLE)
              / count(*), 6)                                AS avg_entropy,
        round(sum(d.is_dup) * 1.0 / count(*), 6)            AS dup_fraction
 FROM toks t

@@ -263,7 +263,7 @@ from batch_processing_new_spark.sources.readers import load_table  # noqa: E402
     oracle="""
 SELECT c_mktsegment,
        count(*)                                                  AS n_customers,
-       CAST(sum(CAST(c_acctbal AS DECIMAL(30,8))) AS DOUBLE)     AS total_acctbal
+       CAST(CAST(sum(CAST(c_acctbal AS DECIMAL(30,8))) AS VARCHAR) AS DOUBLE)     AS total_acctbal
 FROM customer
 GROUP BY c_mktsegment
 ORDER BY c_mktsegment
@@ -307,7 +307,7 @@ def q49_excel_roundtrip(spark, sf_dir: str):
     oracle="""
 SELECT event_type,
        count(*)                                              AS n_events,
-       CAST(sum(CAST(value AS DECIMAL(30,8))) AS DOUBLE)     AS total_value
+       CAST(CAST(sum(CAST(value AS DECIMAL(30,8))) AS VARCHAR) AS DOUBLE)     AS total_value
 FROM events
 GROUP BY event_type
 ORDER BY event_type
@@ -357,7 +357,7 @@ WITH unioned AS (
 )
 SELECT coalesce(o_orderpriority, 'MISSING')                  AS priority,
        count(*)                                              AS n_orders,
-       CAST(sum(CAST(o_totalprice AS DECIMAL(30,8))) AS DOUBLE) AS total_price
+       CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(30,8))) AS VARCHAR) AS DOUBLE) AS total_price
 FROM unioned
 GROUP BY priority
 ORDER BY priority
@@ -423,7 +423,7 @@ WITH sim AS (
 )
 SELECT CASE WHEN is_corrupt THEN 'corrupt' ELSE 'good' END AS status,
        count(*)                                            AS n_rows,
-       CAST(sum(CAST(price AS DECIMAL(30,8))) AS DOUBLE)   AS total_price,
+       CAST(CAST(sum(CAST(price AS DECIMAL(30,8))) AS VARCHAR) AS DOUBLE)   AS total_price,
        min(o_orderkey)                                     AS min_orderkey
 FROM sim
 GROUP BY status
@@ -497,7 +497,7 @@ def q154_corrupt_records(spark, sf_dir: str):
     oracle="""
 SELECT o_orderpriority,
        count(*)                                                 AS n_orders,
-       CAST(sum(CAST(o_totalprice AS DECIMAL(30,8))) AS DOUBLE) AS total_price
+       CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(30,8))) AS VARCHAR) AS DOUBLE) AS total_price
 FROM orders
 GROUP BY o_orderpriority
 ORDER BY o_orderpriority

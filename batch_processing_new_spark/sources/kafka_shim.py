@@ -112,7 +112,7 @@ def read_kafka_shaped_stream(spark: SparkSession, path: str) -> DataFrame:
     oracle="""
 SELECT event_type,
        count(*)                                              AS n,
-       CAST(sum(CAST(value AS DECIMAL(30,8))) AS DOUBLE)     AS total_value
+       CAST(CAST(sum(CAST(value AS DECIMAL(30,8))) AS VARCHAR) AS DOUBLE)     AS total_value
 FROM events
 GROUP BY event_type
 ORDER BY event_type

@@ -274,7 +274,7 @@ def q137_tweet_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT event_type,
        count(*)::BIGINT AS n,
-       CAST(sum(CAST(value AS DECIMAL(30,8))) AS DOUBLE) AS total_value,
+       CAST(CAST(sum(CAST(value AS DECIMAL(30,8))) AS VARCHAR) AS DOUBLE) AS total_value,
        max(event_id) AS max_id
 FROM events
 GROUP BY event_type

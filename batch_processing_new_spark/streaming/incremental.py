@@ -125,7 +125,7 @@ def run_incremental_user_stats(
     oracle="""
 SELECT user_id,
        count(*)                                          AS n_events,
-       CAST(sum(CAST(value AS DECIMAL(30,8))) AS DOUBLE) AS total_value
+       CAST(CAST(sum(CAST(value AS DECIMAL(30,8))) AS VARCHAR) AS DOUBLE) AS total_value
 FROM events
 GROUP BY user_id
 ORDER BY user_id

@@ -150,7 +150,7 @@ def _run_to_memory(stream_df: DataFrame, prefix: str, mode: str) -> DataFrame:
 SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
        event_type,
        count(*)                                              AS n_events,
-       CAST(sum(CAST(value AS DECIMAL(30,8))) AS DOUBLE)     AS total_value
+       CAST(CAST(sum(CAST(value AS DECIMAL(30,8))) AS VARCHAR) AS DOUBLE)     AS total_value
 FROM events
 GROUP BY 1, 2
 ORDER BY 1, 2
@@ -197,7 +197,7 @@ w AS (
 )
 SELECT window_start,
        count(*)                                          AS n_events,
-       CAST(sum(CAST(value AS DECIMAL(30,8))) AS DOUBLE) AS total_value
+       CAST(CAST(sum(CAST(value AS DECIMAL(30,8))) AS VARCHAR) AS DOUBLE) AS total_value
 FROM w
 GROUP BY 1
 ORDER BY 1
@@ -505,7 +505,7 @@ WITH e AS (
 SELECT strftime(d, '%Y-%m-%d %H:%M:%S')                   AS day,
        c_mktsegment                                       AS segment,
        count(*)                                           AS n_events,
-       CAST(sum(CAST(value AS DECIMAL(30,8))) AS DOUBLE)  AS total_value
+       CAST(CAST(sum(CAST(value AS DECIMAL(30,8))) AS VARCHAR) AS DOUBLE)  AS total_value
 FROM e
 GROUP BY 1, 2
 ORDER BY 1, 2
