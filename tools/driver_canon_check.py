@@ -28,7 +28,14 @@ never goes through a lossy format.
 
 Probes (``_probe_``) are excluded: three diverge by design.
 
-Usage: python tools/driver_canon_check.py [name-substr ...]
+Usage: python tools/driver_canon_check.py [--hostile MODE] [name-substr ...]
+
+``SPARK_GRAFT_SF_DIR`` overrides the fixture dir (run at sf0.1 too
+after touching any oracle or float pipeline — rule 19 was invisible at
+sf0.01). ``--hostile poison|empty|single|constant`` builds the
+corresponding hostile fixture set (poison_sweep / degenerate_sweep
+builders) in a tempdir and sweeps there; the full r04 battery
+(3 SFs + poison + 3 degenerate modes) ran 0 FAILED.
 """
 
 from __future__ import annotations
@@ -143,7 +150,26 @@ def compare(name: str, spdf: pd.DataFrame, ddf: pd.DataFrame) -> list[str]:
 
 
 def main() -> int:
+    global SF_DIR
     from pyspark.sql import SparkSession
+
+    if "--hostile" in sys.argv:
+        import tempfile
+
+        i = sys.argv.index("--hostile")
+        mode = sys.argv[i + 1]
+        del sys.argv[i : i + 2]
+        tmp = tempfile.mkdtemp(prefix=f"canon_{mode}_")
+        if mode == "poison":
+            from poison_sweep import build_poisoned_dir
+
+            build_poisoned_dir(tmp)
+        else:
+            from degenerate_sweep import build_degenerate_dir
+
+            build_degenerate_dir(tmp, mode)
+        SF_DIR = tmp
+        print(f"hostile mode {mode}: fixtures in {tmp}")
 
     spec = importlib.util.spec_from_file_location(
         "__spark_entry__", "/root/repo/__spark_entry__.py"
