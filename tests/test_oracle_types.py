@@ -85,3 +85,65 @@ def test_no_decimal_outputs(oracle_types):
         "CAST the projection AS DOUBLE (after the exact DECIMAL math) on "
         "both sides."
     )
+
+
+# -- engine-conversion canaries (TESTDATA.md rules 19/20) -----------------
+#
+# These pin the MEASURED DuckDB 1.0 conversion semantics the oracle
+# discipline is built around. If a sandbox/driver DuckDB upgrade changes
+# any of them, these fail loudly and rules 19/20 must be re-adjudicated.
+
+
+def test_duckdb_decimal_to_double_double_rounds():
+    """Rule 19's reason to exist: direct scale>0 DECIMAL→DOUBLE casts
+    double-round past 2^53, varchar mediation is correctly rounded."""
+    con = duckdb.connect()
+    s = "7385942569.15"
+    direct = con.sql(f"SELECT CAST(CAST('{s}' AS DECIMAL(30,8)) AS DOUBLE)").fetchone()[0]
+    viastr = con.sql(
+        f"SELECT CAST(CAST(CAST('{s}' AS DECIMAL(30,8)) AS VARCHAR) AS DOUBLE)"
+    ).fetchone()[0]
+    assert viastr == float(s), "varchar mediation must be correctly rounded"
+    assert direct != float(s), (
+        "DuckDB now rounds scale>0 DECIMAL→DOUBLE correctly — rule 19's "
+        "varchar mediation is redundant (harmless) on this engine; "
+        "re-adjudicate TESTDATA.md rule 19"
+    )
+
+
+def test_duckdb_decimal_to_varchar_is_exact_fixed_point():
+    """Rule 19's fix depends on DECIMAL→VARCHAR printing exact digits."""
+    con = duckdb.connect()
+    out = con.sql(
+        "SELECT CAST(CAST('7385942569.15' AS DECIMAL(30,8)) AS VARCHAR)"
+    ).fetchone()[0]
+    assert out == "7385942569.15000000"
+
+
+def test_duckdb_double_to_varchar_not_shortest_roundtrip():
+    """Rule 20: DOUBLE→VARCHAR on DuckDB 1.0 is NOT shortest-round-trip,
+    so input-side double→decimal tie quantization cannot be made
+    Spark-identical by varchar mediation."""
+    con = duckdb.connect()
+    t = 10000000 + 1 / 2**9  # exactly representable; repr ends ...125
+    out = con.sql(f"SELECT CAST(CAST({t!r} AS DOUBLE) AS VARCHAR)").fetchone()[0]
+    if out == repr(t):
+        pytest.fail(
+            "DuckDB now renders doubles shortest-round-trip — rule 20's "
+            "adjudication can be revisited (varchar-mediated input "
+            "quantization would become Spark-identical)"
+        )
+
+
+def test_duckdb_double_to_decimal_tie_rounds_down_at_magnitude():
+    """Rule 20's measured split: large-magnitude exact ties round DOWN in
+    DuckDB 1.0's direct double→decimal cast (Spark: HALF_UP via repr)."""
+    con = duckdb.connect()
+    t = 1000 + 1 / 2**9
+    out = con.sql(f"SELECT CAST(CAST({t!r} AS DOUBLE) AS DECIMAL(30,8))").fetchone()[0]
+    assert str(out) in ("1000.00195312", "1000.00195313")
+    if str(out) == "1000.00195313":
+        pytest.fail(
+            "DuckDB's double→decimal tie now matches Spark's HALF_UP — "
+            "rule 20 latent hazard may be closed on this engine"
+        )
