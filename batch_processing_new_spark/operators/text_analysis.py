@@ -10,6 +10,8 @@ has a full DuckDB oracle.
 
 from __future__ import annotations
 
+import os
+
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -490,9 +492,17 @@ def compression_ratio(docs: DataFrame) -> DataFrame:
 
     zlib at a fixed level is deterministic, so the column is a pure
     function of the text; the scan is one Arrow-batched `mapInPandas`
-    pass with no shuffle at all. SQL has no codec, hence no DuckDB
-    oracle — tests recompute ratios with local zlib and assert exact
-    equality (tests/test_training_mix.py).
+    pass with no shuffle at all. SQL has no codec, so the DuckDB
+    oracle (q100) joins a pre-materialized (md5(text) -> zlib length)
+    lookup parquet built by tools/build_zlib_lookup.py — the r04
+    BPE technique of materializing the deterministic artifact and
+    replaying it in SQL (VERDICT r04 #4). ``ratio`` is the raw IEEE
+    double quotient, NOT rounded: both engines convert the two small
+    ints exactly and divide correctly-rounded, so the bits match with
+    no round()-tie hazard (numpy rounds half-even, DuckDB half-away —
+    raw_len=2^k texts make position-7 ties reachable). Tests also
+    recompute ratios with local zlib and assert exact equality
+    (tests/test_training_mix.py).
     """
     import pandas as pd
     import zlib
@@ -524,7 +534,7 @@ def compression_ratio(docs: DataFrame) -> DataFrame:
                     "doc_id": pdf["doc_id"],
                     "raw_len": raw_len,
                     "compressed_len": comp_len,
-                    "ratio": (comp_len / raw_len).round(6),
+                    "ratio": comp_len / raw_len,
                 }
             )
 
@@ -537,9 +547,37 @@ def compression_ratio(docs: DataFrame) -> DataFrame:
     )
 
 
-# non-SQL-expressible (no codec in SQL): rows-only driver check; exact
-# local-zlib equality asserted in tests/test_training_mix.py
-@query("q100_compression_ratio")
+# SQL has no codec, so the oracle replays a pre-materialized
+# (md5(text) -> zlib-length) lookup parquet (tools/build_zlib_lookup.py;
+# the q169/q180 artifact-replay technique, VERDICT r04 #4 — upgrades
+# q100 from rows-only to a full value-hash oracle). The lookup covers
+# every fixture text (three SF dirs + poison + constant modes; coverage
+# pinned by tests/test_training_mix.py::test_zlib_lookup_covers_all_
+# fixture_texts) — a missing text drops its JOIN row and fails LOUDLY
+# as a rows mismatch, never silently. ratio is the raw IEEE quotient
+# on both sides (two exact int->double conversions + one correctly-
+# rounded divide = bit-identical across engines, no round() ties).
+_ZLIB_LOOKUP = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    "fixtures",
+    "zlib_len_lookup.parquet",
+)
+
+
+@query(
+    "q100_compression_ratio",
+    oracle=f"""
+SELECT d.doc_id,
+       CAST(strlen(d.text) AS INTEGER)               AS raw_len,
+       z.compressed_len                              AS compressed_len,
+       z.compressed_len * 1.0 / strlen(d.text)       AS ratio
+FROM documents d
+JOIN read_parquet('{_ZLIB_LOOKUP}') z
+  ON md5(d.text) = z.text_md5
+WHERE length(d.text) > 0
+ORDER BY d.doc_id
+""",
+)
 def q100_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     """zlib compression-ratio quality signal over the corpus."""
     d = load_table(spark, sf_dir, "documents")

@@ -64,7 +64,10 @@ _LOCAL_PYSPARK_ENC = 40102  # pyspark 4.1.2
 def _enc_version(vs: str) -> int:
     m = re.match(r"(\d+)\.(\d+)\.(\d+)", vs)
     if not m:
-        return 0
+        # distinct sentinel (1 row, decodes as 0.0.1): an UNPARSEABLE
+        # version string must not read like "version 0.0.0" / an empty
+        # frame in the driver artifact (ADVICE r04)
+        return 1
     return 10000 * int(m.group(1)) + 100 * int(m.group(2)) + int(m.group(3))
 
 

@@ -50,7 +50,23 @@ def normalize(pdf: pd.DataFrame) -> pd.DataFrame:
         return v
 
     out = pdf.map(canon)
-    key = out.apply(lambda row: tuple(str(x) for x in row), axis=1)
+
+    # ALIGNMENT-only key: int-ify integer-valued floats so the one
+    # exempted dtype split (nullable-int promotion: int64 on one side,
+    # float64-with-NaN on the other) sorts both frames identically —
+    # str() keys '3' vs '3.0' would align DIFFERENT rows and report
+    # spurious value mismatches (ADVICE r04). The comparison itself
+    # still sees the raw canonicalized cells.
+    def sort_cell(x):
+        if isinstance(x, bool):
+            return str(x)
+        if isinstance(x, float) and x.is_integer() and abs(x) < 2**53:
+            return str(int(x))
+        if isinstance(x, tuple):
+            return str(tuple(sort_cell(v) for v in x))
+        return str(x)
+
+    key = out.apply(lambda row: tuple(sort_cell(x) for x in row), axis=1)
     return out.iloc[key.argsort(kind="mergesort").values].reset_index(drop=True)
 
 

@@ -486,3 +486,25 @@ def test_mv_merge_is_idempotent_under_batch_replay(spark, tmp_path):
         for r in ev.groupBy("user_id").count().withColumnRenamed("count", "n").collect()
     }
     assert {u: n for u, (n, _) in twice.items()} == expect
+
+
+def test_events_fixture_is_single_parquet_file():
+    """q53/q103's exact oracles assume the availableNow replay runs as
+    ONE data micro-batch — true only while each events fixture is a
+    single parquet FILE (a multi-file directory replays as several
+    micro-batches, mid-stream state eviction re-emits pairs, and both
+    driver rows silently flip red even though the Spark side is
+    correct). Fail loudly AT THE ASSUMPTION if a fixture-layout change
+    ever violates it (ADVICE r04)."""
+    import glob
+    import os
+
+    dirs = sorted(glob.glob("/root/testdata/sf*"))
+    assert dirs, "no testdata fixture dirs found"
+    for d in dirs:
+        p = os.path.join(d, "events.parquet")
+        assert os.path.isfile(p), (
+            f"{p} is not a single parquet file; q53/q103's exact "
+            "oracles no longer hold — re-declare them rows-only "
+            "(see stream_queries.py docstrings)"
+        )

@@ -108,7 +108,41 @@ def test_compression_ratio_matches_local_zlib(spark):
         comp = len(zlib.compress(raw, 6))
         r = got[doc_id]
         assert (r.raw_len, r.compressed_len) == (len(raw), comp), doc_id
-        assert r.ratio == round(comp / len(raw), 6), doc_id
+        # raw quotient (not rounded): the q100 oracle relies on both
+        # engines producing the identical IEEE double bits
+        assert r.ratio == comp / len(raw), doc_id
+
+
+def test_zlib_lookup_covers_all_fixture_texts():
+    """Every text any harness can feed q100's oracle must be in the
+    materialized lookup (fixtures/zlib_len_lookup.parquet) with the
+    correct zlib length — a missing text would drop its JOIN row and
+    flip the driver red. Re-derives the universe independently of the
+    builder's output: the three SF dirs, the poison texts (imported,
+    not copied), and the degenerate constant-mode text."""
+    import hashlib
+    import os
+    import sys
+    import zlib
+
+    import duckdb
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, os.path.join(root, "tools"))
+    from build_zlib_lookup import OUT, fixture_texts
+
+    lut = dict(
+        duckdb.sql(
+            f"SELECT text_md5, compressed_len FROM read_parquet('{OUT}')"
+        ).fetchall()
+    )
+    texts = fixture_texts()
+    assert texts, "fixture text universe is empty"
+    for t in texts:
+        b = t.encode("utf-8")
+        md5 = hashlib.md5(b).hexdigest()
+        assert md5 in lut, f"lookup missing text: {t[:60]!r}"
+        assert lut[md5] == len(zlib.compress(b, 6)), t[:60]
 
 
 # ---------------------------------------- next-fit property tests

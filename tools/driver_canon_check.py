@@ -76,12 +76,28 @@ def _print_class(s: pd.Series) -> str:
     return cls
 
 
+def _sort_cell(v) -> str:
+    """Alignment-key canon for one cell: int-ify integer-valued floats
+    so the exempted nullable-int-promotion split (int64 vs
+    float64-with-NaN) sorts both frames identically — str() keys
+    '3' vs '3.0' could align DIFFERENT rows and report spurious value
+    mismatches (ADVICE r04)."""
+    try:
+        if pd.isna(v):
+            return "\0"
+    except (TypeError, ValueError):
+        pass  # arrays: pd.isna is elementwise; fall through to str()
+    if isinstance(v, bool):
+        return str(v)
+    if isinstance(v, float) and v.is_integer() and abs(v) < 2**53:
+        return str(int(v))
+    return str(v)
+
+
 def _sort_key(df: pd.DataFrame) -> pd.DataFrame:
     """Deterministic row alignment: lexsort on stringified cells.
     Alignment only — comparison happens on the raw values."""
-    key = df.apply(
-        lambda row: tuple("\0" if pd.isna(v) else str(v) for v in row), axis=1
-    )
+    key = df.apply(lambda row: tuple(_sort_cell(v) for v in row), axis=1)
     return df.iloc[key.argsort(kind="mergesort").values].reset_index(drop=True)
 
 

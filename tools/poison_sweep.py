@@ -75,6 +75,27 @@ def _sql_str(s: str) -> str:
     return " || ".join(parts) if parts else "''"
 
 
+# unicode-adversarial texts (r03): tab / NBSP / vertical-tab
+# whitespace (Java \s includes \x0B, RE2's does not), CJK with no
+# spaces, emoji + ZWJ, NFC-vs-NFD accents, Turkish U+0130 + sharp s
+# (full vs simple case mapping — the class that forced ascii_lower
+# for fingerprints), runs of spaces. Module-level so
+# tools/build_zlib_lookup.py keeps q100's oracle lookup covering
+# exactly this set by import, not by copy.
+POISON_DOC_TEXTS = [
+    "tab\tseparated\ttokens and spaces",
+    "nbsp\u00a0between\u00a0words here",
+    "vertical\x0btab and\x0bmore",
+    "\u4e2d\u6587\u6ca1\u6709\u7a7a\u683c\u7684\u957f"
+    "\u53e5\u5b50\u6d4b\u8bd5\u4e00\u4e0b\u5206\u8bcd",
+    "emoji \U0001f642 and zwj "
+    "\U0001f469\u200d\U0001f4bb done",
+    "caf\u00e9 versus cafe\u0301 nfc nfd",
+    "Turkish \u0130stanbul and stra\u00dfe",
+    "MIXED Case PUNCT!!! ???  double  spaces",
+]
+
+
 def build_poisoned_dir(dst: str) -> None:
     con = duckdb.connect()
     for t in TABLES:
@@ -82,23 +103,7 @@ def build_poisoned_dir(dst: str) -> None:
         out = os.path.join(dst, f"{t}.parquet")
         if t == "documents":
             mx = _max_id(con, src, "doc_id")
-            # unicode-adversarial texts (r03): tab / NBSP / vertical-tab
-            # whitespace (Java \s includes \x0B, RE2's does not), CJK
-            # with no spaces, emoji + ZWJ, NFC-vs-NFD accents, Turkish
-            # U+0130 + sharp s (full vs simple case mapping — the class
-            # that forced ascii_lower for fingerprints), runs of spaces
-            uni = [
-                "tab\tseparated\ttokens and spaces",
-                "nbsp\u00a0between\u00a0words here",
-                "vertical\x0btab and\x0bmore",
-                "\u4e2d\u6587\u6ca1\u6709\u7a7a\u683c\u7684\u957f"
-                "\u53e5\u5b50\u6d4b\u8bd5\u4e00\u4e0b\u5206\u8bcd",
-                "emoji \U0001f642 and zwj "
-                "\U0001f469\u200d\U0001f4bb done",
-                "caf\u00e9 versus cafe\u0301 nfc nfd",
-                "Turkish \u0130stanbul and stra\u00dfe",
-                "MIXED Case PUNCT!!! ???  double  spaces",
-            ]
+            uni = POISON_DOC_TEXTS
             uni_rows = " UNION ALL ".join(
                 f"SELECT {mx + 3 + i}, {_sql_str(s)}, 'en', 'poison', "
                 f"{len(s)}"

@@ -68,6 +68,9 @@ def status(row: dict) -> str:
 def decode_version(enc: int | None) -> str:
     if enc is None:
         return "?"
+    if enc == 1:
+        # probes.py _enc_version sentinel: version string did not parse
+        return "unparseable (sentinel 0.0.1)"
     return f"{enc // 10000}.{(enc % 10000) // 100}.{enc % 100}"
 
 
@@ -90,7 +93,11 @@ def probe_report(art: dict) -> list[str]:
     for name in sorted(rows):
         row, st = rows[name], status(rows[name])
         exp = PROBE_EXPECT.get(name, "?")
-        mark = "as-expected" if st == exp or (exp == "red" and st != "green") else "UNEXPECTED"
+        # only a true red satisfies an expected-red probe: an err:*
+        # status (e.g. the oracle crashed on the driver) measured
+        # NOTHING and must not read as confirming the mechanism
+        # (ADVICE r04)
+        mark = "as-expected" if st == exp else "UNEXPECTED/inconclusive"
         line = f"{name}: {st} (expected {exp}) [{mark}]"
         if name == "p01_probe_duckdb_version":
             line += (
