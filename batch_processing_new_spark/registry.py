@@ -20,6 +20,7 @@ import glob
 import importlib
 import json
 import os
+import re
 from collections.abc import Callable
 from dataclasses import dataclass
 
@@ -84,7 +85,7 @@ EXPECTED_DIVERGENT_PROBES = {
 }
 
 _loaded = False
-_proven_cache: set[str] | None = None
+_proven_cache: dict[str, int] | None = None
 
 
 def query(name: str, oracle: str | None = None, doc: str = ""):
@@ -108,23 +109,30 @@ def _load() -> None:
     _loaded = True
 
 
-def _driver_verified() -> set[str]:
-    """Query names with a green row in any driver CORRECTNESS_r*.json.
+def _driver_verified() -> dict[str, int]:
+    """Query name -> round of its MOST RECENT green row in any driver
+    CORRECTNESS_r*.json (absent = never driver-evidenced).
 
-    The round-1 driver artifact verified exactly the FIRST 50 entries
-    of ``queries()`` (a per-round cap), so registration order decides
-    which queries get a hard correctness signal each round. We order
-    not-yet-driver-verified queries first so coverage accumulates
-    across rounds; ``tests/run_verify.py`` still checks all queries
-    every run regardless of order.
+    The driver verifies exactly the FIRST 50 entries of ``queries()``
+    per round, so registration order decides which queries get a hard
+    correctness signal. Not-yet-verified queries sort first so
+    coverage accumulates; among verified ones the STALEST evidence
+    sorts first (freshness rotation, r05) so old green rows get
+    re-confirmed instead of the same registration-order prefix
+    re-running forever. ``tests/run_verify.py`` still checks all
+    queries every run regardless of order.
     """
     global _proven_cache
     if _proven_cache is not None:
         return _proven_cache
-    green: set[str] = set()
+    green: dict[str, int] = {}
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     try:
         for path in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
+            m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+            if not m:
+                continue  # e.g. CORRECTNESS_LOCAL_* must never count
+            rnd = int(m.group(1))
             with open(path) as f:
                 data = json.load(f)
             for name, row in data.items():
@@ -134,9 +142,9 @@ def _driver_verified() -> set[str]:
                     row.get("err") == "no_oracle"
                     and row.get("spark_rows") is not None
                 ):
-                    green.add(name)
+                    green[name] = max(green.get(name, 0), rnd)
     except Exception:
-        return set()
+        return {}
     _proven_cache = green
     return green
 
@@ -195,6 +203,11 @@ def all_specs() -> dict[str, QuerySpec]:
             prio.get(n, 0),
             n in proven,
             base + 1 if n in _WINDOW_DEFER else base,
+            # freshness rotation (r05): among proven queries the
+            # STALEST green row re-enters the window first, so driver
+            # evidence refreshes round-robin instead of the same
+            # registration-order prefix re-running forever
+            proven.get(n, 0),
             idx[n],
         ),
     )
