@@ -122,11 +122,20 @@ def _driver_verified() -> dict[str, int]:
     re-running forever. ``tests/run_verify.py`` still checks all
     queries every run regardless of order.
     """
+    return _scan_driver_artifacts()
+
+
+def _scan_driver_artifacts(root: str | None = None) -> dict[str, int]:
+    """Implementation of ``_driver_verified``; ``root`` overrides the
+    repo root and bypasses the cache (unit tests feed a tmp dir of
+    synthetic CORRECTNESS files)."""
     global _proven_cache
-    if _proven_cache is not None:
+    use_cache = root is None
+    if use_cache and _proven_cache is not None:
         return _proven_cache
     green: dict[str, int] = {}
-    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    if root is None:
+        root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     try:
         for path in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
             m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
@@ -145,7 +154,8 @@ def _driver_verified() -> dict[str, int]:
                     green[name] = max(green.get(name, 0), rnd)
     except Exception:
         return {}
-    _proven_cache = green
+    if use_cache:
+        _proven_cache = green
     return green
 
 
