@@ -557,6 +557,20 @@ def compression_ratio(docs: DataFrame) -> DataFrame:
 # as a rows mismatch, never silently. ratio is the raw IEEE quotient
 # on both sides (two exact int->double conversions + one correctly-
 # rounded divide = bit-identical across engines, no round() ties).
+#
+# This is the ONLY oracle whose SQL itself reads a file. Two declared
+# environment assumptions, both with loud failure modes:
+# - the driver's DuckDB connection permits read_parquet: it must —
+#   the pre-registered table views are themselves parquet-backed and
+#   lazily re-read at query time in the SAME connection, so disabled
+#   external access would fail every oracle, not just this one; a
+#   chrooted driver would record err, not a wrong value.
+# - zlib lengths are per-BUILD deterministic, not per-spec: the Spark
+#   side recomputes with the runtime zlib while the lookup bakes this
+#   image's (1.2.13). tests/test_training_mix.py::test_zlib_build_
+#   canary pins three observable lengths so an image/zlib upgrade
+#   fails there first with a named cause (rebuild the lookup, confirm
+#   the driver shares the runtime) instead of as a driver red.
 _ZLIB_LOOKUP = os.path.join(
     os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
     "fixtures",

@@ -21,6 +21,7 @@ import importlib
 import json
 import os
 import re
+import sys
 from collections.abc import Callable
 from dataclasses import dataclass
 
@@ -136,24 +137,34 @@ def _scan_driver_artifacts(root: str | None = None) -> dict[str, int]:
     green: dict[str, int] = {}
     if root is None:
         root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    try:
-        for path in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
-            m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
-            if not m:
-                continue  # e.g. CORRECTNESS_LOCAL_* must never count
-            rnd = int(m.group(1))
+    for path in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if not m:
+            continue  # e.g. CORRECTNESS_LOCAL_* must never count
+        rnd = int(m.group(1))
+        # per-file isolation: ONE truncated/partially-written artifact
+        # (driver interrupted mid-write) must not discard the evidence
+        # parsed from every intact round — that would silently reset
+        # the whole window plan to registration order
+        try:
             with open(path) as f:
                 data = json.load(f)
-            for name, row in data.items():
-                if not isinstance(row, dict):
-                    continue
-                if row.get("hash_match") is True or (
-                    row.get("err") == "no_oracle"
-                    and row.get("spark_rows") is not None
-                ):
-                    green[name] = max(green.get(name, 0), rnd)
-    except Exception:
-        return {}
+        except Exception as e:
+            print(
+                f"registry: skipping malformed driver artifact {path}: {e}",
+                file=sys.stderr,
+            )
+            continue
+        if not isinstance(data, dict):
+            continue
+        for name, row in data.items():
+            if not isinstance(row, dict):
+                continue
+            if row.get("hash_match") is True or (
+                row.get("err") == "no_oracle"
+                and row.get("spark_rows") is not None
+            ):
+                green[name] = max(green.get(name, 0), rnd)
     if use_cache:
         _proven_cache = green
     return green

@@ -63,3 +63,16 @@ def test_scan_driver_artifacts_rotation_semantics(tmp_path):
     }))
     got = registry._scan_driver_artifacts(root=os.fspath(tmp_path))
     assert got == {"qa": 1, "qb": 2, "qc": 1}
+
+
+def test_scan_survives_one_malformed_artifact(tmp_path, capsys):
+    """A truncated artifact (driver interrupted mid-write) must be
+    skipped with a warning, NOT discard the evidence from every intact
+    round — that would silently reset the window plan."""
+    (tmp_path / "CORRECTNESS_r1.json").write_text(json.dumps({
+        "qa": {"hash_match": True},
+    }))
+    (tmp_path / "CORRECTNESS_r2.json").write_text('{"qb": {"hash_m')
+    got = registry._scan_driver_artifacts(root=os.fspath(tmp_path))
+    assert got == {"qa": 1}
+    assert "malformed driver artifact" in capsys.readouterr().err

@@ -113,13 +113,17 @@ def test_compression_ratio_matches_local_zlib(spark):
         assert r.ratio == comp / len(raw), doc_id
 
 
-def test_zlib_lookup_covers_all_fixture_texts():
+def test_zlib_lookup_covers_all_fixture_texts(tmp_path):
     """Every text any harness can feed q100's oracle must be in the
     materialized lookup (fixtures/zlib_len_lookup.parquet) with the
     correct zlib length — a missing text would drop its JOIN row and
-    flip the driver red. Re-derives the universe independently of the
-    builder's output: the three SF dirs, the poison texts (imported,
-    not copied), and the degenerate constant-mode text."""
+    flip the driver red. The universe is derived TWO ways so the test
+    is not circular with the builder: (a) the builder's own
+    fixture_texts(), which catches a stale parquet, and (b) the texts
+    ACTUALLY present in freshly-built poison and degenerate fixture
+    dirs plus the raw SF dirs — which catches a hostile mode adding
+    document texts the builder's universe definition missed."""
+    import glob
     import hashlib
     import os
     import sys
@@ -130,19 +134,65 @@ def test_zlib_lookup_covers_all_fixture_texts():
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     sys.path.insert(0, os.path.join(root, "tools"))
     from build_zlib_lookup import OUT, fixture_texts
+    from degenerate_sweep import build_degenerate_dir
+    from poison_sweep import build_poisoned_dir
 
+    con = duckdb.connect()
     lut = dict(
-        duckdb.sql(
+        con.sql(
             f"SELECT text_md5, compressed_len FROM read_parquet('{OUT}')"
         ).fetchall()
     )
+
     texts = fixture_texts()
     assert texts, "fixture text universe is empty"
-    for t in texts:
+
+    # (b) independent re-derivation from the fixture builders' OUTPUT
+    doc_paths = glob.glob("/root/testdata/sf*/documents.parquet")
+    for builder, sub in [
+        (build_poisoned_dir, "poison"),
+        (lambda d: build_degenerate_dir(d, "single"), "single"),
+        (lambda d: build_degenerate_dir(d, "constant"), "constant"),
+    ]:
+        d = tmp_path / sub
+        d.mkdir()
+        builder(os.fspath(d))
+        doc_paths.append(os.fspath(d / "documents.parquet"))
+    observed: set[str] = set()
+    for p in doc_paths:
+        for (t,) in con.sql(
+            f"SELECT DISTINCT text FROM read_parquet('{p}') "
+            "WHERE text IS NOT NULL AND length(text) > 0"
+        ).fetchall():
+            observed.add(t)
+    missed = observed - texts
+    assert not missed, (
+        f"builder universe misses {len(missed)} fixture text(s): "
+        f"{sorted(t[:60] for t in missed)[:3]!r} — update "
+        "tools/build_zlib_lookup.py::fixture_texts and rebuild"
+    )
+
+    for t in texts | observed:
         b = t.encode("utf-8")
         md5 = hashlib.md5(b).hexdigest()
         assert md5 in lut, f"lookup missing text: {t[:60]!r}"
         assert lut[md5] == len(zlib.compress(b, 6)), t[:60]
+
+
+def test_zlib_build_canary():
+    """q100's oracle replays zlib lengths baked by THIS environment's
+    zlib; a different zlib build (zlib-ng, changed level-6 deflate
+    heuristics) would change lengths and flip q100 red with no code
+    bug. Pin the observable behavior so environment drift fails HERE
+    first, with a named cause — the rule-20 canary pattern."""
+    import zlib
+
+    # pinned on the image's zlib (ZLIB_RUNTIME_VERSION 1.2.13): if any
+    # assert fires, rebuild fixtures/zlib_len_lookup.parquet and check
+    # whether the driver shares the new runtime before re-running q100
+    assert len(zlib.compress(b"", 6)) == 8
+    assert len(zlib.compress(b"the quick brown fox jumps over the lazy dog", 6)) == 50
+    assert len(zlib.compress(b"aaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaa" * 16, 6)) == 14
 
 
 # ---------------------------------------- next-fit property tests

@@ -46,17 +46,24 @@ OUT = os.path.join(ROOT, "fixtures", "zlib_len_lookup.parquet")
 def fixture_texts() -> set[str]:
     texts: set[str] = set()
     con = duckdb.connect()
-    for path in sorted(glob.glob(os.path.join(TESTDATA, "sf*", "documents.parquet"))):
+    # keep the hostile-fixture texts in sync by importing their source
+    sys.path.insert(0, os.path.join(ROOT, "tools"))
+    from degenerate_sweep import _CONST_TEXT  # noqa: E402
+    from poison_sweep import BASE, POISON_DOC_TEXTS  # noqa: E402
+
+    # scan roots: every SF dir under TESTDATA, PLUS the poison sweep's
+    # hardcoded base dir — when SPARK_GRAFT_TESTDATA points elsewhere,
+    # the poisoned fixture still unions BASE's document texts, and
+    # those must stay in the lookup or the poison canon sweep would
+    # report a spurious q100 rows mismatch
+    paths = set(glob.glob(os.path.join(TESTDATA, "sf*", "documents.parquet")))
+    paths.add(os.path.join(BASE, "documents.parquet"))
+    for path in sorted(p for p in paths if os.path.exists(p)):
         for (t,) in con.sql(
             f"SELECT DISTINCT text FROM read_parquet('{path}') "
             "WHERE text IS NOT NULL AND length(text) > 0"
         ).fetchall():
             texts.add(t)
-    # keep the hostile-fixture texts in sync by importing their source
-    sys.path.insert(0, os.path.join(ROOT, "tools"))
-    from degenerate_sweep import _CONST_TEXT  # noqa: E402
-    from poison_sweep import POISON_DOC_TEXTS  # noqa: E402
-
     texts.update(POISON_DOC_TEXTS)
     texts.add(_CONST_TEXT)
     return texts

@@ -91,6 +91,11 @@ def _sort_cell(v) -> str:
         return str(v)
     if isinstance(v, float) and v.is_integer() and abs(v) < 2**53:
         return str(int(v))
+    if isinstance(v, (list, tuple)) or (
+        hasattr(v, "tolist") and not hasattr(v, "isoformat")
+    ):
+        seq = v.tolist() if hasattr(v, "tolist") else v
+        return str([_sort_cell(x) for x in seq])
     return str(v)
 
 
