@@ -177,3 +177,30 @@ def test_round_report_probe_expected_pattern_is_quiet():
     }
     lines = "\n".join(probe_report(art))
     assert "as-expected" in lines and "FALSIFIES" not in lines
+
+
+def test_round_report_errored_probe_is_inconclusive():
+    """An err:* probe row measured NOTHING: it must not read as
+    confirming an expected-red mechanism (ADVICE r04)."""
+    art = {
+        "p03_probe_hugeint_sum": {"hash_match": None, "err": "oracle boom"},
+    }
+    lines = "\n".join(probe_report(art))
+    assert "UNEXPECTED/inconclusive" in lines
+    assert "as-expected" not in lines
+
+
+def test_round_report_unparseable_version_sentinel():
+    """probes.py encodes an unparseable version string as 1 row; the
+    decoder must name it rather than print a fake 0.0.1/0.0.0."""
+    assert "unparseable" in decode_version(1)
+
+
+def test_probe_version_encoder_sentinel():
+    from batch_processing_new_spark.probes import _enc_version
+
+    assert _enc_version("4.1.2") == 40102
+    assert _enc_version("1.0.0") == 10000
+    # garbage encodes to the 1-row sentinel, NOT an empty frame
+    assert _enc_version("nightly-build") == 1
+    assert _enc_version("") == 1
