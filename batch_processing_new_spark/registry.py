@@ -170,35 +170,19 @@ def _scan_driver_artifacts(root: str | None = None) -> dict[str, int]:
     return green
 
 
-# Round-5 window (VERDICT r04 "Next round" #1-#4): evidence closure.
-# First the 12 never-driver-checked queries (deferred by the r04 plan
-# — all local-green with oracles), then q53/q103, whose r04 exact
-# oracles (e48b4a4) have never been driver-hash-checked (the rows-only
-# rule in _driver_verified would otherwise hide them as "proven"),
-# then q100's new exact zlib oracle (upgraded from rows-only this
-# round), then the five r04 newly-greens for a second consecutive
-# confirmation that the HUGEINT fix wasn't value-luck at the driver's
-# fixture bytes. Remaining slots fill with proven queries in
-# registration order. The seven diagnostic probes sort BEHIND every
-# real query (VERDICT r04 "What's wrong" #1): their measurement is
-# complete — p01-p05's greens and p03/p06/p07's designed reds are
-# recorded in CORRECTNESS_r04 and decoded in ROUNDLOG — so they must
-# stop burning 14% of the driver's correctness bandwidth each round.
-_WINDOW_PRIORITY = [
-    # the 12 deferred-by-plan queries — never driver-evidenced
-    "q186_largest_remainder", "q187_decayed_trending",
-    "q188_chi_square_independence", "q189_concentration_audit",
-    "q192_annotator_agreement", "q193_precision_recall",
-    "q194_wilson_intervals", "q148_zorder_layout",
-    "q150_zone_map_stats", "q165_snapshot_diff",
-    "q173_expectations_audit", "q174_fk_orphan_audit",
-    # exact oracles the driver has only ever seen as rows-only rows
-    "q53_stream_dedupe", "q103_stream_left_outer_join",
-    "q100_compression_ratio",
-    # second consecutive green confirmation for the r04 red-closures
-    "q81_outliers_mad", "q83_dup_ngram_fraction", "q91_max_concurrency",
-    "q98_token_budget_mix", "q157_jackknife_ci",
-]
+# Round-6 window (VERDICT r05 "Next round" #1): EMPTY — with all 196
+# operator queries driver-evidenced as of CORRECTNESS_r05 (193 hash +
+# 3 justified rows-only) there is nothing left to force-lead, so the
+# freshness rotation (r05, commit 3240976) owns the window: the 50
+# stalest-evidenced real queries re-enter first, every entry refreshes
+# about every 4 rounds, zero manual curation. Re-populate ONLY when a
+# driver red needs closure or an oracle upgrade needs its first hash
+# row (the rows-only rule in _driver_verified would otherwise hide it
+# as "proven"). The seven diagnostic probes keep sorting BEHIND every
+# real query (VERDICT r04): their one-shot measurement is recorded in
+# CORRECTNESS_r04; they re-measure the environment only when they
+# rotate in naturally.
+_WINDOW_PRIORITY: list[str] = []
 
 # Unproven queries explicitly PUSHED BEHIND every other unproven query
 # (none this round: the former 12-entry defer set IS round 5's window).

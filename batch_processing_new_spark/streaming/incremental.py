@@ -223,7 +223,18 @@ def run_incremental_distinct_users(
 def q92_hll_distinct_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incrementally-maintained distinct-users-per-event-type MV via
     mergeable HLL sketches; merge-invariance and accuracy vs the exact
-    distinct count are asserted in tests/test_streaming.py."""
+    distinct count are asserted in tests/test_streaming.py.
+
+    Determinism regime (measured r06, tools/hll_replay.py): up to 384
+    distinct coupons per group the estimate is EXACTLY the coupon
+    count — a set function, bit-stable under any partitioning, and
+    pinned against an independent replay of the published DataSketches
+    coupon path in tests/test_hll_replay.py. Above promotion the HIP
+    estimator makes the value merge-order dependent (a valid estimate
+    either way — accuracy, not identity, is the sketch contract), so
+    the driver row is rows-only BY NECESSITY, not by test debt: no
+    set-function oracle exists above the regime, for any
+    implementation. Full argument: COVERAGE.md q92 residue row."""
     from batch_processing_new_spark.sources.readers import load_table
 
     work = tempfile.mkdtemp(prefix="hllmv_")

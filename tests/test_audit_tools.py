@@ -204,3 +204,35 @@ def test_probe_version_encoder_sentinel():
     # garbage encodes to the 1-row sentinel, NOT an empty frame
     assert _enc_version("nightly-build") == 1
     assert _enc_version("") == 1
+
+
+def test_round_report_evidence_ages():
+    """Staleness kernel (VERDICT r05 #3): age = analyzed round minus
+    the most recent green/rows-only round; reds and later rounds don't
+    count; never-evidenced queries are omitted."""
+    from round_report import evidence_ages
+
+    rounds = {
+        1: {"qa": {"hash_match": True}, "qb": {"hash_match": True}},
+        2: {"qa": {"hash_match": True},
+            "qc": {"err": "no_oracle", "spark_rows": 3}},
+        3: {"qb": {"hash_match": False}},  # red: not evidence
+        4: {"qd": {"hash_match": True}},   # after n: ignored below
+    }
+    ages = evidence_ages(rounds, 3, ["qa", "qb", "qc", "qd", "qe"])
+    assert ages == {"qa": 1, "qb": 2, "qc": 1}
+
+
+def test_canon_sort_cell_numpy_scalars():
+    """ADVICE r05: numpy SCALARS in an object column have .tolist()
+    but are not sequences — the alignment key must canon them like
+    their boxed Python twins, not crash iterating an int."""
+    from driver_canon_check import _sort_cell
+
+    assert _sort_cell(np.int64(3)) == _sort_cell(3)
+    assert _sort_cell(np.float64(3.0)) == _sort_cell(3)  # int-ify canon
+    assert _sort_cell(np.float64(2.5)) == _sort_cell(2.5)
+    assert _sort_cell(np.bool_(True)) == _sort_cell(True)
+    # arrays still canon elementwise, recursing into nested cells
+    assert _sort_cell(np.array([1.0, 2.0])) == _sort_cell([1, 2])
+    assert _sort_cell(np.array([np.float64(1.5)])) == _sort_cell([1.5])

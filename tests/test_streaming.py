@@ -499,7 +499,11 @@ def test_events_fixture_is_single_parquet_file():
     import glob
     import os
 
-    dirs = sorted(glob.glob("/root/testdata/sf*"))
+    # honor the same override the lookup builder uses
+    # (tools/build_zlib_lookup.py) so a redirected fixture root is the
+    # one actually validated (ADVICE r05)
+    base = os.environ.get("SPARK_GRAFT_TESTDATA", "/root/testdata")
+    dirs = sorted(glob.glob(os.path.join(base, "sf*")))
     assert dirs, "no testdata fixture dirs found"
     for d in dirs:
         p = os.path.join(d, "events.parquet")

@@ -148,7 +148,9 @@ def test_zlib_lookup_covers_all_fixture_texts(tmp_path):
     assert texts, "fixture text universe is empty"
 
     # (b) independent re-derivation from the fixture builders' OUTPUT
-    doc_paths = glob.glob("/root/testdata/sf*/documents.parquet")
+    # — scan the same root the lookup builder scans (ADVICE r05)
+    testdata = os.environ.get("SPARK_GRAFT_TESTDATA", "/root/testdata")
+    doc_paths = glob.glob(os.path.join(testdata, "sf*", "documents.parquet"))
     for builder, sub in [
         (build_poisoned_dir, "poison"),
         (lambda d: build_degenerate_dir(d, "single"), "single"),

@@ -91,10 +91,15 @@ def _sort_cell(v) -> str:
         return str(v)
     if isinstance(v, float) and v.is_integer() and abs(v) < 2**53:
         return str(int(v))
-    if isinstance(v, (list, tuple)) or (
-        hasattr(v, "tolist") and not hasattr(v, "isoformat")
-    ):
-        seq = v.tolist() if hasattr(v, "tolist") else v
+    if isinstance(v, np.generic):
+        # numpy SCALARS also have .tolist() — recursing on their
+        # unboxed Python value keeps them out of the sequence branch
+        # (np.int64(3).tolist() is an int; iterating it would raise)
+        # and gives them the same int-ify canon as boxed cells
+        # (ADVICE r05)
+        return _sort_cell(v.item())
+    if isinstance(v, (list, tuple)) or isinstance(v, np.ndarray):
+        seq = v.tolist() if isinstance(v, np.ndarray) else v
         return str([_sort_cell(x) for x in seq])
     return str(v)
 

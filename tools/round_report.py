@@ -74,6 +74,21 @@ def decode_version(enc: int | None) -> str:
     return f"{enc // 10000}.{(enc % 10000) // 100}.{enc % 100}"
 
 
+def evidence_ages(
+    rounds: dict[int, dict], n: int, qnames: list[str]
+) -> dict[str, int]:
+    """Evidence age per query at round ``n``: n minus the most recent
+    round whose driver row was green or justified rows-only. Queries
+    with no evidence at all are omitted (they show in never-evidenced).
+    Rounds after ``n`` are ignored so past rounds replay faithfully."""
+    last: dict[str, int] = {}
+    for r in sorted(k for k in rounds if k <= n):
+        for name, row in rounds[r].items():
+            if status(row) in ("green", "rows_only"):
+                last[name] = r
+    return {q: n - last[q] for q in qnames if q in last}
+
+
 def load_rounds() -> dict[int, dict]:
     rounds = {}
     for path in glob.glob(os.path.join(ROOT, "CORRECTNESS_r*.json")):
@@ -192,6 +207,27 @@ def main() -> int:
     print(f"  driver-evidenced union through r{n:02d}: "
           f"{len(evidenced & set(qnames))}/{len(qnames)}")
     print(f"  never-evidenced ({len(never)}): {never}")
+
+    # staleness report (VERDICT r05 #3): with 196 real queries and 50
+    # slots/round the freshness rotation should refresh every entry
+    # about every 4 rounds — print window health as a number, not an
+    # inference. Age = analyzed round minus the MOST RECENT evidence
+    # round (green or justified rows-only).
+    ages = evidence_ages(rounds, n, qnames)
+    if ages:
+        stale = sorted((q for q, a in ages.items() if a > 4),
+                       key=lambda q: -ages[q])
+        hist: dict[int, int] = {}
+        for a in ages.values():
+            hist[a] = hist.get(a, 0) + 1
+        print(f"\n-- evidence staleness (rotation health) --")
+        print(f"  max evidence age: {max(ages.values())} rounds"
+              f" ({min(ages, key=lambda q: -ages[q])})")
+        print(f"  entries >4 rounds stale: {len(stale)}"
+              + (f" {stale[:10]}{'...' if len(stale) > 10 else ''}"
+                 if stale else ""))
+        print(f"  age histogram (age: count): "
+              + ", ".join(f"{a}: {hist[a]}" for a in sorted(hist)))
     window = [q for q in specs][:50]
     print(f"\n-- predicted next-round window (first 50 of registry order) --")
     print(f"  {window}")
