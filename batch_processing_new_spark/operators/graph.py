@@ -71,7 +71,12 @@ def copurchase_edges(lineitem: DataFrame) -> DataFrame:
     )
 
 
-def pagerank(edges: DataFrame, iters: int = PR_ITERS, damp: float = PR_DAMP) -> DataFrame:
+def pagerank(
+    edges: DataFrame,
+    iters: int = PR_ITERS,
+    damp: float = PR_DAMP,
+    checkpoint_every: int | None = None,
+) -> DataFrame:
     """(v, rank) after ``iters`` synchronous iterations from rank=1:
     r(v) <- (1-damp) + damp * sum_{u->v} r(u)/outdeg(u).
 
@@ -87,13 +92,32 @@ def pagerank(edges: DataFrame, iters: int = PR_ITERS, damp: float = PR_DAMP) -> 
     dependent at the last ulp, which compounds per iteration
     (TESTDATA.md rule 8). One double conversion per iteration, after
     the exact sum.
+
+    ``checkpoint_every=k`` eagerly localCheckpoints the rank frame
+    every k iterations, truncating lineage so the final plan nests
+    O(k) instead of O(iters) joins. Measured (r06,
+    tools/pagerank_scale_probe.py + alternating fresh-session A/B at
+    sf0.1): for the normal single-action pattern the UNcheckpointed
+    loop is ~1.75 s/iteration FLAT through depth 20 (lineage does not
+    compound — the apparent O(N^2) in the depth-sweep probe was N
+    actions each replanning the full DAG), while eager checkpoints
+    cost ~1.7x wall (61 s vs 35 s at depth 20) by breaking stage
+    pipelining to materialize each cut. Values are bit-identical
+    either way because each iteration's reduce is already
+    order-independent (test_pagerank_checkpoint_knob_is_value_neutral).
+    So: default OFF at any depth q102 uses; reach for the knob only
+    past O(100) iterations (planner/stack growth) or on a real
+    cluster where a long-lineage recompute after executor loss costs
+    more than the materialization (there, prefer checkpoint_every=1
+    with a cluster checkpoint dir — rank state is one row per vertex,
+    so the write is tiny next to the edge shuffles).
     """
     edges = edges.localCheckpoint(eager=False)
     deg = edges.groupBy("src").agg(F.count("*").alias("d"))
     contrib_base = edges.join(deg, "src")  # (src, dst, d)
     ranks = deg.select(F.col("src").alias("v"), F.lit(1.0).alias("r"))
     contrib = F.round(F.col("r") / F.col("d"), 9).cast("decimal(30,9)")
-    for _ in range(iters):
+    for i in range(iters):
         ranks = (
             contrib_base.join(ranks, contrib_base["src"] == ranks["v"])
             .select("dst", contrib.alias("c"))
@@ -106,6 +130,12 @@ def pagerank(edges: DataFrame, iters: int = PR_ITERS, damp: float = PR_DAMP) -> 
             )
             .select(F.col("dst").alias("v"), "r")
         )
+        if (
+            checkpoint_every
+            and (i + 1) % checkpoint_every == 0
+            and (i + 1) < iters
+        ):
+            ranks = ranks.localCheckpoint(eager=True)
     return ranks
 
 

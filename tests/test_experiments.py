@@ -120,6 +120,35 @@ def test_triangle_count_matches_bruteforce(spark):
     assert got == expected
 
 
+def test_pagerank_checkpoint_knob_is_value_neutral(spark):
+    """The r06 lineage knob (checkpoint_every, VERDICT r05 #5) must be
+    a pure planning optimization: because each iteration's reduce is
+    already order-independent (9dp-rounded DECIMAL term sum), ranks
+    with and without mid-loop checkpoints are BIT-identical, not just
+    close."""
+    import struct
+
+    from batch_processing_new_spark.operators.graph import (
+        copurchase_edges,
+        pagerank,
+    )
+
+    li = load_table(spark, SF_SMOKE, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    edges = copurchase_edges(li)
+    plain = {r["v"]: r["r"] for r in pagerank(edges, iters=6).collect()}
+    knobbed = {
+        r["v"]: r["r"]
+        for r in pagerank(edges, iters=6, checkpoint_every=2).collect()
+    }
+    assert plain.keys() == knobbed.keys()
+    for v in plain:
+        assert struct.pack("<d", plain[v]) == struct.pack(
+            "<d", knobbed[v]
+        ), v
+
+
 def test_hard_negatives_labels_and_cosines(spark):
     e = {
         r["vec_id"]: (np.array(r["embedding"], dtype=np.float64), r["label"])
