@@ -42,7 +42,7 @@ def test_murmur3_public_vector():
 def _sketch_bytes(spark, values, schema="v long", partitions=None):
     from pyspark.sql import functions as F
 
-    df = spark.createDataFrame([(v,) for v in values], schema)
+    df = spark.createDataFrame([(v,) for v in values], schema).coalesce(1)
     if partitions:
         df = df.repartition(partitions)
     return df.agg(F.hll_sketch_agg("v").alias("s")).collect()[0].s
@@ -51,7 +51,10 @@ def _sketch_bytes(spark, values, schema="v long", partitions=None):
 def _estimate(spark, values, schema="v long", partitions=None):
     from pyspark.sql import functions as F
 
-    df = spark.createDataFrame([(v,) for v in values], schema)
+    # coalesce(1) pins the insertion order to the input list order so
+    # the HIP-regime witness below is deterministic regardless of
+    # SPARK_GRAFT_TEST_CPUS; coupon-regime tests are order-free anyway
+    df = spark.createDataFrame([(v,) for v in values], schema).coalesce(1)
     if partitions:
         df = df.repartition(partitions)
     return df.agg(
