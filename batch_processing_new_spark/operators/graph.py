@@ -112,6 +112,11 @@ def pagerank(
     with a cluster checkpoint dir — rank state is one row per vertex,
     so the write is tiny next to the edge shuffles).
     """
+    if checkpoint_every is not None and checkpoint_every < 1:
+        # 0 would silently mean "off" and negatives would checkpoint
+        # EVERY iteration (the 1.7x penalty) via modulo — both are
+        # caller mistakes, not modes (r06 self-review)
+        raise ValueError(f"checkpoint_every must be >= 1, got {checkpoint_every}")
     edges = edges.localCheckpoint(eager=False)
     deg = edges.groupBy("src").agg(F.count("*").alias("d"))
     contrib_base = edges.join(deg, "src")  # (src, dst, d)

@@ -236,3 +236,19 @@ def test_canon_sort_cell_numpy_scalars():
     # arrays still canon elementwise, recursing into nested cells
     assert _sort_cell(np.array([1.0, 2.0])) == _sort_cell([1, 2])
     assert _sort_cell(np.array([np.float64(1.5)])) == _sort_cell([1.5])
+
+
+def test_canon_sort_cell_single_nan_array_is_not_null():
+    """r06 self-review: pd.isna of a 1-element [nan] array truth-tests
+    True — it must key as a LIST holding a null, never collapse to the
+    scalar-null key, or [nan] cells align against None cells and report
+    spurious mismatches on bit-identical frames."""
+    import math
+
+    from driver_canon_check import _sort_cell
+
+    assert _sort_cell(np.array([math.nan])) != _sort_cell(None)
+    assert _sort_cell(np.array([math.nan])) == _sort_cell([math.nan])
+    assert _sort_cell([math.nan]) != _sort_cell(math.nan)
+    # and the scalar null key is still shared across null flavors
+    assert _sort_cell(None) == _sort_cell(math.nan)

@@ -9,6 +9,7 @@ import math
 from itertools import combinations
 
 import numpy as np
+import pytest
 from pyspark.sql import functions as F
 
 from batch_processing_new_spark.operators.experiments import q163_ab_ztest
@@ -147,6 +148,11 @@ def test_pagerank_checkpoint_knob_is_value_neutral(spark):
         assert struct.pack("<d", plain[v]) == struct.pack(
             "<d", knobbed[v]
         ), v
+    # nonsensical knob values are caller errors, not silent modes
+    with pytest.raises(ValueError):
+        pagerank(edges, iters=3, checkpoint_every=0)
+    with pytest.raises(ValueError):
+        pagerank(edges, iters=3, checkpoint_every=-1)
 
 
 def test_hard_negatives_labels_and_cosines(spark):

@@ -20,6 +20,7 @@ import pytest
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
 
+from tests.conftest import SF_CORRECT, SF_SMOKE  # noqa: E402
 from hll_replay import (  # noqa: E402
     COUPON_REGIME_MAX,
     coupon_count,
@@ -39,24 +40,27 @@ def test_murmur3_public_vector():
     assert murmur3_x64_128(b"", 0) == (0, 0)
 
 
+def _df(spark, values, schema, partitions):
+    """With partitions=None, coalesce(1) pins the insertion order to
+    the input list order so the HIP-regime witness is deterministic
+    regardless of SPARK_GRAFT_TEST_CPUS. A partitions= value
+    reshuffles rows (order NOT pinned) — only coupon-regime tests,
+    which are order-free, may pass it."""
+    df = spark.createDataFrame([(v,) for v in values], schema)
+    return df.repartition(partitions) if partitions else df.coalesce(1)
+
+
 def _sketch_bytes(spark, values, schema="v long", partitions=None):
     from pyspark.sql import functions as F
 
-    df = spark.createDataFrame([(v,) for v in values], schema).coalesce(1)
-    if partitions:
-        df = df.repartition(partitions)
+    df = _df(spark, values, schema, partitions)
     return df.agg(F.hll_sketch_agg("v").alias("s")).collect()[0].s
 
 
 def _estimate(spark, values, schema="v long", partitions=None):
     from pyspark.sql import functions as F
 
-    # coalesce(1) pins the insertion order to the input list order so
-    # the HIP-regime witness below is deterministic regardless of
-    # SPARK_GRAFT_TEST_CPUS; coupon-regime tests are order-free anyway
-    df = spark.createDataFrame([(v,) for v in values], schema).coalesce(1)
-    if partitions:
-        df = df.repartition(partitions)
+    df = _df(spark, values, schema, partitions)
     return df.agg(
         F.hll_sketch_estimate(F.hll_sketch_agg("v")).alias("e")
     ).collect()[0].e
@@ -129,7 +133,7 @@ def test_q92_fixture_estimates_pinned_by_replay(spark):
 
     from batch_processing_new_spark.sources.readers import load_table
 
-    for sf_dir in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+    for sf_dir in (SF_SMOKE, SF_CORRECT):
         ev = load_table(spark, sf_dir, "events").select("event_type", "user_id")
         got = {
             r.event_type: r.est

@@ -82,15 +82,6 @@ def _sort_cell(v) -> str:
     float64-with-NaN) sorts both frames identically — str() keys
     '3' vs '3.0' could align DIFFERENT rows and report spurious value
     mismatches (ADVICE r04)."""
-    try:
-        if pd.isna(v):
-            return "\0"
-    except (TypeError, ValueError):
-        pass  # arrays: pd.isna is elementwise; fall through to str()
-    if isinstance(v, bool):
-        return str(v)
-    if isinstance(v, float) and v.is_integer() and abs(v) < 2**53:
-        return str(int(v))
     if isinstance(v, np.generic):
         # numpy SCALARS also have .tolist() — recursing on their
         # unboxed Python value keeps them out of the sequence branch
@@ -98,9 +89,22 @@ def _sort_cell(v) -> str:
         # and gives them the same int-ify canon as boxed cells
         # (ADVICE r05)
         return _sort_cell(v.item())
-    if isinstance(v, (list, tuple)) or isinstance(v, np.ndarray):
+    if isinstance(v, (list, tuple, np.ndarray)):
+        # sequences BEFORE pd.isna: a 1-element array like [nan]
+        # truth-tests pd.isna() to True and would collapse to the
+        # scalar-null key, aligning [nan] cells against None cells
+        # (r06 self-review)
         seq = v.tolist() if isinstance(v, np.ndarray) else v
         return str([_sort_cell(x) for x in seq])
+    try:
+        if pd.isna(v):
+            return "\0"
+    except (TypeError, ValueError):
+        pass  # non-scalar oddballs: fall through to str()
+    if isinstance(v, bool):
+        return str(v)
+    if isinstance(v, float) and v.is_integer() and abs(v) < 2**53:
+        return str(int(v))
     return str(v)
 
 

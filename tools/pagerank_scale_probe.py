@@ -36,6 +36,8 @@ def main() -> int:
     ckpt = None
     if "--checkpoint" in args:
         i = args.index("--checkpoint")
+        if i + 1 >= len(args) or not args[i + 1].isdigit() or int(args[i + 1]) < 1:
+            raise SystemExit("usage error: --checkpoint requires an integer >= 1")
         ckpt = int(args[i + 1])
         del args[i : i + 2]
     max_iters = int(args[0]) if args else 10

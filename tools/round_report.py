@@ -197,15 +197,13 @@ def main() -> int:
 
     specs = registry.all_specs()
     qnames = [q for q in specs if "_probe_" not in q]
-    evidenced: set[str] = set()
-    for r in sorted(k for k in rounds if k <= n):
-        for name, row in rounds[r].items():
-            if status(row) in ("green", "rows_only"):
-                evidenced.add(name)
-    never = [q for q in qnames if q not in evidenced]
+    # one evidence scan serves both the coverage count and the
+    # staleness report (an evidenced query is exactly one with an age)
+    ages = evidence_ages(rounds, n, qnames)
+    never = [q for q in qnames if q not in ages]
     print(f"\n-- coverage --")
     print(f"  driver-evidenced union through r{n:02d}: "
-          f"{len(evidenced & set(qnames))}/{len(qnames)}")
+          f"{len(ages)}/{len(qnames)}")
     print(f"  never-evidenced ({len(never)}): {never}")
 
     # staleness report (VERDICT r05 #3): with 196 real queries and 50
@@ -213,7 +211,6 @@ def main() -> int:
     # about every 4 rounds — print window health as a number, not an
     # inference. Age = analyzed round minus the MOST RECENT evidence
     # round (green or justified rows-only).
-    ages = evidence_ages(rounds, n, qnames)
     if ages:
         stale = sorted((q for q, a in ages.items() if a > 4),
                        key=lambda q: -ages[q])
@@ -222,7 +219,7 @@ def main() -> int:
             hist[a] = hist.get(a, 0) + 1
         print(f"\n-- evidence staleness (rotation health) --")
         print(f"  max evidence age: {max(ages.values())} rounds"
-              f" ({min(ages, key=lambda q: -ages[q])})")
+              f" ({max(ages, key=ages.get)})")
         print(f"  entries >4 rounds stale: {len(stale)}"
               + (f" {stale[:10]}{'...' if len(stale) > 10 else ''}"
                  if stale else ""))
