@@ -29,6 +29,12 @@ defaults, so robustness now gets tested, not assumed):
                 and bad casts return NULL instead of raising — the
                 r04 environment-hardening axis: every query must
                 produce IDENTICAL output under both)
+  --aqe MODE    spark.sql.adaptive.enabled true|false (default: leave
+                the build's default, ON in Spark 4 — AQE coalesces
+                shuffle partitions and re-plans joins at runtime, so
+                turning it OFF is another plan-shape/reduction-order
+                axis; the r06 matrix runs the full registry under
+                --aqe false)
 """
 
 from __future__ import annotations
@@ -98,6 +104,10 @@ def main() -> int:
     shuffle = _pop_opt(perturb_args, "--shuffle", "8")
     cores = _pop_opt(perturb_args, "--cores", "8")
     ansi = _pop_opt(perturb_args, "--ansi", None)
+    # AQE re-plans joins/shuffles at runtime (Spark 4 default ON), so
+    # it is another reduction-order / plan-shape axis a driver build
+    # could differ on (r06 axis)
+    aqe = _pop_opt(perturb_args, "--aqe", None)
     arrow = "--arrow" in perturb_args
     if arrow:
         perturb_args.remove("--arrow")
@@ -112,12 +122,14 @@ def main() -> int:
     )
     if ansi is not None:
         builder = builder.config("spark.sql.ansi.enabled", ansi)
+    if aqe is not None:
+        builder = builder.config("spark.sql.adaptive.enabled", aqe)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    if (tz, shuffle, cores, arrow, ansi) != ("UTC", "8", "8", False, None):
+    if (tz, shuffle, cores, arrow, ansi, aqe) != ("UTC", "8", "8", False, None, None):
         print(
             f"PERTURBED env: tz={tz} shuffle={shuffle} cores={cores} "
-            f"arrow={arrow} ansi={ansi}"
+            f"arrow={arrow} ansi={ansi} aqe={aqe}"
         )
 
     n = mod.entry(spark).count()
