@@ -35,6 +35,11 @@ defaults, so robustness now gets tested, not assumed):
                 turning it OFF is another plan-shape/reduction-order
                 axis; the r06 matrix runs the full registry under
                 --aqe false)
+  --conf K=V    arbitrary extra SparkSession config, repeatable —
+                future axes without flag creep (r06 uses it for
+                spark.sql.codegen.wholeStage=false: interpreted
+                expression eval vs whole-stage codegen is the classic
+                split for expression-semantics bugs)
 """
 
 from __future__ import annotations
@@ -108,6 +113,13 @@ def main() -> int:
     # it is another reduction-order / plan-shape axis a driver build
     # could differ on (r06 axis)
     aqe = _pop_opt(perturb_args, "--aqe", None)
+    extra_confs: list[tuple[str, str]] = []
+    while "--conf" in perturb_args:
+        kv = _pop_opt(perturb_args, "--conf", None)
+        if kv is None or "=" not in kv:
+            raise SystemExit("usage error: --conf requires KEY=VALUE")
+        k, _, v = kv.partition("=")
+        extra_confs.append((k, v))
     arrow = "--arrow" in perturb_args
     if arrow:
         perturb_args.remove("--arrow")
@@ -124,12 +136,16 @@ def main() -> int:
         builder = builder.config("spark.sql.ansi.enabled", ansi)
     if aqe is not None:
         builder = builder.config("spark.sql.adaptive.enabled", aqe)
+    for k, v in extra_confs:
+        builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    if (tz, shuffle, cores, arrow, ansi, aqe) != ("UTC", "8", "8", False, None, None):
+    if (tz, shuffle, cores, arrow, ansi, aqe, extra_confs) != (
+        "UTC", "8", "8", False, None, None, []
+    ):
         print(
             f"PERTURBED env: tz={tz} shuffle={shuffle} cores={cores} "
-            f"arrow={arrow} ansi={ansi} aqe={aqe}"
+            f"arrow={arrow} ansi={ansi} aqe={aqe} conf={extra_confs}"
         )
 
     n = mod.entry(spark).count()
