@@ -21,8 +21,11 @@ held equal). A plan surviving 10x means wall grows ~linearly
 blowup here is a named scale-killer before a real cluster ever sees
 it.
 
-Usage: python tools/scale_stress.py [copies] [query-substr ...]
-       (default copies=10, default query set below)
+Usage: python tools/scale_stress.py [copies] [--tables t1,t2] [query-substr ...]
+       (default copies=10, default query set below; --tables restricts
+       the synthetic build to the listed tables — e.g. a x100 run over
+       documents,embeddings stresses the dedup/ANN family at 500k docs
+       without cloning lineitem 100x)
 """
 
 from __future__ import annotations
@@ -75,15 +78,38 @@ KEY_SHIFTS = {
 }
 
 
-def build(spark: SparkSession, copies: int, out_dir: str) -> None:
+def _nth_permutation(s: str, n: int) -> str:
+    """The n-th lexicographic permutation of ``s`` (factorial number
+    system) — a unique, deterministic permutation per copy index."""
+    import math
+
+    pool = list(s)
+    out = []
+    n %= math.factorial(len(pool))
+    for i in range(len(pool), 0, -1):
+        f = math.factorial(i - 1)
+        out.append(pool.pop(n // f))
+        n %= f
+    return "".join(out)
+
+
+def build(
+    spark: SparkSession,
+    copies: int,
+    out_dir: str,
+    only: set[str] | None = None,
+) -> None:
     """Union `copies` key-shifted, content-perturbed clones of every
-    base table into ``out_dir`` (same builder at copies=1 keeps the
-    comparison apples-to-apples)."""
+    base table (or the ``only`` subset) into ``out_dir`` (same builder
+    at copies=1 keeps the comparison apples-to-apples)."""
     os.makedirs(out_dir, exist_ok=True)
+    shifts = {
+        t: k for t, k in KEY_SHIFTS.items() if only is None or t in only
+    }
     # pass 1: per-DOMAIN stride = max over every column in the domain
     stride: dict[str, int] = {}
     tables: dict[str, object] = {}
-    for table, keys in KEY_SHIFTS.items():
+    for table, keys in shifts.items():
         base = spark.read.parquet(os.path.join(BASE, f"{table}.parquet"))
         tables[table] = base
         maxes = base.agg(
@@ -92,7 +118,7 @@ def build(spark: SparkSession, copies: int, out_dir: str) -> None:
         for col, dom in keys:
             stride[dom] = max(stride.get(dom, 0), int(maxes[col] or 0) + 1)
     # pass 2: shifted clones
-    for table, keys in KEY_SHIFTS.items():
+    for table, keys in shifts.items():
         base = tables[table]
         parts = []
         for c in range(copies):
@@ -109,11 +135,28 @@ def build(spark: SparkSession, copies: int, out_dir: str) -> None:
                 # overlap collapses below any LSH threshold. (A mere
                 # appended token left cross-copy Jaccard ~1 and merged
                 # every clone into one giant cluster: q37 pairs went
-                # 25 -> 600 at x2 instead of 50.) Length-preserving,
-                # so n_chars stays consistent with text.
+                # 25 -> 600 at x2 instead of 50. And a simple ROTATION
+                # only has len(alpha) distinct values, so at x100
+                # copies c and c+10 were byte-identical and formed
+                # 10-way duplicate clusters: 2.5M pairs instead of
+                # 25.6k.) The c-th lexicographic permutation (factorial
+                # number system) is unique per copy for c < 10!.
+                # Length-preserving, so n_chars stays consistent.
+                # Builder self-check: q37 rows ~= copies x its x1 rows
+                # — a FEW missing pairs are LSH recall variance (the
+                # permuted shingles hash into different bands, so
+                # borderline pairs flip: measured 25,595 of 25,600 at
+                # x100), but ANY excess means cross-copy structure
+                # leaked in.
+                # scramble the index: lexicographically ADJACENT
+                # permutations are near-identity (c=1 only swaps the
+                # final two letters), which would leave most shingles
+                # shared between neighboring copies — a large odd
+                # multiplier spreads copies across the permutation
+                # space (typical random permutation: ~1 fixed point)
                 alpha = "etaoinshrd"
-                rot = alpha[c % len(alpha):] + alpha[: c % len(alpha)]
-                df = df.withColumn("text", F.translate("text", alpha, rot))
+                perm = _nth_permutation(alpha, c * 1000003)
+                df = df.withColumn("text", F.translate("text", alpha, perm))
             if table == "embeddings" and c > 0:
                 # nudge one dimension so ANN neighborhoods replicate
                 # per copy instead of producing exact cross-copy ties
@@ -135,6 +178,16 @@ def build(spark: SparkSession, copies: int, out_dir: str) -> None:
 
 def main() -> int:
     args = sys.argv[1:]
+    only = None
+    if "--tables" in args:
+        i = args.index("--tables")
+        if i + 1 >= len(args):
+            raise SystemExit("usage error: --tables requires a csv list")
+        only = set(args[i + 1].split(","))
+        unknown = only - set(KEY_SHIFTS)
+        if unknown:
+            raise SystemExit(f"unknown tables: {sorted(unknown)}")
+        del args[i : i + 2]
     copies = int(args[0]) if args and args[0].isdigit() else 10
     subs = args[1:] if args and args[0].isdigit() else args
     from batch_processing_new_spark import registry
@@ -153,7 +206,7 @@ def main() -> int:
         out = os.path.join(WORK, f"x{k}")
         shutil.rmtree(out, ignore_errors=True)
         t0 = time.time()
-        build(spark, k, out)
+        build(spark, k, out, only=only)
         print(f"built x{k} in {time.time() - t0:.1f}s at {out}", flush=True)
         for n in names:
             t0 = time.time()
