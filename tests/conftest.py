@@ -8,6 +8,16 @@ SF_SMOKE = "/root/testdata/sf0.001"
 SF_CORRECT = "/root/testdata/sf0.01"
 
 
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "environment_pin: deliberate tripwire pinning a Spark/library-version-"
+        "dependent witness; a failure after an upgrade means the environment "
+        "changed, not that this repo regressed — see the assert message for "
+        "the recovery procedure",
+    )
+
+
 @pytest.fixture(scope="session")
 def spark():
     from batch_processing_new_spark.session import get_spark

@@ -153,6 +153,7 @@ def test_q92_fixture_estimates_pinned_by_replay(spark):
             assert got[et] == want, (sf_dir, et)
 
 
+@pytest.mark.environment_pin
 def test_above_regime_estimate_is_order_dependent(spark):
     """The measured impossibility: the SAME 1000 distinct longs on one
     partition estimate differently ascending vs descending (HIP

@@ -26,6 +26,9 @@ Usage: python tools/scale_stress.py [copies] [--tables t1,t2] [query-substr ...]
        the synthetic build to the listed tables — e.g. a x100 run over
        documents,embeddings stresses the dedup/ANN family at 500k docs
        without cloning lineitem 100x)
+       python tools/scale_stress.py --sources [copies]
+       (file-count stress for the xlsx parse path: F vs F*copies
+       workbooks through the distributed binaryFile->mapInPandas read)
 """
 
 from __future__ import annotations
@@ -176,6 +179,99 @@ def build(
         full.write.mode("overwrite").parquet(os.path.join(out_dir, f"{table}.parquet"))
 
 
+def sources_stress(spark: SparkSession, copies: int) -> int:
+    """File-count stress for the Excel source parse path.
+
+    The other engine families are stressed by ROW volume (the table
+    builder above), but the xlsx read path's declared scale mechanism
+    is FILE fan-out — ``read_xlsx`` parallelism = number of workbooks
+    (sources/excel.py read-path doc; zip+XML are not splittable). So
+    the right extra-decade axis here is file count: write F key-shifted
+    single-sheet workbooks at x1 and F*copies at x{copies}, each file
+    the same size, then time the identical distributed
+    binaryFile-scan -> mapInPandas-parse -> cast -> groupBy/agg plan
+    (the q49 read half, unchanged) on both corpora.
+
+    Weak-scaling read: wall should grow sub-linearly while file count
+    <= cores (idle executors absorb new files) and at worst ~linearly
+    beyond — exponent bar 1.15, same as the table slices.
+    """
+    import math
+
+    from batch_processing_new_spark.sources.excel import (
+        read_xlsx,
+        workbook_bytes,
+    )
+    from batch_processing_new_spark.sources.readers import load_table
+
+    base_files = 8
+    cust = load_table(spark, BASE, "customer")
+    columns = list(cust.columns)
+    # one bounded driver collect of the sf0.1 customer table (15k rows
+    # at sf0.1 — same small-result category as the xlsx driver sink it
+    # feeds); per-file clones shift c_custkey into disjoint ranges so
+    # every workbook is distinct bytes, not a hardlink-equivalent
+    rows = [tuple(r) for r in cust.collect()]
+    key_idx = columns.index("c_custkey")
+    stride = max(int(r[key_idx]) for r in rows) + 1
+
+    results: dict[int, float] = {}
+    for k in (1, copies):
+        d = os.path.join(WORK, f"xlsx_x{k}")
+        shutil.rmtree(d, ignore_errors=True)
+        os.makedirs(d)
+        t0 = time.time()
+        for f_i in range(base_files * k):
+            shifted = [
+                r[:key_idx] + (r[key_idx] + f_i * stride,) + r[key_idx + 1 :]
+                for r in rows
+            ]
+            with open(os.path.join(d, f"part{f_i:04d}.xlsx"), "wb") as fh:
+                fh.write(workbook_bytes(columns, shifted))
+        print(
+            f"built {base_files * k} workbooks in {time.time() - t0:.1f}s at {d}",
+            flush=True,
+        )
+        t0 = time.time()
+        agg = (
+            read_xlsx(spark, os.path.join(d, "*.xlsx"), columns)
+            .select(
+                "c_mktsegment",
+                F.col("c_acctbal").cast("double").alias("c_acctbal"),
+            )
+            .groupBy("c_mktsegment")
+            .agg(
+                F.count(F.lit(1)).alias("n_customers"),
+                F.sum(F.col("c_acctbal").cast("decimal(30,8)"))
+                .cast("double")
+                .alias("total_acctbal"),
+            )
+        )
+        out = agg.collect()
+        dt = time.time() - t0
+        results[k] = dt
+        n_rows = sum(r.n_customers for r in out)
+        print(
+            f"x{k} xlsx_parse: {dt:7.2f}s files={base_files * k}"
+            f" parsed_rows={n_rows}",
+            flush=True,
+        )
+        want = len(rows) * base_files * k
+        if n_rows != want:
+            print(f"SELF-CHECK FAILED: parsed {n_rows} rows, want {want}")
+            return 1
+    exp = math.log10(
+        max(results[copies], 1e-3) / max(results[1], 1e-3)
+    ) / math.log10(copies)
+    verdict = "ok" if exp <= 1.15 else "SUPERLINEAR"
+    print(
+        f"\nxlsx_parse file-count exponent (x1 -> x{copies}; bar 1.15):"
+        f" {results[1]:.2f}s -> {results[copies]:.2f}s exponent {exp:.2f}"
+        f" {verdict}"
+    )
+    return 0 if exp <= 1.15 else 1
+
+
 def main() -> int:
     args = sys.argv[1:]
     only = None
@@ -188,16 +284,34 @@ def main() -> int:
         if unknown:
             raise SystemExit(f"unknown tables: {sorted(unknown)}")
         del args[i : i + 2]
+    sources_mode = "--sources" in args
+    if sources_mode:
+        args.remove("--sources")
     copies = int(args[0]) if args and args[0].isdigit() else 10
+    if copies < 2:
+        raise SystemExit("usage error: copies must be >= 2 (exponent needs two scales)")
     subs = args[1:] if args and args[0].isdigit() else args
+    if sources_mode:
+        if only is not None or subs:
+            raise SystemExit(
+                "usage error: --sources takes only [copies] (the slice is "
+                "file-count-axis, not table/query selection)"
+            )
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+        spark = get_spark(
+            app_name="scale_stress_sources", cpus=cpus, shuffle_partitions=cpus
+        )
+        return sources_stress(spark, copies)
     from batch_processing_new_spark import registry
 
     specs = registry.all_specs()
-    names = [
-        n
-        for n in (subs and [q for q in specs if any(s in q for s in subs)] or DEFAULT_QUERIES)
-        if n in specs
-    ]
+    if subs:
+        candidates = [q for q in specs if any(s in q for s in subs)]
+        if not candidates:
+            raise SystemExit(f"usage error: no registered query matches substrings {subs}")
+    else:
+        candidates = DEFAULT_QUERIES
+    names = [n for n in candidates if n in specs]
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     spark = get_spark(app_name="scale_stress", cpus=cpus, shuffle_partitions=cpus)
 
