@@ -1,11 +1,33 @@
 from __future__ import annotations
 
+import importlib.util
 import os
+import sys
 
 import pytest
 
 SF_SMOKE = "/root/testdata/sf0.001"
 SF_CORRECT = "/root/testdata/sf0.01"
+
+_TOOLS_DIR = os.path.join(os.path.dirname(__file__), "..", "tools")
+
+
+def load_tool(name: str):
+    """Import tools/<name>.py WITHOUT mutating sys.path (ADVICE r07:
+    a module-level sys.path.insert leaks into the whole pytest
+    session, letting any tools/ module shadow or be accidentally
+    importable by later-collected tests). The loaded module is still
+    registered under its own name in sys.modules so dataclass/pickle
+    round-trips inside it keep working."""
+    existing = sys.modules.get(name)
+    if existing is not None:
+        return existing
+    path = os.path.join(_TOOLS_DIR, f"{name}.py")
+    spec = importlib.util.spec_from_file_location(name, path)
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules[name] = mod
+    spec.loader.exec_module(mod)
+    return mod
 
 
 def pytest_configure(config):

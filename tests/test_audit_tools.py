@@ -10,15 +10,15 @@ margin 0 instead of maximal).
 from __future__ import annotations
 
 import math
-import os
-import sys
 
 import numpy as np
 import pytest
 
-sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+from tests.conftest import load_tool
 
-from fragility_audit import margin_ulps, ulp_delta  # noqa: E402
+_fragility = load_tool("fragility_audit")
+margin_ulps = _fragility.margin_ulps
+ulp_delta = _fragility.ulp_delta
 
 
 def _fmt(v: float) -> str:
@@ -80,7 +80,7 @@ def test_poisoned_fixture_builder_shape(tmp_path):
     findings depend on (NULL text, malformed props, NULL vector...)."""
     import duckdb
 
-    from poison_sweep import build_poisoned_dir
+    build_poisoned_dir = load_tool("poison_sweep").build_poisoned_dir
 
     build_poisoned_dir(str(tmp_path))
     con = duckdb.connect()
@@ -128,7 +128,10 @@ def test_poisoned_fixture_builder_shape(tmp_path):
 
 # -- round_report kernels ------------------------------------------------
 
-from round_report import decode_version, probe_report, status  # noqa: E402
+_rr = load_tool("round_report")
+decode_version, probe_report, status = (
+    _rr.decode_version, _rr.probe_report, _rr.status
+)
 
 
 def test_round_report_status_classification():
@@ -210,7 +213,7 @@ def test_round_report_evidence_ages():
     """Staleness kernel (VERDICT r05 #3): age = analyzed round minus
     the most recent green/rows-only round; reds and later rounds don't
     count; never-evidenced queries are omitted."""
-    from round_report import evidence_ages
+    evidence_ages = load_tool("round_report").evidence_ages
 
     rounds = {
         1: {"qa": {"hash_match": True}, "qb": {"hash_match": True}},
@@ -227,7 +230,7 @@ def test_canon_sort_cell_numpy_scalars():
     """ADVICE r05: numpy SCALARS in an object column have .tolist()
     but are not sequences — the alignment key must canon them like
     their boxed Python twins, not crash iterating an int."""
-    from driver_canon_check import _sort_cell
+    _sort_cell = load_tool("driver_canon_check")._sort_cell
 
     assert _sort_cell(np.int64(3)) == _sort_cell(3)
     assert _sort_cell(np.float64(3.0)) == _sort_cell(3)  # int-ify canon
@@ -245,7 +248,7 @@ def test_canon_sort_cell_single_nan_array_is_not_null():
     spurious mismatches on bit-identical frames."""
     import math
 
-    from driver_canon_check import _sort_cell
+    _sort_cell = load_tool("driver_canon_check")._sort_cell
 
     assert _sort_cell(np.array([math.nan])) != _sort_cell(None)
     assert _sort_cell(np.array([math.nan])) == _sort_cell([math.nan])

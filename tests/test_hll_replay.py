@@ -13,22 +13,17 @@ argument lives in COVERAGE.md's q92 residue row.
 
 from __future__ import annotations
 
-import os
-import sys
-
 import pytest
 
-sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+from tests.conftest import SF_CORRECT, SF_SMOKE, load_tool
 
-from tests.conftest import SF_CORRECT, SF_SMOKE  # noqa: E402
-from hll_replay import (  # noqa: E402
-    COUPON_REGIME_MAX,
-    coupon_count,
-    coupon_for_long,
-    murmur3_x64_128,
-    parse_coupons,
-    sketch_mode,
-)
+_replay = load_tool("hll_replay")
+COUPON_REGIME_MAX = _replay.COUPON_REGIME_MAX
+coupon_count = _replay.coupon_count
+coupon_for_long = _replay.coupon_for_long
+murmur3_x64_128 = _replay.murmur3_x64_128
+parse_coupons = _replay.parse_coupons
+sketch_mode = _replay.sketch_mode
 
 
 def test_murmur3_public_vector():

@@ -22,21 +22,18 @@ linear-counting regime, bounded by the bias-table boundary above it'
 from __future__ import annotations
 
 import os
-import sys
 
 import pytest
 
-sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+from tests.conftest import SF_CORRECT, SF_SMOKE, load_tool
 
-from tests.conftest import SF_CORRECT, SF_SMOKE  # noqa: E402
-from hllpp_replay import (  # noqa: E402
-    THRESHOLD,
-    OutOfRegime,
-    linear_count_estimate,
-    precision_for_rsd,
-    xxhash64,
-    xxhash64_long,
-)
+_replay = load_tool("hllpp_replay")
+THRESHOLD = _replay.THRESHOLD
+OutOfRegime = _replay.OutOfRegime
+linear_count_estimate = _replay.linear_count_estimate
+precision_for_rsd = _replay.precision_for_rsd
+xxhash64 = _replay.xxhash64
+xxhash64_long = _replay.xxhash64_long
 
 SF_BENCH = "/root/testdata/sf0.1"
 
@@ -133,18 +130,16 @@ def test_fixture_estimates_pinned_by_replay(spark, sf_dir, rsd):
     ids = _ids_by_type(spark, sf_dir)
     p = precision_for_rsd(rsd)
     for et, vals in sorted(ids.items()):
-        m = 1 << p
         want = linear_count_estimate(vals, rsd=rsd)
         # margin guard: the linear count must sit under 2/3 of the
         # switchover threshold, not just under it
         h = want  # round(H) is within 0.5 of H
         assert h <= THRESHOLD[p] * 2 // 3, (
-            f"{sf_dir}/{et}: H~{h} eats the regime margin (threshold"
-            f" {THRESHOLD[p]}) — re-read COVERAGE.md's q47 row before"
-            " trusting the pin"
+            f"{sf_dir}/{et}: H~{h} eats the regime margin (m={1 << p},"
+            f" threshold {THRESHOLD[p]}) — re-read COVERAGE.md's q47"
+            " row before trusting the pin"
         )
         assert got[et] == want, (sf_dir, et, rsd)
-        assert m  # silence linters; m documents the sketch width
 
 
 def test_replay_reproduces_sketch_not_exact_count(spark):

@@ -126,16 +126,16 @@ def test_zlib_lookup_covers_all_fixture_texts(tmp_path):
     import glob
     import hashlib
     import os
-    import sys
     import zlib
 
     import duckdb
 
-    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    sys.path.insert(0, os.path.join(root, "tools"))
-    from build_zlib_lookup import OUT, fixture_texts
-    from degenerate_sweep import build_degenerate_dir
-    from poison_sweep import build_poisoned_dir
+    from tests.conftest import load_tool
+
+    _lut_mod = load_tool("build_zlib_lookup")
+    OUT, fixture_texts = _lut_mod.OUT, _lut_mod.fixture_texts
+    build_degenerate_dir = load_tool("degenerate_sweep").build_degenerate_dir
+    build_poisoned_dir = load_tool("poison_sweep").build_poisoned_dir
 
     con = duckdb.connect()
     lut = dict(
