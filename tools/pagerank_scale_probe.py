@@ -13,6 +13,14 @@ to add the per-iteration localCheckpoint knob to ``pagerank()``.
 Usage: python tools/pagerank_scale_probe.py [max_iters] [--checkpoint N]
   --checkpoint N: localCheckpoint the rank frame every N iterations
   (exercises the knob variant for A/B).
+  --single: run ONLY depth max_iters instead of the 1..max_iters
+  sweep. The sweep is N actions re-planning 1..N-deep DAGs (O(N^2)
+  total work — fine at depth 20, prohibitive at 50); --single is the
+  honest per-knob cost at one depth: one action, wall/N = s/iter.
+  With --single the probe runs every knob in {None, 5, 1}, reports
+  s/iter for each, and asserts the three rank outputs are
+  BYTE-IDENTICAL (the knob must stay value-neutral at depth 50, not
+  just the depth-20 the r06 test pinned).
 """
 
 from __future__ import annotations
@@ -31,6 +39,38 @@ from batch_processing_new_spark.session import get_spark  # noqa: E402
 from batch_processing_new_spark.sources.readers import load_table  # noqa: E402
 
 
+def single_depth_knob_sweep(edges, iters: int) -> int:
+    """One pagerank action at depth ``iters`` per knob value, plus a
+    byte-identity check across the three outputs (VERDICT r07 #5: the
+    r06 measurement stopped at depth 20; this records where lineage
+    cost inflects at 50 without paying the sweep's O(N^2))."""
+    results: dict[str, tuple[float, str]] = {}
+    for ckpt in (None, 5, 1):
+        t0 = time.time()
+        kw = {"checkpoint_every": ckpt} if ckpt else {}
+        rows = (
+            pagerank(edges, iters=iters, **kw)
+            .orderBy("v")
+            .collect()
+        )
+        dt = time.time() - t0
+        # canonical byte rendering: repr of the full sorted row list
+        blob = repr([(r.v, r.r) for r in rows])
+        results[str(ckpt)] = (dt, blob)
+        print(
+            f"checkpoint_every={str(ckpt):>4} iters={iters}"
+            f" wall={dt:8.2f}s s/iter={dt / iters:6.3f}"
+            f" rows={len(rows)}",
+            flush=True,
+        )
+    blobs = {b for _, b in results.values()}
+    if len(blobs) != 1:
+        print("FAIL: knob is NOT value-neutral at this depth")
+        return 1
+    print(f"outputs byte-identical across knob values ({len(blobs)} variant)")
+    return 0
+
+
 def main() -> int:
     args = [a for a in sys.argv[1:]]
     ckpt = None
@@ -40,6 +80,9 @@ def main() -> int:
             raise SystemExit("usage error: --checkpoint requires an integer >= 1")
         ckpt = int(args[i + 1])
         del args[i : i + 2]
+    single = "--single" in args
+    if single:
+        args.remove("--single")
     max_iters = int(args[0]) if args else 10
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -48,6 +91,13 @@ def main() -> int:
     edges = copurchase_edges(li)
     n_edges = edges.count()
     print(f"sf_dir={sf_dir} edges={n_edges} checkpoint_every={ckpt}")
+    if single:
+        if ckpt is not None:
+            raise SystemExit(
+                "usage error: --single sweeps the knob itself"
+                " ({None, 5, 1}); don't also pass --checkpoint"
+            )
+        return single_depth_knob_sweep(edges, max_iters)
     prev = 0.0
     for iters in range(1, max_iters + 1):
         t0 = time.time()
