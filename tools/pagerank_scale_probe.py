@@ -20,7 +20,12 @@ Usage: python tools/pagerank_scale_probe.py [max_iters] [--checkpoint N]
   With --single the probe runs every knob in {None, 5, 1}, reports
   s/iter for each, and asserts the three rank outputs are
   BYTE-IDENTICAL (the knob must stay value-neutral at depth 50, not
-  just the depth-20 the r06 test pinned).
+  just the depth-20 the r06 test pinned). Each knob runs in a FRESH
+  SparkSession: a depth-50 run leaves ~GBs of localCheckpoint blocks
+  (the materialized edge list plus up to 50 rank cuts) pinned in the
+  local-mode JVM until GC, and a shared session OOM'd the third knob
+  on its broadcast build when r08 first ran this — isolation also
+  makes the three walls an honest cold-session A/B.
 """
 
 from __future__ import annotations
@@ -39,13 +44,30 @@ from batch_processing_new_spark.session import get_spark  # noqa: E402
 from batch_processing_new_spark.sources.readers import load_table  # noqa: E402
 
 
-def single_depth_knob_sweep(edges, iters: int) -> int:
-    """One pagerank action at depth ``iters`` per knob value, plus a
-    byte-identity check across the three outputs (VERDICT r07 #5: the
-    r06 measurement stopped at depth 20; this records where lineage
-    cost inflects at 50 without paying the sweep's O(N^2))."""
+def single_depth_knob_sweep(sf_dir: str, cpus: int, iters: int) -> int:
+    """One pagerank action at depth ``iters`` per knob value, each in
+    a fresh SparkSession, plus a byte-identity check across the three
+    outputs (VERDICT r07 #5: the r06 measurement stopped at depth 20;
+    this records where lineage cost inflects at 50 without paying the
+    sweep's O(N^2)). The timed wall includes the edge build — it is
+    identical work across knobs, so s/iter deltas are still the
+    knob's marginal cost."""
+    from pyspark.sql import SparkSession
+
     results: dict[str, tuple[float, str]] = {}
     for ckpt in (None, 5, 1):
+        active = SparkSession.getActiveSession()
+        if active is not None:
+            active.stop()
+        spark = get_spark(
+            app_name=f"pagerank_probe_ckpt_{ckpt}",
+            cpus=cpus,
+            shuffle_partitions=cpus,
+        )
+        li = load_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_partkey"
+        )
+        edges = copurchase_edges(li)
         t0 = time.time()
         kw = {"checkpoint_every": ckpt} if ckpt else {}
         rows = (
@@ -86,18 +108,19 @@ def main() -> int:
     max_iters = int(args[0]) if args else 10
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    spark = get_spark(app_name="pagerank_probe", cpus=cpus, shuffle_partitions=cpus)
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    edges = copurchase_edges(li)
-    n_edges = edges.count()
-    print(f"sf_dir={sf_dir} edges={n_edges} checkpoint_every={ckpt}")
     if single:
         if ckpt is not None:
             raise SystemExit(
                 "usage error: --single sweeps the knob itself"
                 " ({None, 5, 1}); don't also pass --checkpoint"
             )
-        return single_depth_knob_sweep(edges, max_iters)
+        print(f"sf_dir={sf_dir} single-depth sweep, iters={max_iters}")
+        return single_depth_knob_sweep(sf_dir, cpus, max_iters)
+    spark = get_spark(app_name="pagerank_probe", cpus=cpus, shuffle_partitions=cpus)
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    edges = copurchase_edges(li)
+    n_edges = edges.count()
+    print(f"sf_dir={sf_dir} edges={n_edges} checkpoint_every={ckpt}")
     prev = 0.0
     for iters in range(1, max_iters + 1):
         t0 = time.time()
