@@ -232,30 +232,39 @@ def sources_stress(spark: SparkSession, copies: int) -> int:
             f"built {base_files * k} workbooks in {time.time() - t0:.1f}s at {d}",
             flush=True,
         )
-        agg = (
-            read_xlsx(spark, os.path.join(d, "*.xlsx"), columns)
-            .select(
-                "c_mktsegment",
-                F.col("c_acctbal").cast("double").alias("c_acctbal"),
+        def fresh_agg():
+            # a FRESH plan per attempt: re-collecting the same
+            # DataFrame object reuses AQE's materialized shuffle
+            # stages (the partial-agg exchange), which skips the scan
+            # + parse entirely — measured 11.3 s -> 0.2 s on the x10
+            # corpus. Warm-up and every timed attempt must re-plan.
+            return (
+                read_xlsx(spark, os.path.join(d, "*.xlsx"), columns)
+                .select(
+                    "c_mktsegment",
+                    F.col("c_acctbal").cast("double").alias("c_acctbal"),
+                )
+                .groupBy("c_mktsegment")
+                .agg(
+                    F.count(F.lit(1)).alias("n_customers"),
+                    F.sum(F.col("c_acctbal").cast("decimal(30,8)"))
+                    .cast("double")
+                    .alias("total_acctbal"),
+                )
             )
-            .groupBy("c_mktsegment")
-            .agg(
-                F.count(F.lit(1)).alias("n_customers"),
-                F.sum(F.col("c_acctbal").cast("decimal(30,8)"))
-                .cast("double")
-                .alias("total_acctbal"),
-            )
-        )
-        # best-of-2 (ADVICE r07): a single timed run charges the
-        # first-touch warm-up of the binaryFile->mapInPandas path (JVM
-        # codegen, Python worker fork, Arrow init) to whichever corpus
-        # runs first — x1 always did, biasing the exponent low and
-        # under-detecting SUPERLINEAR. SCALE.md's curve tool already
-        # takes best-of-2 after warm-up; match it.
+
+        # warm-up + best-of-2 (ADVICE r07): a single timed run charges
+        # the first-touch warm-up of the binaryFile->mapInPandas path
+        # (JVM codegen, Python worker fork, Arrow init) to whichever
+        # corpus runs first — x1 always did, biasing the exponent low
+        # and under-detecting SUPERLINEAR. SCALE.md's curve tool
+        # already takes best-of-2 after warm-up; match it.
+        fresh_agg().collect()  # untimed warm-up
         dt = math.inf
+        out = None
         for _attempt in range(2):
             t0 = time.time()
-            out = agg.collect()
+            out = fresh_agg().collect()
             dt = min(dt, time.time() - t0)
         results[k] = dt
         n_rows = sum(r.n_customers for r in out)
