@@ -13,12 +13,25 @@ _TOOLS_DIR = os.path.join(os.path.dirname(__file__), "..", "tools")
 
 
 def load_tool(name: str):
-    """Import tools/<name>.py WITHOUT mutating sys.path (ADVICE r07:
-    a module-level sys.path.insert leaks into the whole pytest
-    session, letting any tools/ module shadow or be accidentally
-    importable by later-collected tests). The loaded module is still
-    registered under its own name in sys.modules so dataclass/pickle
-    round-trips inside it keep working."""
+    """Import tools/<name>.py WITHOUT leaking sys.path mutations
+    (ADVICE r07/r08). Two leak paths, both closed:
+
+    - this helper itself never inserts a path, and it snapshots and
+      restores sys.path around exec_module, so the module-level
+      ``sys.path.insert(0, repo_root)`` most tools carry (needed for
+      their CLI entry) is undone before control returns to the test.
+      Call-time package imports inside tool functions still resolve
+      under pytest because the repo root is already on sys.path via
+      the normal test imports;
+    - the one call-time insert (build_zlib_lookup.fixture_texts) was
+      fixed at source to load its siblings through the same
+      importlib recipe.
+
+    On exec failure the half-initialized module is evicted from
+    sys.modules before re-raising (ADVICE r08: otherwise later
+    load_tool calls silently return the broken module). The loaded
+    module is still registered under its own name in sys.modules so
+    dataclass/pickle round-trips inside it keep working."""
     existing = sys.modules.get(name)
     if existing is not None:
         return existing
@@ -26,7 +39,14 @@ def load_tool(name: str):
     spec = importlib.util.spec_from_file_location(name, path)
     mod = importlib.util.module_from_spec(spec)
     sys.modules[name] = mod
-    spec.loader.exec_module(mod)
+    saved_path = list(sys.path)
+    try:
+        spec.loader.exec_module(mod)
+    except BaseException:
+        sys.modules.pop(name, None)
+        raise
+    finally:
+        sys.path[:] = saved_path
     return mod
 
 

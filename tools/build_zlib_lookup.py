@@ -43,13 +43,42 @@ TESTDATA = os.environ.get("SPARK_GRAFT_TESTDATA", "/root/testdata")
 OUT = os.path.join(ROOT, "fixtures", "zlib_len_lookup.parquet")
 
 
+def _load_sibling(name: str):
+    """Import tools/<name>.py by path WITHOUT a sys.path insert
+    (ADVICE r08: the former call-time ``sys.path.insert(0, tools/)``
+    leaked into the rest of the process — under pytest it partially
+    undid conftest.load_tool's no-mutation contract). Snapshot and
+    restore sys.path around exec_module so the sibling's own
+    module-level repo-root insert doesn't leak either; evict the
+    half-initialized module on failure (standard importlib recipe)."""
+    import importlib.util
+
+    existing = sys.modules.get(name)
+    if existing is not None:
+        return existing
+    spec = importlib.util.spec_from_file_location(
+        name, os.path.join(ROOT, "tools", f"{name}.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules[name] = mod
+    saved_path = list(sys.path)
+    try:
+        spec.loader.exec_module(mod)
+    except BaseException:
+        sys.modules.pop(name, None)
+        raise
+    finally:
+        sys.path[:] = saved_path
+    return mod
+
+
 def fixture_texts() -> set[str]:
     texts: set[str] = set()
     con = duckdb.connect()
     # keep the hostile-fixture texts in sync by importing their source
-    sys.path.insert(0, os.path.join(ROOT, "tools"))
-    from degenerate_sweep import _CONST_TEXT  # noqa: E402
-    from poison_sweep import BASE, POISON_DOC_TEXTS  # noqa: E402
+    _CONST_TEXT = _load_sibling("degenerate_sweep")._CONST_TEXT
+    _poison = _load_sibling("poison_sweep")
+    BASE, POISON_DOC_TEXTS = _poison.BASE, _poison.POISON_DOC_TEXTS
 
     # scan roots: every SF dir under TESTDATA, PLUS the poison sweep's
     # hardcoded base dir — when SPARK_GRAFT_TESTDATA points elsewhere,

@@ -49,16 +49,27 @@ def single_depth_knob_sweep(sf_dir: str, cpus: int, iters: int) -> int:
     a fresh SparkSession, plus a byte-identity check across the three
     outputs (VERDICT r07 #5: the r06 measurement stopped at depth 20;
     this records where lineage cost inflects at 50 without paying the
-    sweep's O(N^2)). The timed wall includes the edge build — it is
-    identical work across knobs, so s/iter deltas are still the
-    knob's marginal cost."""
+    sweep's O(N^2)). The edge build is materialized (eager
+    localCheckpoint) and timed SEPARATELY before t0, so s/iter is the
+    marginal iteration cost alone (ADVICE r08: folding the fixed edge
+    build into wall/iters overstated s/iter at low depths; r08's
+    recorded depth-50 table used the older wall-inclusive figure —
+    identical across knobs, so its ratios stand)."""
     from pyspark.sql import SparkSession
 
     results: dict[str, tuple[float, str]] = {}
     for ckpt in (None, 5, 1):
-        active = SparkSession.getActiveSession()
-        if active is not None:
-            active.stop()
+        # stop ANY live session, not just the thread-active one:
+        # getActiveSession() is thread-local, so a default session
+        # created elsewhere would slip past it straight into
+        # get_spark's getOrCreate and silently share one JVM across
+        # knobs, losing the documented isolation (ADVICE r08)
+        for live in (
+            SparkSession.getActiveSession(),
+            getattr(SparkSession, "_instantiatedSession", None),
+        ):
+            if live is not None:
+                live.stop()
         spark = get_spark(
             app_name=f"pagerank_probe_ckpt_{ckpt}",
             cpus=cpus,
@@ -67,7 +78,9 @@ def single_depth_knob_sweep(sf_dir: str, cpus: int, iters: int) -> int:
         li = load_table(spark, sf_dir, "lineitem").select(
             "l_orderkey", "l_partkey"
         )
-        edges = copurchase_edges(li)
+        t_edges = time.time()
+        edges = copurchase_edges(li).localCheckpoint(eager=True)
+        edge_s = time.time() - t_edges
         t0 = time.time()
         kw = {"checkpoint_every": ckpt} if ckpt else {}
         rows = (
@@ -81,8 +94,8 @@ def single_depth_knob_sweep(sf_dir: str, cpus: int, iters: int) -> int:
         results[str(ckpt)] = (dt, blob)
         print(
             f"checkpoint_every={str(ckpt):>4} iters={iters}"
-            f" wall={dt:8.2f}s s/iter={dt / iters:6.3f}"
-            f" rows={len(rows)}",
+            f" edge_build={edge_s:7.2f}s wall={dt:8.2f}s"
+            f" s/iter={dt / iters:6.3f} rows={len(rows)}",
             flush=True,
         )
     blobs = {b for _, b in results.values()}
