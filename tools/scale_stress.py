@@ -176,6 +176,23 @@ def build(
         full = parts[0]
         for p in parts[1:]:
             full = full.unionByName(p)
+        if table == "events":
+            # Time-ordered replay layout (r09): the streaming queries
+            # read this directory through a maxFilesPerTrigger=1 file
+            # source, and the naive union write lands ~one file PER
+            # COPY, each spanning the full 30-day ts range — so micro-
+            # batch 1 advances the watermark to stream-end and batches
+            # 2..N are dropped as LATE almost entirely (measured: q53
+            # at x10 emitted 3,960 of 15,000 users). That stress was
+            # timing late-row culling, not scaled state. Real log
+            # replay arrives in rough ts order, so write events as a
+            # FIXED number of ts-range slices at every scale: equal
+            # micro-batch counts x1 vs xN (weak scaling of batch
+            # size), monotone watermark, zero late drops, and the
+            # dedup/join state honestly reaches keys x horizon. The
+            # r08 streaming-slice exponents were measured on the old
+            # per-copy layout and are superseded by the r09 table.
+            full = full.repartitionByRange(10, "ts").sortWithinPartitions("ts")
         full.write.mode("overwrite").parquet(os.path.join(out_dir, f"{table}.parquet"))
 
 
@@ -332,20 +349,44 @@ def main() -> int:
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     spark = get_spark(app_name="scale_stress", cpus=cpus, shuffle_partitions=cpus)
 
-    results: dict[str, dict[int, float]] = {n: {} for n in names}
+    dirs: dict[int, str] = {}
     for k in (1, copies):
         out = os.path.join(WORK, f"x{k}")
         shutil.rmtree(out, ignore_errors=True)
         t0 = time.time()
         build(spark, k, out, only=only)
         print(f"built x{k} in {time.time() - t0:.1f}s at {out}", flush=True)
-        for n in names:
-            t0 = time.time()
-            df = specs[n].fn(spark, out)
-            cnt = df.count()
-            dt = time.time() - t0
-            results[n][k] = dt
-            print(f"x{k} {n}: {dt:7.2f}s rows={cnt}", flush=True)
+        dirs[k] = out
+    # Timing discipline (r09 — two session-warmth traps found the day
+    # the time-ordered events layout made every streaming replay 10
+    # micro-batches, where fixed per-batch overhead dwarfs the data
+    # compute at x1):
+    # 1. single cold runs charge first-touch session overhead to
+    #    whichever scale runs first (x1 cold 22s vs x10 warm 5.6s on
+    #    q53) -> best-of-2 per scale, like the r08 sources-path fix;
+    # 2. running ALL x1 attempts before ALL x10 attempts still lets
+    #    monotonically-accumulating JIT/state-store warmth subsidize
+    #    the later scale (exponents went NEGATIVE: q50 read
+    #    x1 13.99s -> x10 5.51s) -> INTERLEAVE scales per query,
+    #    alternating x1/xN attempts, so both scales' minima come from
+    #    an equally-warm session.
+    # Every attempt calls specs[n].fn() anew, rebuilding the plan, so
+    # AQE cannot reuse materialized stages across attempts (the
+    # re-collect trap); streaming queries re-execute their
+    # availableNow replay end-to-end each attempt by construction.
+    results: dict[str, dict[int, float]] = {n: {} for n in names}
+    for n in names:
+        best: dict[int, float] = {1: float("inf"), copies: float("inf")}
+        cnt: dict[int, int] = {}
+        for _ in range(2):
+            for k in (1, copies):
+                t0 = time.time()
+                df = specs[n].fn(spark, dirs[k])
+                cnt[k] = df.count()
+                best[k] = min(best[k], time.time() - t0)
+        for k in (1, copies):
+            results[n][k] = best[k]
+            print(f"x{k} {n}: {best[k]:7.2f}s rows={cnt[k]}", flush=True)
     import math
 
     print(f"\n-- scale-stress exponents (x1 -> x{copies}; bar 1.15) --")
