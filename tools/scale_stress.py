@@ -194,6 +194,26 @@ def build(
             # per-copy layout and are superseded by the r09 table.
             full = full.repartitionByRange(10, "ts").sortWithinPartitions("ts")
         full.write.mode("overwrite").parquet(os.path.join(out_dir, f"{table}.parquet"))
+        if table == "events":
+            # ...and force the REPLAY order to match: FileStreamSource
+            # processes files oldest-mtime-first, and a parallel write
+            # stamps mtimes in task-COMPLETION order — effectively
+            # random — so the ts-sliced files could still replay out
+            # of order, re-introducing watermark late-drops
+            # nondeterministically (q103's x1 emitted 7,969 / 12,091 /
+            # 7,717 rows across three otherwise-identical builds
+            # before this fix). part-NNNNN names sort in partition =
+            # ts-range order; stamp strictly ascending mtimes along
+            # that order so every replay is the same monotone log.
+            import glob as _glob
+            import time as _time
+
+            files = sorted(
+                _glob.glob(os.path.join(out_dir, f"{table}.parquet", "part-*"))
+            )
+            t_base = _time.time() - 2 * len(files)
+            for i, f in enumerate(files):
+                os.utime(f, (t_base + 2 * i, t_base + 2 * i))
 
 
 def sources_stress(spark: SparkSession, copies: int) -> int:
