@@ -10,6 +10,15 @@ SF_SMOKE = "/root/testdata/sf0.001"
 SF_CORRECT = "/root/testdata/sf0.01"
 
 _TOOLS_DIR = os.path.join(os.path.dirname(__file__), "..", "tools")
+_REPO_ROOT = os.path.abspath(os.path.join(os.path.dirname(__file__), ".."))
+
+# Call-time package imports inside load_tool'd tool functions need the
+# repo root importable. `python -m pytest` from the repo root provides
+# it implicitly, but a bare `pytest` entrypoint from elsewhere does not
+# (ADVICE r09) — ensure it explicitly and idempotently rather than
+# relying on launcher-dependent behavior.
+if _REPO_ROOT not in sys.path:
+    sys.path.insert(0, _REPO_ROOT)
 
 
 def load_tool(name: str):
@@ -21,8 +30,8 @@ def load_tool(name: str):
       ``sys.path.insert(0, repo_root)`` most tools carry (needed for
       their CLI entry) is undone before control returns to the test.
       Call-time package imports inside tool functions still resolve
-      under pytest because the repo root is already on sys.path via
-      the normal test imports;
+      because this conftest pins the repo root onto sys.path at module
+      level (idempotent insert above — launcher-independent);
     - the one call-time insert (build_zlib_lookup.fixture_texts) was
       fixed at source to load its siblings through the same
       importlib recipe.

@@ -63,13 +63,27 @@ def single_depth_knob_sweep(sf_dir: str, cpus: int, iters: int) -> int:
         # getActiveSession() is thread-local, so a default session
         # created elsewhere would slip past it straight into
         # get_spark's getOrCreate and silently share one JVM across
-        # knobs, losing the documented isolation (ADVICE r08)
-        for live in (
-            SparkSession.getActiveSession(),
-            getattr(SparkSession, "_instantiatedSession", None),
+        # knobs, losing the documented isolation (ADVICE r08).
+        # _instantiatedSession is private API: assert it exists so a
+        # PySpark upgrade renaming it fails LOUDLY here instead of
+        # silently restoring shared-JVM behavior (ADVICE r09); if a
+        # future PySpark grows the public getDefaultSession() (the
+        # Scala-side name), prefer it automatically.
+        if not hasattr(SparkSession, "_instantiatedSession") and not hasattr(
+            SparkSession, "getDefaultSession"
         ):
-            if live is not None:
-                live.stop()
+            raise SystemExit(
+                "SparkSession lost both _instantiatedSession and "
+                "getDefaultSession — update the session-isolation "
+                "teardown for this PySpark version before trusting "
+                "the knob A/B"
+            )
+        live_sessions = {SparkSession.getActiveSession()}
+        if hasattr(SparkSession, "getDefaultSession"):
+            live_sessions.add(SparkSession.getDefaultSession())
+        live_sessions.add(getattr(SparkSession, "_instantiatedSession", None))
+        for live in live_sessions - {None}:
+            live.stop()
         spark = get_spark(
             app_name=f"pagerank_probe_ckpt_{ckpt}",
             cpus=cpus,

@@ -211,6 +211,17 @@ def build(
             files = sorted(
                 _glob.glob(os.path.join(out_dir, f"{table}.parquet", "part-*"))
             )
+            # the repartitionByRange above fixes the slice count at 10;
+            # filename sort == partition order == ts-range order ONLY
+            # under that invariant (ADVICE r09: an empty range
+            # partition or a committer naming change would silently
+            # mis-order or shrink the replay) — fail loudly instead
+            if len(files) != 10:
+                raise SystemExit(
+                    f"events replay layout broken: expected 10 ts-range "
+                    f"slice files, found {len(files)} in {out_dir} — "
+                    f"filename-sort mtime stamping is no longer safe"
+                )
             t_base = _time.time() - 2 * len(files)
             for i, f in enumerate(files):
                 os.utime(f, (t_base + 2 * i, t_base + 2 * i))
@@ -402,7 +413,18 @@ def main() -> int:
             for k in (1, copies):
                 t0 = time.time()
                 df = specs[n].fn(spark, dirs[k])
-                cnt[k] = df.count()
+                c = df.count()
+                # determinism tripwire (ADVICE r09): two identical
+                # invocations must emit IDENTICAL row counts — a
+                # regression to nondeterministic streaming replay (the
+                # exact bug the r09 mtime fix addressed) must fail
+                # loudly, not print only the last attempt's count
+                if k in cnt and cnt[k] != c:
+                    raise SystemExit(
+                        f"NONDETERMINISTIC REPLAY: {n} x{k} emitted "
+                        f"{cnt[k]} rows on attempt 1 and {c} on attempt 2"
+                    )
+                cnt[k] = c
                 best[k] = min(best[k], time.time() - t0)
         for k in (1, copies):
             results[n][k] = best[k]
