@@ -394,6 +394,16 @@ def q78_stateful_running_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     This is the extension point for operators Structured Streaming
     lacks natively — state is explicit, Arrow-batched, and bounded per
     key (three scalars here).
+
+    Scale note: the memory-sink row count is users x micro-batches
+    (update-mode emission bound — see running_user_stats' docstring),
+    and this keep-last dedup then reduces it back to one row per user.
+    That shape is right for the harness's deterministic replay; a
+    100 TB deployment wanting final state sizes its triggers to the
+    emission budget (measured value-neutral on this operator by
+    tools/q78_emission_ab.py) or swaps the memory sink + dedup for a
+    foreachBatch keyed upsert (the streaming/incremental.py machinery,
+    driver-green as q86).
     """
     from batch_processing_new_spark.streaming.stateful import running_user_stats
 
