@@ -255,3 +255,40 @@ def test_canon_sort_cell_single_nan_array_is_not_null():
     assert _sort_cell([math.nan]) != _sort_cell(math.nan)
     # and the scalar null key is still shared across null flavors
     assert _sort_cell(None) == _sort_cell(math.nan)
+
+
+def test_q102_probe_heap_guard(monkeypatch):
+    """ADVICE r10: the x100 probe must fail fast at startup when the
+    scaled heap is missing — the default 16g builds the expensive x100
+    corpus and then OOMs mid-probe. <100 copies stays unguarded."""
+    guard = load_tool("q102_shuffle_probe")._require_scaled_heap
+
+    monkeypatch.delenv("SPARK_GRAFT_DRIVER_MEM", raising=False)
+    guard(10)  # x10 fits the default heap: no-op
+    with pytest.raises(SystemExit, match="scaled driver heap"):
+        guard(100)
+
+    monkeypatch.setenv("SPARK_GRAFT_DRIVER_MEM", "16g")
+    with pytest.raises(SystemExit, match="scaled driver heap"):
+        guard(100)
+    monkeypatch.setenv("SPARK_GRAFT_DRIVER_MEM", "96g")
+    guard(100)  # documented recipe passes
+    monkeypatch.setenv("SPARK_GRAFT_DRIVER_MEM", "not-a-size")
+    with pytest.raises(SystemExit, match="scaled driver heap"):
+        guard(100)
+
+
+def test_scale_stress_events_slice_constant():
+    """ADVICE r10: the events replay layout's slice count is one
+    constant shared by the repartitionByRange producer and the
+    post-write file-count guard — no drifting literals."""
+    import inspect
+
+    ss = load_tool("scale_stress")
+    assert ss.EVENTS_TS_SLICES == 10
+    src = inspect.getsource(ss.build)
+    # both sites (producer + guard) use the shared constant, and
+    # neither carries its own hard-coded 10 anymore
+    assert src.count("EVENTS_TS_SLICES") >= 2
+    assert "repartitionByRange(10" not in src
+    assert "!= 10:" not in src

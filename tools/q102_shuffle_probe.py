@@ -15,9 +15,12 @@ data volume calls for restores the decade-1 exponent.
 
 This probe times the REGISTERED q102 fn on the scale_stress lineitem
 corpora under spark.sql.shuffle.partitions in {32, 256} — interleaved
-best-of-2, fresh plan per attempt, one session (the conf is read at
-plan time, so per-attempt spark.conf.set applies; AQE then coalesces
-DOWN from the initial number, which is why the x1 run tolerates 256).
+best-of-2, fresh plan per attempt, one session PER SCALE (the conf is
+read at plan time, so per-attempt spark.conf.set applies; AQE then
+coalesces DOWN from the initial number, which is why the x1 run
+tolerates 256; the per-scale session boundary keeps accumulated
+localCheckpoint blocks from one scale's attempts off the next scale's
+block manager — ADVICE r10).
 Output equality across partition counts is asserted (sorted collect,
 exact — the engine's decimal-sum discipline makes q102
 reduction-order-robust; determinism_check already sweeps this axis at
@@ -33,9 +36,11 @@ Usage: python tools/q102_shuffle_probe.py [copies]   (default 100;
 
 from __future__ import annotations
 
+import gc
 import importlib.util
 import math
 import os
+import re
 import sys
 import time
 
@@ -56,9 +61,35 @@ def _load_scale_stress():
     return mod
 
 
+def _require_scaled_heap(copies: int) -> None:
+    """Fail fast before the expensive x100 corpus build (ADVICE r10).
+
+    The docstring mandates SPARK_GRAFT_DRIVER_MEM=96g for x100 — the
+    default 16 GB heap OOMs mid-pagerank at 60M rows (the exact failure
+    SKILL.md documents). Launched without the knob, the old flow built
+    the corpus for many minutes and THEN died; check at startup instead.
+    The threshold mirrors the measured boundary: >=6 GB/10M base rows,
+    i.e. x100 on the sf0.1 fixture needs ~60g+.
+    """
+    if copies < 100:
+        return
+    mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "")
+    m = re.fullmatch(r"(\d+)\s*[gG]", mem.strip())
+    gb = int(m.group(1)) if m else 0
+    if gb < 60:
+        raise SystemExit(
+            f"q102_shuffle_probe: copies={copies} needs a scaled driver "
+            f"heap (measured boundary: 16g OOMs at 60M rows) but "
+            f"SPARK_GRAFT_DRIVER_MEM={mem!r}. Re-run with "
+            f"SPARK_GRAFT_DRIVER_MEM=96g python tools/q102_shuffle_probe.py "
+            f"{copies}"
+        )
+
+
 def main() -> int:
     copies = int(sys.argv[1]) if len(sys.argv) > 1 else 100
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    _require_scaled_heap(copies)
     spark = get_spark(
         app_name="q102_shuffle_probe", cpus=cpus, shuffle_partitions=cpus
     )
@@ -76,7 +107,21 @@ def main() -> int:
 
     fn = registry.all_specs()["q102_copurchase_pagerank"].fn
     results: dict[tuple[int, int], float] = {}
+    # Fresh session PER SCALE (ADVICE r10): pagerank localCheckpoints
+    # its edge/rank frames every call, and checkpoint blocks from
+    # earlier attempts are only reclaimed by the async ContextCleaner —
+    # one long-lived session accumulates block-manager pressure that
+    # can inflate the later (x100) attempts. The 32-vs-256 comparison
+    # stays interleaved WITHIN each scale's session (fair A/B); the
+    # session boundary only isolates scales, matching the repo's
+    # fresh-session-per-variant discipline for checkpoint-heavy sweeps.
+    spark.stop()
     for k in (1, copies):
+        spark = get_spark(
+            app_name=f"q102_shuffle_probe_x{k}",
+            cpus=cpus,
+            shuffle_partitions=cpus,
+        )
         best = {p: math.inf for p in PARTITION_COUNTS}
         blobs: dict[int, str] = {}
         for _attempt in range(2):
@@ -90,6 +135,11 @@ def main() -> int:
                     raise SystemExit(f"NONDETERMINISTIC: x{k} parts={p}")
                 blobs[p] = blob
                 best[p] = min(best[p], dt)
+                # release this attempt's frame refs so the
+                # ContextCleaner can reclaim its checkpoint blocks
+                # before the next attempt starts
+                del rows
+                gc.collect()
         if len(set(blobs.values())) != 1:
             raise SystemExit(
                 f"PARTITION-COUNT SENSITIVE at x{k}: outputs differ "
@@ -99,7 +149,7 @@ def main() -> int:
             results[(k, p)] = best[p]
             print(f"x{k} parts={p}: {best[p]:8.2f}s", flush=True)
         print(f"x{k}: outputs identical across partition counts", flush=True)
-    spark.conf.set("spark.sql.shuffle.partitions", str(cpus))
+        spark.stop()
 
     decades = math.log10(copies)
     print(f"\n-- q102 exponents over x1 -> x{copies} per partition count --")

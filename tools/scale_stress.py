@@ -47,6 +47,12 @@ from batch_processing_new_spark.session import get_spark  # noqa: E402
 BASE = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 WORK = os.environ.get("SPARK_GRAFT_STRESS_DIR", "/tmp/scale_stress")
 
+# events replay layout: number of ts-range slice files written at EVERY
+# scale (weak scaling of micro-batch size, monotone watermark). The
+# repartitionByRange producer and the post-write file-count guard below
+# must agree on this number (ADVICE r10: two drifting literals).
+EVENTS_TS_SLICES = 10
+
 # the heavy families: graph iteration, graph intersection, LSH
 # banding, ANN banding, k-means, full corpus pipeline, scan-agg,
 # window/sessionize, text stats
@@ -192,7 +198,9 @@ def build(
             # dedup/join state honestly reaches keys x horizon. The
             # r08 streaming-slice exponents were measured on the old
             # per-copy layout and are superseded by the r09 table.
-            full = full.repartitionByRange(10, "ts").sortWithinPartitions("ts")
+            full = full.repartitionByRange(
+                EVENTS_TS_SLICES, "ts"
+            ).sortWithinPartitions("ts")
         full.write.mode("overwrite").parquet(os.path.join(out_dir, f"{table}.parquet"))
         if table == "events":
             # ...and force the REPLAY order to match: FileStreamSource
@@ -211,16 +219,18 @@ def build(
             files = sorted(
                 _glob.glob(os.path.join(out_dir, f"{table}.parquet", "part-*"))
             )
-            # the repartitionByRange above fixes the slice count at 10;
+            # the repartitionByRange above fixes the slice count at
+            # EVENTS_TS_SLICES;
             # filename sort == partition order == ts-range order ONLY
             # under that invariant (ADVICE r09: an empty range
             # partition or a committer naming change would silently
             # mis-order or shrink the replay) — fail loudly instead
-            if len(files) != 10:
+            if len(files) != EVENTS_TS_SLICES:
                 raise SystemExit(
-                    f"events replay layout broken: expected 10 ts-range "
-                    f"slice files, found {len(files)} in {out_dir} — "
-                    f"filename-sort mtime stamping is no longer safe"
+                    f"events replay layout broken: expected "
+                    f"{EVENTS_TS_SLICES} ts-range slice files, found "
+                    f"{len(files)} in {out_dir} — filename-sort mtime "
+                    f"stamping is no longer safe"
                 )
             t_base = _time.time() - 2 * len(files)
             for i, f in enumerate(files):
