@@ -31,7 +31,11 @@ from batch_processing_new_spark.functions.timekit import (
     epoch_seconds,
 )
 from batch_processing_new_spark.registry import query
-from batch_processing_new_spark.sources.readers import fan_out, load_table
+from batch_processing_new_spark.sources.readers import (
+    fan_out,
+    load_table,
+    pin_before_sort,
+)
 
 
 # ------------------------------------------------------- funnel
@@ -455,14 +459,16 @@ def q83_dup_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0),
         lambda acc, x: acc + x,
     )
-    return (
+    # the gram-sort/dup-count chain is narrow and expensive; unpinned,
+    # the presentation sort's range sampling re-executes it (measured
+    # 5.6 s + 20.6 s duplicate stage pair at sf0.1)
+    return pin_before_sort(
         sorted_grams.select(
             "doc_id",
             F.size(g).cast("long").alias("n_grams"),
             dup.cast("long").alias("n_dup"),
         )
-        .orderBy("doc_id")
-    )
+    ).orderBy("doc_id")
 
 
 # --------------------------------------------------- PII scrubbing

@@ -37,9 +37,11 @@ from pyspark.sql import functions as F
 from batch_processing_new_spark.operators.similarity import _f64, dot
 from batch_processing_new_spark.registry import query
 from batch_processing_new_spark.sources.readers import (
+    FANOUT_PY_TASK_BYTES,
     fan_out,
     load_table,
     load_vectors,
+    pin_before_sort,
 )
 
 DIM = 64
@@ -152,9 +154,12 @@ def lloyd_kmeans(
     rounded 6, empty clusters keep their previous centroid. Only
     k x dim floats return to the driver per round.
     """
-    vecs = fan_out(emb.select("vec_id", "embedding")).localCheckpoint(
-        eager=False
-    )
+    # Python-kernel consumer -> coarse fan_out slices (see fan_out doc):
+    # every Lloyd pass is mapInPandas, so per-task boundary overhead
+    # dominates at fine widths (measured 128 KiB ~35% faster at sf0.1)
+    vecs = fan_out(
+        emb.select("vec_id", "embedding"), task_bytes=FANOUT_PY_TASK_BYTES
+    ).localCheckpoint(eager=False)
     # seeds state the SAME contract as the oracle's c0 (vec_id < k):
     # orderBy().limit(k) silently diverges on any fixture whose ids
     # are not exactly 0..k-1
@@ -195,18 +200,19 @@ def lloyd_kmeans(
                     6,
                 ).alias("m")
             )
-            .groupBy("cluster")
-            .agg(
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(F.struct(F.col("pos"), F.col("m")))
-                    ),
-                    lambda s: s["m"],
-                ).alias("centroid")
-            )
+            # collect the k x dim (cluster, pos, m) cells directly and
+            # assemble the centroid arrays driver-side: the previous
+            # second groupBy(cluster) + array_sort(collect_list(...))
+            # paid one more exchange + stage per Lloyd round to build
+            # arrays the driver immediately unpacked anyway. Driver
+            # traffic is identical (k x dim floats), values identical
+            # (assembly indexes by pos — the same order array_sort
+            # produced).
             .collect()
         )
-        new = {r.cluster: list(r.centroid) for r in means}
+        new: dict[int, list[float | None]] = {}
+        for r in means:
+            new.setdefault(r.cluster, [None] * len(centroids[0]))[r.pos] = r.m
         # range over the ACTUAL seed count, not the requested k: a
         # corpus with fewer than k rows seeds fewer centroids, and
         # indexing centroids[i] past that is an IndexError, not a
@@ -295,11 +301,12 @@ def q113_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     value oracle (Lloyd unrolled as SQL CTEs, as q102 does PageRank).
     """
     e = load_vectors(spark, sf_dir)
-    return (
-        lloyd_kmeans(e)
-        .withColumn("d2", F.round(F.col("d2"), 6))
-        .orderBy("vec_id")
-    )
+    return pin_before_sort(
+        # the final assignment is an Arrow pandas-UDF pass; unpinned,
+        # the presentation sort's range sampling re-executes it
+        # (measured: 9.9 s + 15.5 s duplicate stage pair at sf0.1)
+        lloyd_kmeans(e).withColumn("d2", F.round(F.col("d2"), 6))
+    ).orderBy("vec_id")
 
 
 # ------------------------------------------------------------ SemDeDup

@@ -37,7 +37,11 @@ from batch_processing_new_spark.functions.text_funcs import (
     token_set_fingerprint,
 )
 from batch_processing_new_spark.registry import query
-from batch_processing_new_spark.sources.readers import fan_out, load_table
+from batch_processing_new_spark.sources.readers import (
+    fan_out,
+    load_table,
+    pin_before_sort,
+)
 
 NUM_MINHASHES = 8
 LSH_BAND_SIZE = 2  # 4 bands of 2 -> catches Jaccard >~ 0.5 reliably
@@ -409,7 +413,11 @@ def q37_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Banded-LSH near-dup pairs at shingle-Jaccard >= 0.5 (recall vs
     the exact shingle-Jaccard ground truth asserted in tests)."""
     d = load_table(spark, sf_dir, "documents")
-    return minhash_lsh_pairs(d, threshold=0.5).orderBy("id_a", "id_b")
+    # the verify join is a narrow broadcast chain over the checkpointed
+    # shingle sets; unpinned, the final sort's range sampling re-runs it
+    return pin_before_sort(minhash_lsh_pairs(d, threshold=0.5)).orderBy(
+        "id_a", "id_b"
+    )
 
 
 # ------------------------------------------------------------ SimHash

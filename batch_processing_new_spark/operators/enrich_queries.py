@@ -14,7 +14,7 @@ from pyspark.sql import functions as F
 
 from batch_processing_new_spark.operators.enrich import EnrichConfig, enrich
 from batch_processing_new_spark.registry import query
-from batch_processing_new_spark.sources.readers import load_table
+from batch_processing_new_spark.sources.readers import load_table, pin_before_sort
 
 _SYSPROMPT = "Classify the sentiment of the input."
 
@@ -48,11 +48,14 @@ def q30_enrich_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     d = load_table(spark, sf_dir, "documents")
     cfg = EnrichConfig(system_prompt=_SYSPROMPT, transport="mock")
-    return (
-        enrich(d.select("doc_id", "text"), "text", cfg)
-        .select("doc_id", "Response")
-        .orderBy("doc_id")
-    )
+    # pin the enrichment pass: the final sort's range sampling would
+    # otherwise run the mapInPandas enrichment twice (measured as two
+    # ~0.56 s Python stages at sf0.1) — at scale, twice the API calls
+    return pin_before_sort(
+        enrich(d.select("doc_id", "text"), "text", cfg).select(
+            "doc_id", "Response"
+        )
+    ).orderBy("doc_id")
 
 
 @query(
@@ -73,11 +76,11 @@ def q31_enrich_dedupe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     d = load_table(spark, sf_dir, "documents")
     cfg = EnrichConfig(system_prompt=_SYSPROMPT, transport="mock", dedupe_inputs=True)
-    return (
-        enrich(d.select("doc_id", "lang"), "lang", cfg)
-        .select("doc_id", "Response")
-        .orderBy("doc_id")
-    )
+    return pin_before_sort(
+        enrich(d.select("doc_id", "lang"), "lang", cfg).select(
+            "doc_id", "Response"
+        )
+    ).orderBy("doc_id")
 
 
 @query(
@@ -99,4 +102,5 @@ def q32_enrich_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     tail = d.where(F.col("doc_id") >= 300)
     enriched = enrich(head, "text", cfg)
     out = enriched.unionByName(tail.withColumn("Response", F.lit("")))
-    return out.select("doc_id", "Response").orderBy("doc_id")
+    # pin: range sampling would re-run the enrichment half of the union
+    return pin_before_sort(out.select("doc_id", "Response")).orderBy("doc_id")

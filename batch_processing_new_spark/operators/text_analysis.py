@@ -27,7 +27,11 @@ from batch_processing_new_spark.functions.text_funcs import (
     tokens,
 )
 from batch_processing_new_spark.registry import query
-from batch_processing_new_spark.sources.readers import fan_out, load_table
+from batch_processing_new_spark.sources.readers import (
+    fan_out,
+    load_table,
+    pin_before_sort,
+)
 
 # small stopword list over the fixture vocabulary; real deployments swap
 # in a broadcast stopword table
@@ -471,15 +475,16 @@ def q99_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
-    return (
-        fan_out(d.select("doc_id", "text"))
-        .select(
+    # the scoring map-fold is a narrow expression chain straight off the
+    # scan; unpinned, the presentation sort's range sampling re-executes
+    # it (measured ~0.6 s + 11 s duplicate stage pair at sf0.1)
+    return pin_before_sort(
+        fan_out(d.select("doc_id", "text")).select(
             "doc_id",
             F.size(toks).alias("n_tokens"),
             F.round(nlp_sum / F.size(toks), 6).alias("avg_neg_logprob"),
         )
-        .orderBy("doc_id")
-    )
+    ).orderBy("doc_id")
 
 
 # --------------------------------------- compression-ratio signal

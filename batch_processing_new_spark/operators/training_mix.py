@@ -30,7 +30,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from batch_processing_new_spark.registry import query
-from batch_processing_new_spark.sources.readers import fan_out, load_table
+from batch_processing_new_spark.sources.readers import (
+    fan_out,
+    load_table,
+    pin_before_sort,
+)
 from batch_processing_new_spark.functions.text_funcs import (
     hash60_sql,
     salted_hash60,
@@ -501,8 +505,13 @@ def q112_seeded_shuffle_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    return part.mapInPandas(
-        assign, schema="doc_id bigint, source string, pos bigint, shard bigint"
+    # pin the Arrow assign pass: the final sort's range sampling would
+    # otherwise run the whole mapInPandas offset pass twice
+    return pin_before_sort(
+        part.mapInPandas(
+            assign,
+            schema="doc_id bigint, source string, pos bigint, shard bigint",
+        )
     ).orderBy("pos")
 
 

@@ -9,6 +9,8 @@ driver load is the 100 TB blocker, so here ingest is a distributed
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -169,20 +171,94 @@ def read_evolved_parquet(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.option("mergeSchema", "true").parquet(path)
 
 
-def fan_out(df: DataFrame, multiple: int = 1) -> DataFrame:
-    """Spread a small-file scan across all cores before an
-    expression-heavy narrow stage.
+#: fan_out sizing: estimated plan bytes per spread task. Calibrated by
+#: measurement at sf0.1 (OPTIMIZATION_r11.md): per-task fixed cost on
+#: this class of host is ~15-20 ms of scheduling plus ~100-500 ms of
+#: executor run overhead, so tiny inputs must NOT be cut into
+#: core-count slivers — a 0.25 MiB projection in 32 tasks spends ~30x
+#: more wall in per-task overhead than in its own expression work.
+#: The knob only shapes SMALL inputs: at 100 TB every scan already has
+#: >= cores partitions and fan_out no-ops entirely.
+FANOUT_TASK_BYTES = int(
+    os.environ.get("SPARK_GRAFT_FANOUT_TASK_BYTES", "32768")
+)
+
+
+def fan_out(
+    df: DataFrame, multiple: int = 1, task_bytes: int | None = None
+) -> DataFrame:
+    """Spread a small-file scan across cores before an expression-heavy
+    narrow stage — sized by DATA, capped by cores.
 
     Spark chains projections/explodes into the scan stage, and a scan's
     parallelism is bounded by parquet row groups — a single-row-group
     file runs its whole downstream expression chain on ONE task no
     matter how many cores exist (measured 2.6x on the shingle stage at
     sf0.1). This helper pays one tiny exchange (the projected columns
-    only) to unlock full-width execution. No-op when the scan already
-    has enough partitions — at 100 TB real inputs have thousands of
-    row groups and this never fires; it's the small-input guard.
+    only) to unlock execution width.
+
+    Width is ``ceil(estimated plan bytes / FANOUT_TASK_BYTES)`` capped
+    at ``defaultParallelism * multiple`` (guide §2: derive partitioning
+    from input size, never a core-count constant): a hard
+    ``repartition(cores)`` is an AQE-opaque user shuffle, and at small
+    inputs it pays ~cores x the per-task fixed overhead for microscopic
+    slices (measured at sf0.1: the q37 shingle stage at 32 fixed tasks
+    ran 2.3x slower than data-sized width; a warm no-op Python stage
+    costs 0.37 s at 2 tasks vs 0.85 s at 32). No-op when the scan
+    already has enough partitions — at 100 TB real inputs have
+    thousands of row groups and this never fires; it's the small-input
+    guard, so the knob only tunes small-input behavior. Values are
+    width-independent everywhere by the engine's determinism discipline
+    (tools/determinism_check.py runs every query at two partitionings).
+
+    ``task_bytes`` overrides the default slice size per call site:
+    Python-kernel consumers (mapInPandas/pandas UDF over vectors) pay a
+    far higher per-task boundary cost than JVM expression chains, so
+    they pass a coarser slice (measured sweep in OPTIMIZATION_r11.md:
+    q113's Lloyd passes run ~35 percent faster at 128 KiB/task than at
+    the 32 KiB text default; the text band inverts).
     """
-    target = df.sparkSession.sparkContext.defaultParallelism * multiple
+    sc = df.sparkSession.sparkContext
+    cap = sc.defaultParallelism * multiple
+    per_task = task_bytes or FANOUT_TASK_BYTES
+    try:
+        est = int(str(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()))
+    except Exception:
+        est = -1
+    if est < 0:
+        target = cap  # no estimate (e.g. RDD-backed plan): previous behavior
+    else:
+        target = max(1, min(cap, -(-est // per_task)))
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df
+
+
+#: Python-kernel fan_out slice (see fan_out docstring): coarser than the
+#: JVM-expression default because each Python task pays the worker
+#: handshake + Arrow round-trip regardless of slice size.
+FANOUT_PY_TASK_BYTES = int(
+    os.environ.get("SPARK_GRAFT_FANOUT_PY_TASK_BYTES", "131072")
+)
+
+
+def pin_before_sort(df: DataFrame) -> DataFrame:
+    """Materialize a narrow expensive chain ONCE ahead of a final
+    ``orderBy``.
+
+    A range-partitioned sort computes its partition bounds by SAMPLING
+    its child, then executes the child again for the real shuffle — so
+    everything between the last exchange and the sort runs TWICE
+    (measured at sf0.1: q30's enrichment mapInPandas appeared as two
+    ~0.56 s Python stages, q83's gram chain as a 5.6 s + 20.6 s stage
+    pair, q113's final assignment as 9.9 s + 15.5 s). For a chain that
+    is cheap to recompute the double execution is harmless; for a
+    Python pass or a heavy expression chain it doubles the dominant
+    stage. ``localCheckpoint(eager=False)`` pins the chain's output in
+    block storage so the sampling pass and the shuffle both read blocks
+    — the chain runs once, at the cost of caching one output-sized
+    DataFrame (bounded: callers pin final query outputs, never wide
+    intermediates). Lazy, so no extra job: the sampling pass itself
+    triggers the materialization.
+    """
+    return df.localCheckpoint(eager=False)
