@@ -531,7 +531,8 @@ ORDER BY doc_id
 def q38_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """60-bit SimHash per document, exact SQL oracle."""
     d = load_table(spark, sf_dir, "documents")
-    return simhash(d).orderBy("doc_id")
+    # pin the Arrow simhash pass: range sampling would run it twice
+    return pin_before_sort(simhash(d)).orderBy("doc_id")
 
 
 def simhash_neardup_pairs(docs: DataFrame, max_hamming: int = 12) -> DataFrame:
@@ -540,8 +541,12 @@ def simhash_neardup_pairs(docs: DataFrame, max_hamming: int = 12) -> DataFrame:
     Candidate blocking on 4 x 15-bit chunks (pigeonhole: distance <= 12
     over 60 bits cannot make all 4 chunks differ... actually it can;
     chunking is a recall/cost dial like LSH banding — verified pairs are
-    exact, recall is asserted in tests)."""
-    sh = simhash(docs)
+    exact, recall is asserted in tests).
+
+    The signature frame is materialized once (tiny: one long per doc):
+    both sides of the chunk self-join consume it, and unpinned each
+    side re-ran the Arrow simhash pass from the scan."""
+    sh = simhash(docs).localCheckpoint(eager=False)
     chunks = sh.select(
         "doc_id",
         "simhash",
@@ -1103,4 +1108,8 @@ def q183_minhash_lsh_oracle(spark: SparkSession, sf_dir: str) -> DataFrame:
     buckets equi-join, verify runs on candidates only.
     """
     d = load_table(spark, sf_dir, "documents")
-    return minhash_lsh_pairs_md5(d, threshold=0.5).orderBy("id_a", "id_b")
+    # same pin rationale as q37: the verify join is a narrow broadcast
+    # chain the final sort's range sampling would otherwise re-run
+    return pin_before_sort(minhash_lsh_pairs_md5(d, threshold=0.5)).orderBy(
+        "id_a", "id_b"
+    )

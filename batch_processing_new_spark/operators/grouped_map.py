@@ -22,7 +22,7 @@ from pyspark.sql import functions as F
 
 from batch_processing_new_spark.functions.timekit import epoch_micros
 from batch_processing_new_spark.registry import query
-from batch_processing_new_spark.sources.readers import load_table
+from batch_processing_new_spark.sources.readers import load_table, pin_before_sort
 
 ALPHA = 0.5  # EWMA smoothing
 
@@ -100,7 +100,8 @@ def q62_ewma_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     (see the oracle comment).
     """
     e = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
-    return ewma_per_user(e).orderBy("user_id")
+    # pin the applyInPandas pass: range sampling would run it twice
+    return pin_before_sort(ewma_per_user(e)).orderBy("user_id")
 
 
 @query(
@@ -240,4 +241,6 @@ def q128_cogroup_order_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    return out.orderBy("orderkey", "linenumber")
+    # pin the cogroup pass: range sampling would dispatch every
+    # per-order Python call twice
+    return pin_before_sort(out).orderBy("orderkey", "linenumber")

@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from batch_processing_new_spark.registry import query
-from batch_processing_new_spark.sources.readers import load_table
+from batch_processing_new_spark.sources.readers import load_table, pin_before_sort
 
 DECODE_SCHEMA = (
     "doc_id bigint, media_type string, n_bytes int, width int, height int, "
@@ -145,7 +145,10 @@ def q45_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     binary encode/Arrow-transfer/decode plumbing is value-hash-checked.
     """
     d = load_table(spark, sf_dir, "documents")
-    return decode_media(with_media_payload(d)).orderBy("doc_id")
+    # pin the Arrow decode pass: range sampling would run it twice
+    return pin_before_sort(decode_media(with_media_payload(d))).orderBy(
+        "doc_id"
+    )
 
 
 @query(
@@ -325,7 +328,10 @@ ORDER BY doc_id
 def q54_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """decode -> resize, both Pandas-UDF stages, fully oracle-checked."""
     d = load_table(spark, sf_dir, "documents")
-    return resize_media(decode_media(with_media_payload(d))).orderBy("doc_id")
+    # pin the two-stage Python decode->resize chain (q45 rationale)
+    return pin_before_sort(
+        resize_media(decode_media(with_media_payload(d)))
+    ).orderBy("doc_id")
 
 
 @query(
@@ -348,9 +354,10 @@ ORDER BY doc_id, frame_idx
 def q55_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """decode -> stride frame sampling (cardinality-changing Python map)."""
     d = load_table(spark, sf_dir, "documents")
-    return sample_frames(decode_media(with_media_payload(d))).orderBy(
-        "doc_id", "frame_idx"
-    )
+    # pin the decode->frame-sample Python chain (q45 rationale)
+    return pin_before_sort(
+        sample_frames(decode_media(with_media_payload(d)))
+    ).orderBy("doc_id", "frame_idx")
 
 
 @query(
@@ -375,12 +382,15 @@ def q56_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     cannot canonicalize array cells (see q65 in CORRECTNESS_r01)."""
     d = load_table(spark, sf_dir, "documents")
     feats = extract_features(decode_media(with_media_payload(d)))
-    return feats.select(
-        "doc_id",
-        F.concat_ws(
-            ",",
-            F.transform("feature", lambda x: F.format_string("%.6f", x)),
-        ).alias("feature"),
+    # pin the decode->features Python chain (q45 rationale)
+    return pin_before_sort(
+        feats.select(
+            "doc_id",
+            F.concat_ws(
+                ",",
+                F.transform("feature", lambda x: F.format_string("%.6f", x)),
+            ).alias("feature"),
+        )
     ).orderBy("doc_id")
 
 

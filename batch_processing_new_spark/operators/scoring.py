@@ -38,6 +38,7 @@ from batch_processing_new_spark.sources.readers import (
     fan_out,
     load_table,
     load_vectors,
+    pin_before_sort,
 )
 
 # ------------------------------------------------------------- BM25
@@ -299,15 +300,15 @@ def q142_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").where(
         F.col("text").isNotNull()
     )
-    return (
-        fan_out(d.select("doc_id", "text"))
-        .select(
+    # pin the scoring fold (q99 pattern): range sampling would run the
+    # narrow hash-bucket/sigmoid chain twice
+    return pin_before_sort(
+        fan_out(d.select("doc_id", "text")).select(
             "doc_id",
             F.round(p, 6).alias("p_good"),
             F.when(p > 0.5, 1).otherwise(0).alias("keep"),
         )
-        .orderBy("doc_id")
-    )
+    ).orderBy("doc_id")
 
 
 # ------------------------------------- hybrid retrieval (RRF fusion)

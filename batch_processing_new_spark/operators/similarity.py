@@ -30,6 +30,7 @@ from pyspark.sql import functions as F
 
 from batch_processing_new_spark.registry import query
 from batch_processing_new_spark.sources.readers import (
+    FANOUT_PY_TASK_BYTES,
     fan_out,
     load_table,
     load_vectors,
@@ -308,13 +309,22 @@ def ann_lsh_topk(
     sig = emb.select(
         "vec_id", _signature_np(planes)("embedding").alias("sig_full")
     )
-    banded = sig.select(
-        "vec_id",
-        F.explode(F.sequence(F.lit(0), F.lit(n_bands - 1))).alias("band_id"),
-        "sig_full",
-    ).withColumn(
-        "band",
-        F.expr(f"(sig_full >> (band_id * {band_bits})) & {(1 << band_bits) - 1}"),
+    banded = (
+        sig.select(
+            "vec_id",
+            F.explode(F.sequence(F.lit(0), F.lit(n_bands - 1))).alias("band_id"),
+            "sig_full",
+        )
+        .withColumn(
+            "band",
+            F.expr(
+                f"(sig_full >> (band_id * {band_bits})) & {(1 << band_bits) - 1}"
+            ),
+        )
+        # tiny (corpus x bands longs); materialize so the query and
+        # corpus sides of the bucket join don't each re-run the Arrow
+        # signature pass (two consumers -> the UDF executed twice)
+        .localCheckpoint(eager=False)
     )
     probes = F.array(
         F.col("band"),
@@ -351,8 +361,14 @@ def ann_lsh_topk(
     qv = emb.where(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"), _f64("embedding").alias("qv")
     ).withColumn("nq", F.sqrt(dot(F.col("qv"), F.col("qv"))))
+    # fan_out the re-rank scan: the exact-cosine dots over candidate
+    # pairs are interpreted HOF folds (the expensive per-row work), and
+    # a single-row-group corpus file would run them all on one task;
+    # coarse slices — the chain is cheap per byte relative to the text
+    # band (no-op at scale, like every fan_out)
     cand = (
-        emb.join(F.broadcast(pairs), emb["vec_id"] == pairs["neighbor_id"])
+        fan_out(emb, task_bytes=FANOUT_PY_TASK_BYTES)
+        .join(F.broadcast(pairs), emb["vec_id"] == pairs["neighbor_id"])
         .select("query_id", "neighbor_id", _f64("embedding").alias("cv"))
         .withColumn("nc", F.sqrt(dot(F.col("cv"), F.col("cv"))))
         .join(F.broadcast(qv), "query_id")

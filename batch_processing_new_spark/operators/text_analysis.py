@@ -600,7 +600,8 @@ ORDER BY d.doc_id
 def q100_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     """zlib compression-ratio quality signal over the corpus."""
     d = load_table(spark, sf_dir, "documents")
-    return compression_ratio(d).orderBy("doc_id")
+    # pin the Arrow zlib pass: range sampling would run it twice
+    return pin_before_sort(compression_ratio(d)).orderBy("doc_id")
 
 
 # ------------------------------------- BPE-style piece counting

@@ -31,6 +31,8 @@ from pyspark.sql import functions as F
 
 from batch_processing_new_spark.registry import query
 from batch_processing_new_spark.sources.readers import (
+    FANOUT_PY_TASK_BYTES,
+    adaptive_width,
     fan_out,
     load_table,
     pin_before_sort,
@@ -469,10 +471,20 @@ def q112_seeded_shuffle_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     h = salted_hash60("shuffle", F.col("doc_id"))
-    n_part = max(spark.sparkContext.defaultParallelism, N_SHARDS)
+    keyed = d.select("doc_id", "source", h.alias("h"))
+    # data-sized range width (adaptive_width): pos is the TOTAL
+    # (h, doc_id) order, so shard assignment is width-independent —
+    # width only sets parallelism, and core-count ranges over a tiny
+    # input pay ~cores x the per-task overhead (the fan_out finding);
+    # coarse Python slices because the offset pass is mapInPandas.
+    # Cap stays the old max(cores, N_SHARDS) so large inputs keep
+    # full-width ranges.
+    n_part = min(
+        adaptive_width(keyed, task_bytes=FANOUT_PY_TASK_BYTES, multiple=2),
+        max(spark.sparkContext.defaultParallelism, N_SHARDS),
+    )
     part = (
-        d.select("doc_id", "source", h.alias("h"))
-        .repartitionByRange(n_part, "h", "doc_id")
+        keyed.repartitionByRange(n_part, "h", "doc_id")
         .sortWithinPartitions("h", "doc_id")
         .withColumn("pid", F.spark_partition_id())
         # pin the partitioning so the count pass and the assign pass

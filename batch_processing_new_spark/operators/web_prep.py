@@ -25,7 +25,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from batch_processing_new_spark.registry import query
-from batch_processing_new_spark.sources.readers import fan_out, load_table
+from batch_processing_new_spark.sources.readers import (
+    fan_out,
+    load_table,
+    pin_before_sort,
+)
 
 # --------------------------------------------------- URL canonicalize
 
@@ -133,8 +137,12 @@ def q139_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") % 3).cast("string"),
     )
     u = d.select("doc_id", raw_url.alias("raw_url"))
-    return u.select(
-        "doc_id", canonicalize_url(F.col("raw_url")).alias("canon_url")
+    # pin the regexp-heavy canonicalization: range sampling would
+    # otherwise evaluate the whole per-URL chain twice
+    return pin_before_sort(
+        u.select(
+            "doc_id", canonicalize_url(F.col("raw_url")).alias("canon_url")
+        )
     ).orderBy("doc_id")
 
 

@@ -119,20 +119,66 @@ def with_ingest_row_id(df: DataFrame, col_name: str = "_row_id") -> DataFrame:
 
     Reference parity: the pandas integer index is the reference's row
     identity and its output-order contract (test.py:103, test.py:221).
-    ``monotonically_increasing_id`` is NOT contiguous, so we use the
-    classic two-pass ``zipWithIndex``: pass 1 counts rows per partition,
-    pass 2 assigns offsets — no global sort, no single-partition funnel,
-    scale-safe. The partition order of a fresh file scan is the file/split
-    order, which is the contract the reference relies on.
+    Two-pass zipWithIndex SHAPE, kept entirely in the JVM: pin the
+    input's partitioning (lazy localCheckpoint), count rows per
+    partition (one tiny collect of P longs), prefix-sum the offsets on
+    the driver, then ``offset[pid] + local_index`` where local_index is
+    the low 33 bits of ``monotonically_increasing_id`` (its documented
+    layout: partition id << 33 | per-partition row counter, counter
+    assigned in iteration order — the same order zipWithIndex used).
+    No global sort, no single-partition funnel, scale-safe; the offset
+    table joins back as a broadcast on the partition id, so the data
+    rows never move or cross the Python boundary. The previous
+    implementation was ``RDD.zipWithIndex`` + ``createDataFrame``,
+    which pickled EVERY ROW out to Python workers and parsed it back —
+    two full non-Arrow serialization passes that dominate the
+    enrichment pipeline's non-LLM cost at any scale. Ids are identical:
+    both schemes number partitions in index order and rows in
+    iteration order over the same pinned blocks. (Bound: 2^33 rows per
+    partition — a >1 TiB single partition would be a partitioning bug
+    long before the counter wraps.)
 
-    Cost note: this drops to the RDD API (one extra serialization round).
     Use it only when ingest-order identity is genuinely required (the
     enrichment pipeline); analytical queries should key on natural columns.
     """
     spark = df.sparkSession
-    schema = T.StructType(df.schema.fields + [T.StructField(col_name, T.LongType(), False)])
-    rdd = df.rdd.zipWithIndex().map(lambda pair: tuple(pair[0]) + (pair[1],))
-    return spark.createDataFrame(rdd, schema)
+    if col_name in df.columns:
+        raise ValueError(f"column {col_name!r} already exists")
+    pid_col, off_col = "_ingest_pid", "_ingest_offset"
+    pinned = df.withColumn(
+        pid_col, F.spark_partition_id()
+    ).localCheckpoint(eager=False)
+    counts = (
+        pinned.groupBy(pid_col).agg(F.count(F.lit(1)).alias("n")).collect()
+    )
+    offsets, acc = [], 0
+    for r in sorted(counts, key=lambda r: r[pid_col]):
+        offsets.append((r[pid_col], acc))
+        acc += r["n"]
+    if not offsets:
+        # empty input: no partitions produced rows; the join below would
+        # have an empty build side and drop nothing — short-circuit to
+        # the typed empty frame
+        return pinned.drop(pid_col).withColumn(
+            col_name, F.lit(None).cast(T.LongType())
+        ).where(F.lit(False))
+    off = spark.createDataFrame(
+        offsets,
+        T.StructType(
+            [
+                T.StructField(pid_col, T.IntegerType(), False),
+                T.StructField(off_col, T.LongType(), False),
+            ]
+        ),
+    )
+    local_idx = F.monotonically_increasing_id().bitwiseAND(
+        F.lit((1 << 33) - 1)
+    )
+    return (
+        pinned.join(F.broadcast(off), pid_col)
+        .withColumn(col_name, (F.col(off_col) + local_idx).cast(T.LongType()))
+        .drop(pid_col, off_col)
+    )
 
 
 def read_jsonl(
@@ -218,6 +264,24 @@ def fan_out(
     q113's Lloyd passes run ~35 percent faster at 128 KiB/task than at
     the 32 KiB text default; the text band inverts).
     """
+    target = adaptive_width(df, multiple=multiple, task_bytes=task_bytes)
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
+def adaptive_width(
+    df: DataFrame,
+    multiple: int = 1,
+    task_bytes: int | None = None,
+    floor: int = 1,
+) -> int:
+    """Data-derived partition count: ``ceil(estimated plan bytes /
+    task_bytes)`` clamped to ``[floor, defaultParallelism * multiple]``.
+    Shared by fan_out and the explicit repartition sites (q112's range
+    shard) so every small-input width decision uses one rule. Falls
+    back to the core-count cap when Catalyst has no estimate (RDD-backed
+    plans report Long.Max)."""
     sc = df.sparkSession.sparkContext
     cap = sc.defaultParallelism * multiple
     per_task = task_bytes or FANOUT_TASK_BYTES
@@ -225,13 +289,9 @@ def fan_out(
         est = int(str(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()))
     except Exception:
         est = -1
-    if est < 0:
-        target = cap  # no estimate (e.g. RDD-backed plan): previous behavior
-    else:
-        target = max(1, min(cap, -(-est // per_task)))
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
-    return df
+    if est < 0 or est >= (1 << 62):
+        return max(floor, cap)  # no/degenerate estimate: previous behavior
+    return max(floor, min(cap, -(-est // per_task)))
 
 
 #: Python-kernel fan_out slice (see fan_out docstring): coarser than the
