@@ -224,7 +224,7 @@ def _signature(vec: Column, planes: list[list[float]]) -> Column:
             F.aggregate(
                 F.zip_with(
                     vec,
-                    F.array(*[F.lit(w) for w in plane]),
+                    _const_vector([float(w) for w in plane]),
                     lambda x, y: x * y,
                 ),
                 F.lit(0.0),
@@ -475,10 +475,15 @@ IVF_NPROBE = 4   # cells probed per query: the recall/cost dial
 
 def _dist2_to(centroid: list[float], vec: Column) -> Column:
     """Squared L2 distance to a constant centroid, JVM-side."""
+    # ONE array literal per centroid (_const_vector), not dim F.lit
+    # calls wrapped in F.array: the element-wise form cost a py4j round
+    # trip per element — with cells x dim x 3 call sites, plan
+    # CONSTRUCTION dominated q57's wall (measured 6.1 s build vs 1.0 s
+    # execute at sf0.01; same Literal array<double> either way)
     return F.aggregate(
         F.zip_with(
             vec,
-            F.array(*[F.lit(float(x)) for x in centroid]),
+            _const_vector([float(x) for x in centroid]),
             lambda a, b: (a - b) * (a - b),
         ),
         F.lit(0.0),
@@ -486,16 +491,52 @@ def _dist2_to(centroid: list[float], vec: Column) -> Column:
     )
 
 
+def _const_vector(values: list[float]) -> Column:
+    """array<double> literal in ONE py4j call via F.expr: F.lit(list)
+    converts element-by-element over py4j (~0.7 s for a 16x64 matrix,
+    measured), while a parsed SQL string is one round trip. ``repr``
+    round-trips every finite double exactly and the ``D`` suffix pins
+    the SQL literal type to DOUBLE, so the resulting Literal is
+    bit-identical to the element-wise form (asserted in
+    tests/test_similarity.py::test_const_matrix_literal_bits)."""
+    return F.expr("array(" + ",".join(f"{x!r}D" for x in values) + ")")
+
+
+def _const_matrix(rows: list[list[float]]) -> Column:
+    """array<array<double>> literal in one py4j call (see _const_vector)."""
+    inner = ",".join(
+        "array(" + ",".join(f"{float(x)!r}D" for x in r) + ")" for r in rows
+    )
+    return F.expr(f"array({inner})")
+
+
 def _nearest_cells(vec: Column, centroids: list[list[float]], n: int) -> Column:
     """Array of the n nearest centroid ids (struct array_sort: Spark
-    orders struct arrays field-by-field, so (dist, cid) sorts by dist)."""
-    scored = F.array(
-        *[
-            F.struct(
-                F.round(_dist2_to(c, vec), 9).alias("d"), F.lit(i).alias("cid")
-            )
-            for i, c in enumerate(centroids)
-        ]
+    orders struct arrays field-by-field, so (dist, cid) sorts by dist).
+
+    Built as ONE indexed ``transform`` over a single nested
+    array<array<double>> literal instead of ``cells`` separately-unrolled
+    fold expressions: the unrolled form produced a plan tree of
+    cells x dim literal nodes that every eager DataFrame analysis
+    re-walked — q57's plan CONSTRUCTION measured 6.1 s against 1.0 s of
+    execution at sf0.01. The per-cell arithmetic is unchanged (same
+    zip_with fold in the same order, same round(9), same (d, cid) sort),
+    so assignments are bit-identical; the lambda's index argument is the
+    cid the unrolled form spelled as a literal."""
+    C = _const_matrix(centroids)
+    scored = F.transform(
+        C,
+        lambda c, i: F.struct(
+            F.round(
+                F.aggregate(
+                    F.zip_with(vec, c, lambda a, b: (a - b) * (a - b)),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ),
+                9,
+            ).alias("d"),
+            i.alias("cid"),
+        ),
     )
     ranked = F.slice(F.array_sort(scored), 1, n)
     return F.transform(ranked, lambda s: s["cid"])

@@ -141,3 +141,42 @@ def test_nearest_cells_np_matches_expression_version(spark):
     )
     bad = both.where(F.col("expr") != F.col("np")).count()
     assert bad == 0
+
+
+def test_const_matrix_literal_bits(spark):
+    """_const_vector/_const_matrix (one-py4j-call F.expr literals) must
+    be BIT-identical to the element-wise F.lit construction they
+    replaced: repr() round-trips every finite double and the D suffix
+    pins the SQL type, so the Literal values — including trained IVF
+    centroid means and md5-derived hyperplane coords — may not differ
+    in a single ulp."""
+    from pyspark.sql import functions as F
+
+    from batch_processing_new_spark.operators.similarity import (
+        _const_matrix,
+        _const_vector,
+        _hyperplanes,
+        train_ivf_centroids,
+    )
+    from batch_processing_new_spark.sources.readers import load_vectors
+    from tests.conftest import SF_CORRECT
+
+    mats = [
+        _hyperplanes(12),
+        train_ivf_centroids(load_vectors(spark, SF_CORRECT), exact_fold=True),
+        [[0.1, -0.0, 1e-308, 2.5e17, -3.123456789012345e-5]],
+    ]
+    for mat in mats:
+        row = spark.range(1).select(
+            _const_matrix(mat).alias("m"),
+            F.array(
+                *[F.array(*[F.lit(float(x)) for x in r]) for r in mat]
+            ).alias("ref"),
+        ).collect()[0]
+        got = [[v.hex() for v in r] for r in row.m]
+        want = [[v.hex() for v in r] for r in row.ref]
+        assert got == want
+        vec = spark.range(1).select(
+            _const_vector([float(x) for x in mat[0]]).alias("v")
+        ).collect()[0].v
+        assert [v.hex() for v in vec] == want[0]
