@@ -42,6 +42,29 @@ def tokens(col: Column) -> Column:
     return F.split(F.trim(col), " ")
 
 
+def tokens_spark_sql(expr: str) -> str:
+    """Spark-SQL twin of :func:`tokens` — the same expression as ONE
+    parsed string. Hot constructors use this because every Column-
+    algebra call is a py4j round trip plus an eager re-analysis
+    (measured round 12: ~1-6 ms per call on the bench driver), while a
+    parsed string costs one. Parity with the Column form is asserted in
+    tests/test_text_funcs_sql_twins.py."""
+    return f"split(trim({expr}), ' ')"
+
+
+def shingles_of_spark_sql(arr_expr: str, n: int = 3) -> str:
+    """Spark-SQL twin of :func:`shingles_of` (same tree, one parse).
+
+    ``arr_expr`` must be a simple column reference: an embedded
+    expression would be re-evaluated per element inside the lambda
+    (the shingles_of docstring's O(len^2) trap)."""
+    return (
+        f"array_distinct(transform("
+        f"sequence(1, greatest(size({arr_expr}) - {n - 1}, 1)), "
+        f"i -> concat_ws(' ', slice({arr_expr}, i, {n}))))"
+    )
+
+
 _ASCII_UPPER = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
 _ASCII_LOWER = "abcdefghijklmnopqrstuvwxyz"
 

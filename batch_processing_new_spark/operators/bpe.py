@@ -84,6 +84,28 @@ def _apply_merge(syms: Column, left: str, right: str) -> Column:
     )
 
 
+def _apply_merge_guarded(syms: Column, left: str, right: str) -> Column:
+    """_apply_merge behind two ``array_contains`` probes: a word that
+    lacks either symbol cannot contain the adjacent pair and passes
+    through UNTOUCHED, skipping the fold's O(len) array rebuild (each
+    fold step copies the accumulator). Value-identical everywhere: when
+    both symbols are present the fold runs exactly as before, and for a
+    word containing both but never adjacently the unguarded fold
+    rebuilt an EQUAL array anyway (pinned against the pure-Python
+    reference in tests/test_bpe.py). Effectiveness grows with merge
+    rank — later merges pair multi-char symbols most words lack.
+
+    ONLY for call sites where ``syms`` is a plain column reference
+    (learn_bpe's per-round application over the checkpointed state):
+    the guard references ``syms`` four times, so composing it the way
+    ``segment`` chains folds would grow the expression tree 4^n-fold.
+    """
+    return F.when(
+        F.array_contains(syms, left) & F.array_contains(syms, right),
+        _apply_merge(syms, left, right),
+    ).otherwise(syms)
+
+
 def learn_bpe(
     words: DataFrame, n_merges: int = N_MERGES
 ) -> list[tuple[int, str, str, int]]:
@@ -108,7 +130,7 @@ def learn_bpe(
         l, r, pc = top[0]["l"], top[0]["r"], int(top[0]["pc"])
         merges.append((rank, l, r, pc))
         state = state.select(
-            _apply_merge(F.col("syms"), l, r).alias("syms"), "cnt"
+            _apply_merge_guarded(F.col("syms"), l, r).alias("syms"), "cnt"
         ).localCheckpoint(eager=False)
     return merges
 

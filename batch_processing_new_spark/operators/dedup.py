@@ -268,11 +268,14 @@ def _minhash_wide(
     base provides. a*h fits signed 64-bit since both factors < 2^31.
     """
     params = _universal_params(num_hashes)
+    # expr strings, not Column algebra: the k affine mixes cost k x ~6
+    # py4j round trips as Column ops vs k one-shot parses (the r11 q57
+    # _const_matrix finding, applied to the signature constructor)
     base = docs.select("doc_id", F.explode(elements).alias("e")).select(
-        "doc_id", F.pmod(F.xxhash64(F.col("e")), F.lit(MERSENNE31)).alias("h")
+        "doc_id", F.expr(f"pmod(xxhash64(e), {MERSENNE31}) AS h")
     )
     aggs = [
-        F.min((F.lit(a) * F.col("h") + F.lit(b)) % MERSENNE31).alias(f"m{i}")
+        F.expr(f"min(({a} * h + {b}) % {MERSENNE31}) AS m{i}")
         for i, (a, b) in enumerate(params)
     ]
     return base.groupBy("doc_id").agg(*aggs)
@@ -291,14 +294,14 @@ def _shingle_sets(docs: DataFrame) -> DataFrame:
     every empty-text doc at Jaccard 1), while DuckDB's NULL-propagating
     ``greatest`` drops them — tools/null_text_sweep.py finding."""
     from batch_processing_new_spark.functions.text_funcs import (
-        shingles_of,
-        tokens,
+        shingles_of_spark_sql,
+        tokens_spark_sql,
     )
 
     return (
         fan_out(docs.select("doc_id", "text").where(F.col("text").isNotNull()))
-        .select("doc_id", tokens(F.col("text")).alias("_toks"))
-        .select("doc_id", shingles_of(F.col("_toks")).alias("toks"))
+        .selectExpr("doc_id", f"{tokens_spark_sql('text')} AS _toks")
+        .selectExpr("doc_id", f"{shingles_of_spark_sql('_toks')} AS toks")
         .localCheckpoint(eager=False)
     )
 
@@ -313,20 +316,20 @@ def _verify_candidates(
     the rounded value is output-only. Shared by both LSH variants and
     consistent with the q106 composed-pipeline oracle, which also
     compares unrounded."""
-    ta = toksets.select(
-        F.col("doc_id").alias("id_a"), F.col("toks").alias("toks_a")
-    )
-    tb = toksets.select(
-        F.col("doc_id").alias("id_b"), F.col("toks").alias("toks_b")
-    )
-    inter = F.size(F.array_intersect("toks_a", "toks_b"))
-    union = F.size(F.array_union("toks_a", "toks_b"))
+    ta = toksets.selectExpr("doc_id AS id_a", "toks AS toks_a")
+    tb = toksets.selectExpr("doc_id AS id_b", "toks AS toks_b")
     return (
         candidates.join(ta, "id_a")
         .join(tb, "id_b")
-        .withColumn("_j", inter / union)
-        .where(F.col("_j") >= threshold)
-        .select("id_a", "id_b", F.round("_j", 6).alias("jaccard"))
+        .withColumn(
+            "_j",
+            F.expr(
+                "size(array_intersect(toks_a, toks_b))"
+                " / size(array_union(toks_a, toks_b))"
+            ),
+        )
+        .where(F.expr(f"_j >= {threshold!r}D"))
+        .selectExpr("id_a", "id_b", "round(_j, 6) AS jaccard")
     )
 
 
@@ -337,11 +340,12 @@ def _band_self_join(bands: DataFrame) -> DataFrame:
     return (
         a.join(
             b,
-            (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.band_hash") == F.col("b.band_hash"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            F.expr(
+                "a.band_id = b.band_id AND a.band_hash = b.band_hash"
+                " AND a.doc_id < b.doc_id"
+            ),
         )
-        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .selectExpr("a.doc_id AS id_a", "b.doc_id AS id_b")
         .distinct()
     )
 
@@ -382,20 +386,17 @@ def minhash_lsh_pairs(
     # into one bucket and quietly admit extra candidates.
     n_bands = num_hashes // band_size
     band_cols = [
-        F.md5(
-            F.concat_ws(
-                ",",
-                *[
-                    F.col(f"m{b * band_size + j}").cast("string")
-                    for j in range(band_size)
-                ],
-            )
-        ).alias(f"bh{b}")
+        "md5(concat_ws(',', "
+        + ", ".join(
+            f"CAST(m{b * band_size + j} AS STRING)"
+            for j in range(band_size)
+        )
+        + f")) AS bh{b}"
         for b in range(n_bands)
     ]
     stack_args = ", ".join(f"{b}, bh{b}" for b in range(n_bands))
     bands = (
-        wide.select("doc_id", *band_cols)
+        wide.selectExpr("doc_id", *band_cols)
         .selectExpr(
             "doc_id", f"stack({n_bands}, {stack_args}) AS (band_id, band_hash)"
         )

@@ -26,7 +26,10 @@ from batch_processing_new_spark.operators.relational import (
 )
 from batch_processing_new_spark.functions.timekit import epoch_micros
 from batch_processing_new_spark.registry import query
-from batch_processing_new_spark.sources.readers import load_table
+from batch_processing_new_spark.sources.readers import (
+    load_table,
+    pin_before_sort,
+)
 
 
 # ------------------------------------------------- correlated EXISTS
@@ -935,7 +938,11 @@ def q76_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("source").alias("source_b"),
         F.col("head").alias("head_b"),
     )
-    return (
+    # pin ahead of the presentation sort: the O(pairs) levenshtein
+    # chain is the expensive work here, and the range sampling pass
+    # otherwise executes it twice (r12 pin audit, FLAG-scan; the only
+    # flagged JVM chain whose per-row cost rivals a Python pass)
+    return pin_before_sort(
         a.join(
             b,
             (F.col("source") == F.col("source_b"))
@@ -944,8 +951,7 @@ def q76_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("edit_dist", F.levenshtein("head_a", "head_b"))
         .where(F.col("edit_dist") <= 20)
         .select("id_a", "id_b", "edit_dist")
-        .orderBy("id_a", "id_b")
-    )
+    ).orderBy("id_a", "id_b")
 
 
 # ------------------------------------------------------------ histogram

@@ -473,8 +473,13 @@ _CAL_BUCKETS = 10
 def _cls_p_good(text_col: Column) -> Column:
     """q142's classifier probability as a reusable expression."""
     weights = _weights()
-    wmap = F.create_map(
-        *[F.lit(x) for j, w in enumerate(weights) for x in (j, float(w))]
+    # one typed two-array literal instead of 2 x CLS_DIM F.lit round
+    # trips (r12 construction finding); cast pins the key type to the
+    # int the create_map form produced, and both forms constant-fold
+    # to the identical Literal map
+    wmap = F.map_from_arrays(
+        F.lit(list(range(len(weights)))).cast("array<int>"),
+        F.lit([float(w) for w in weights]),
     )
     dot = F.aggregate(
         F.transform(

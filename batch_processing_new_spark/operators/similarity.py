@@ -23,6 +23,8 @@ Scale notes:
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession
@@ -499,11 +501,24 @@ def _const_vector(values: list[float]) -> Column:
     the SQL literal type to DOUBLE, so the resulting Literal is
     bit-identical to the element-wise form (asserted in
     tests/test_similarity.py::test_const_matrix_literal_bits)."""
+    for x in values:
+        # repr(inf)/repr(nan) render as 'infD'/'nanD' — an unresolved
+        # identifier at analysis, surfacing far from the cause (ADVICE
+        # r11). Centroids are trained values; fail HERE, by name.
+        if not math.isfinite(x):
+            raise ValueError(f"_const_vector: non-finite element {x!r}")
     return F.expr("array(" + ",".join(f"{x!r}D" for x in values) + ")")
 
 
 def _const_matrix(rows: list[list[float]]) -> Column:
-    """array<array<double>> literal in one py4j call (see _const_vector)."""
+    """array<array<double>> literal in one py4j call (see _const_vector).
+    Same isfinite guard as _const_vector, same rationale."""
+    for r in rows:
+        for x in r:
+            if not math.isfinite(float(x)):
+                raise ValueError(
+                    f"_const_matrix: non-finite element {x!r}"
+                )
     inner = ",".join(
         "array(" + ",".join(f"{float(x)!r}D" for x in r) + ")" for r in rows
     )

@@ -455,12 +455,12 @@ def q99_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     unk_count = n_total - sum(r.c for r in top)
     import math
 
-    nlp_map = F.create_map(
-        *[
-            F.lit(x)
-            for r in top
-            for x in (r.t, -math.log(r.c / n_total))
-        ]
+    # one typed two-array literal, not 2K F.lit() calls: each lit is a
+    # py4j round trip and the map is constant-folded identically either
+    # way (Literal arrays -> foldable map_from_arrays -> same map)
+    nlp_map = F.map_from_arrays(
+        F.lit([r.t for r in top]),
+        F.lit([-math.log(r.c / n_total) for r in top]),
     )
     unk_nlp = (
         F.lit(-math.log(unk_count / n_total))
@@ -864,8 +864,15 @@ def q127_byte_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         # Empty documents are dropped BEFORE the kernel: the oracle's
         # unnest(range(1, length+1)) emits no rows for length 0, and an
         # unguarded bincount/len(b) would divide by zero on them.
-        fan_out(d.select("doc_id", "text").where(F.length("text") > 0))
-        .mapInArrow(run, schema="doc_id bigint, n_bytes int, entropy_bits double")
+        # pin the Arrow kernel ahead of the presentation sort: the
+        # range sampling pass otherwise runs the whole mapInArrow
+        # entropy pass twice (r12 pin audit, FLAG-python)
+        pin_before_sort(
+            fan_out(d.select("doc_id", "text").where(F.length("text") > 0))
+            .mapInArrow(
+                run, schema="doc_id bigint, n_bytes int, entropy_bits double"
+            )
+        )
         .orderBy("doc_id")
     )
 
@@ -1019,12 +1026,16 @@ def q138_unicode_nfc(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = fan_out(d.select("doc_id", raw.alias("raw"))).select(
         "doc_id", "raw", nfc("raw").alias("text_nfc")
     )
-    return out.select(
-        "doc_id",
-        "text_nfc",
-        F.length("raw").alias("n_raw"),
-        F.length("text_nfc").alias("n_nfc"),
-        (F.col("raw") != F.col("text_nfc")).alias("changed"),
+    # pin the Arrow normalize pass ahead of the presentation sort: the
+    # range sampling otherwise runs the pandas UDF twice (r12 pin audit)
+    return pin_before_sort(
+        out.select(
+            "doc_id",
+            "text_nfc",
+            F.length("raw").alias("n_raw"),
+            F.length("text_nfc").alias("n_nfc"),
+            (F.col("raw") != F.col("text_nfc")).alias("changed"),
+        )
     ).orderBy("doc_id")
 
 

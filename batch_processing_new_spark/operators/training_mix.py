@@ -371,7 +371,10 @@ def q96_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     linear, so it IS SQL-expressible after all; upgraded from the
     original rows-only contract)."""
     d = load_table(spark, sf_dir, "documents")
-    return pack_sequences(d).orderBy("doc_id")
+    # pin the per-shard applyInPandas packing pass ahead of the
+    # presentation sort: the range sampling otherwise dispatches every
+    # per-shard Python call twice (r12 pin audit, FLAG-python)
+    return pin_before_sort(pack_sequences(d)).orderBy("doc_id")
 
 
 DOMAIN_CAP = 15  # max documents any one source may contribute
@@ -463,11 +466,7 @@ def q112_seeded_shuffle_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
     ordered range partitions IS the total (h, doc_id) order, wherever
     the range boundaries happen to fall.
     """
-    import numpy as np
-
-    from batch_processing_new_spark.shipping import ensure_package_on_executors
-
-    ensure_package_on_executors(spark)
+    from pyspark.sql import types as T
 
     d = load_table(spark, sf_dir, "documents")
     h = salted_hash60("shuffle", F.col("doc_id"))
@@ -475,8 +474,7 @@ def q112_seeded_shuffle_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # data-sized range width (adaptive_width): pos is the TOTAL
     # (h, doc_id) order, so shard assignment is width-independent —
     # width only sets parallelism, and core-count ranges over a tiny
-    # input pay ~cores x the per-task overhead (the fan_out finding);
-    # coarse Python slices because the offset pass is mapInPandas.
+    # input pay ~cores x the per-task overhead (the fan_out finding).
     # Cap stays the old max(cores, N_SHARDS) so large inputs keep
     # full-width ranges.
     n_part = min(
@@ -495,36 +493,49 @@ def q112_seeded_shuffle_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
         r.pid: r.n
         for r in part.groupBy("pid").agg(F.count(F.lit(1)).alias("n")).collect()
     }
-    offsets, acc = {}, 0
+    offsets, acc = [], 0
     for pid in sorted(counts):
-        offsets[pid] = acc
-        acc += counts[pid]
-
-    def assign(batches):
-        seen = 0
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            base = offsets[int(pdf["pid"].iloc[0])]
-            pos = base + seen + np.arange(len(pdf), dtype=np.int64)
-            seen += len(pdf)
-            yield pd.DataFrame(
-                {
-                    "doc_id": pdf["doc_id"],
-                    "source": pdf["source"],
-                    "pos": pos,
-                    "shard": pos % N_SHARDS,
-                }
+        if counts[pid] >= (1 << 33):
+            raise ValueError(
+                f"q112: range partition {pid} holds {counts[pid]} rows "
+                "(>= 2^33); raise the partition width"
             )
-
-    # pin the Arrow assign pass: the final sort's range sampling would
-    # otherwise run the whole mapInPandas offset pass twice
-    return pin_before_sort(
-        part.mapInPandas(
-            assign,
-            schema="doc_id bigint, source string, pos bigint, shard bigint",
+        offsets.append((pid, acc))
+        acc += counts[pid]
+    off = spark.createDataFrame(
+        offsets,
+        T.StructType(
+            [
+                T.StructField("pid", T.IntegerType(), False),
+                T.StructField("_off", T.LongType(), False),
+            ]
+        ),
+    )
+    # JVM-only offset assign (the with_ingest_row_id pattern, r11):
+    # pos = offset[pid] + per-partition local index, where the local
+    # index is the low 33 bits of monotonically_increasing_id evaluated
+    # over the PINNED blocks (counter in iteration order — exactly the
+    # row order the previous mapInPandas pass walked). Replaces the
+    # Arrow mapInPandas offset pass: no Python workers, no Arrow
+    # round-trip, no package shipping — the whole assign is one narrow
+    # JVM projection plus a broadcast join of P offset rows. The final
+    # sort's range sampling re-runs only this cheap chain over the
+    # checkpointed blocks, so the mapInPandas-era pin is unnecessary.
+    local_idx = F.monotonically_increasing_id().bitwiseAND(
+        F.lit((1 << 33) - 1)
+    )
+    pos = (F.col("_off") + F.col("_li")).cast(T.LongType())
+    return (
+        part.withColumn("_li", local_idx)
+        .join(F.broadcast(off), "pid")
+        .select(
+            "doc_id",
+            "source",
+            pos.alias("pos"),
+            (pos % N_SHARDS).cast(T.LongType()).alias("shard"),
         )
-    ).orderBy("pos")
+        .orderBy("pos")
+    )
 
 
 _TEMP_ALPHA = 0.3     # multilingual-balancing temperature (alpha < 1 upsamples tails)

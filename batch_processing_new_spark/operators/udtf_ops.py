@@ -62,15 +62,22 @@ def q131_udtf_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     chunking on the q60 explode/slice path.
     """
     from batch_processing_new_spark.shipping import ensure_package_on_executors
-    from batch_processing_new_spark.sources.readers import load_table
+    from batch_processing_new_spark.sources.readers import (
+        load_table,
+        pin_before_sort,
+    )
 
     ensure_package_on_executors(spark)
     spark.udtf.register("chunk_doc", ChunkDocUDTF)
     load_table(spark, sf_dir, "documents").select(
         "doc_id", "text"
     ).createOrReplaceTempView("q131_docs")
-    return spark.sql(
-        "SELECT c.doc_id, c.chunk_id, c.n_tokens "
-        "FROM q131_docs, LATERAL chunk_doc(doc_id, text) c "
-        "ORDER BY c.doc_id, c.chunk_id"
-    )
+    # sort applied OUTSIDE the SQL so the row-at-a-time UDTF pass can
+    # be pinned: unpinned, the range sampling ran it twice (r12 pin
+    # audit, FLAG-python)
+    return pin_before_sort(
+        spark.sql(
+            "SELECT c.doc_id, c.chunk_id, c.n_tokens "
+            "FROM q131_docs, LATERAL chunk_doc(doc_id, text) c"
+        )
+    ).orderBy("doc_id", "chunk_id")

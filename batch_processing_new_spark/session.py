@@ -50,6 +50,17 @@ def get_spark(
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # PySpark 4's DataFrame debugging captures the Python call site
+        # for EVERY DataFrame/Column API call (errors/utils.py
+        # _with_origin): a conf read + a stack walk + two extra py4j
+        # round trips per call, only to decorate error messages with
+        # origin lines. Measured round 12: F.col() costs 3.6 ms with it
+        # on, 0.6 ms off; expression-heavy query CONSTRUCTION (inside
+        # the timed region of any driver) is 2-5x slower with it on.
+        # Plan-construction time is real driver latency at any scale
+        # (optimization guide §7.3), so production keeps this off and
+        # turns it on only when chasing a specific analysis error.
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
         .config("spark.ui.enabled", "true" if ui else "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
     )

@@ -29,6 +29,33 @@ TABLES = [
 ]
 
 
+#: Inferred-schema cache per (sf_dir, table): the catalog this engine
+#: does not otherwise have. ``spark.read.parquet`` re-infers the schema
+#: from file footers on EVERY call (~80 ms of driver time per call on
+#: this host, measured round 12); with 200+ load_table call sites that
+#: is pure per-query plan-construction overhead. Pinning the schema
+#: after the first inference (``spark.read.schema(s).parquet`` — 15 ms)
+#: is exactly the "pin the merged schema in a catalog and pass it
+#: explicitly" move the 100 TB notes below prescribe. Process-local and
+#: derived at runtime from the same files — no cross-run state; each
+#: call still returns a FRESH DataFrame (fresh scan relation), so plan
+#: shapes, self-join resolution, and results are unchanged.
+_SCHEMA_CACHE: dict[tuple[str, str], T.StructType] = {}
+
+
+def _read_parquet_pinned(
+    spark: SparkSession, sf_dir: str, name: str
+) -> DataFrame:
+    key = (sf_dir, name)
+    path = f"{sf_dir}/{name}.parquet"
+    sch = _SCHEMA_CACHE.get(key)
+    if sch is None:
+        df = spark.read.parquet(path)
+        _SCHEMA_CACHE[key] = df.schema
+        return df
+    return spark.read.schema(sch).parquet(path)
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Columnar parquet scan — Catalyst pushes filters/pruning into it.
 
@@ -49,9 +76,9 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # (raw int64 instead of an error); other fixture tables have
         # none, and _normalize_ts handles both decodings.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        df = _read_parquet_pinned(spark, sf_dir, name)
         return df.withColumn("ts", _normalize_ts(df.schema["ts"].dataType))
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    return _read_parquet_pinned(spark, sf_dir, name)
 
 
 def _normalize_ts(dtype: T.DataType):
@@ -153,14 +180,24 @@ def with_ingest_row_id(df: DataFrame, col_name: str = "_row_id") -> DataFrame:
     )
     offsets, acc = [], 0
     for r in sorted(counts, key=lambda r: r[pid_col]):
+        if r["n"] >= (1 << 33):
+            # the low-33-bit local index would bleed into the partition
+            # bits and ids silently corrupt — fail loud instead (the
+            # counts are already on the driver, the check is free)
+            raise ValueError(
+                f"with_ingest_row_id: partition {r[pid_col]} holds "
+                f"{r['n']} rows (>= 2^33); repartition the input first"
+            )
         offsets.append((r[pid_col], acc))
         acc += r["n"]
     if not offsets:
         # empty input: no partitions produced rows; the join below would
-        # have an empty build side and drop nothing — short-circuit to
-        # the typed empty frame
+        # have an empty build side and drop nothing — short-circuit to a
+        # typed empty frame with the SAME non-null id field the non-empty
+        # path produces (schema-sensitive consumers — strict unionByName,
+        # writers — must not see nullability diverge on emptiness)
         return pinned.drop(pid_col).withColumn(
-            col_name, F.lit(None).cast(T.LongType())
+            col_name, F.lit(0).cast(T.LongType())
         ).where(F.lit(False))
     off = spark.createDataFrame(
         offsets,
@@ -171,13 +208,21 @@ def with_ingest_row_id(df: DataFrame, col_name: str = "_row_id") -> DataFrame:
             ]
         ),
     )
-    local_idx = F.monotonically_increasing_id().bitwiseAND(
-        F.lit((1 << 33) - 1)
+    # local index stamped BEFORE the join: evaluated directly over the
+    # pinned blocks, so it cannot depend on the join preserving
+    # stream-side row order (it does for a broadcast hash join, but the
+    # id must not rest on that)
+    idx_col = "_ingest_local_idx"
+    indexed = pinned.withColumn(
+        idx_col,
+        F.monotonically_increasing_id().bitwiseAND(F.lit((1 << 33) - 1)),
     )
     return (
-        pinned.join(F.broadcast(off), pid_col)
-        .withColumn(col_name, (F.col(off_col) + local_idx).cast(T.LongType()))
-        .drop(pid_col, off_col)
+        indexed.join(F.broadcast(off), pid_col)
+        .withColumn(
+            col_name, (F.col(off_col) + F.col(idx_col)).cast(T.LongType())
+        )
+        .drop(pid_col, off_col, idx_col)
     )
 
 
@@ -230,6 +275,30 @@ FANOUT_TASK_BYTES = int(
 )
 
 
+#: Width-decision cache keyed on the ANALYZED plan's semanticHash (plus
+#: the sizing knobs): fan_out / adaptive_width probe the Catalyst size
+#: estimate and the source RDD's partition count, which costs a full
+#: optimize + physical-planning pass per call — per-query CONSTRUCTION
+#: latency paid by every driver on every run (measured round 12:
+#: ~30-90 ms per fan_out site on the bench host). The analyzed plan
+#: already exists (Datasets analyze eagerly), so the hash is one cheap
+#: JVM call, and two semantically-equal plans get equal widths — the
+#: correct outcome, since values are width-independent everywhere by
+#: the engine's determinism discipline (tools/determinism_check.py).
+#: Caches a partitioning DECISION, never data or results; process-local.
+_WIDTH_CACHE: dict[tuple, tuple[int, int]] = {}
+
+
+def _plan_key(df: DataFrame, *knobs) -> tuple | None:
+    try:
+        return (
+            df._jdf.queryExecution().analyzed().semanticHash(),
+            *knobs,
+        )
+    except Exception:
+        return None  # non-classic backend: fall back to live probing
+
+
 def fan_out(
     df: DataFrame, multiple: int = 1, task_bytes: int | None = None
 ) -> DataFrame:
@@ -264,8 +333,23 @@ def fan_out(
     q113's Lloyd passes run ~35 percent faster at 128 KiB/task than at
     the 32 KiB text default; the text band inverts).
     """
-    target = adaptive_width(df, multiple=multiple, task_bytes=task_bytes)
-    if df.rdd.getNumPartitions() < target:
+    key = _plan_key(
+        df,
+        "fan_out",
+        df.sparkSession.sparkContext.defaultParallelism * multiple,
+        task_bytes,
+    )
+    hit = _WIDTH_CACHE.get(key) if key is not None else None
+    if hit is None:
+        target = adaptive_width(df, multiple=multiple, task_bytes=task_bytes)
+        # _jdf.rdd(), not df.rdd: the Python RDD wrapper adds a
+        # serializer handshake on top of the same physical planning
+        src = df._jdf.rdd().getNumPartitions()
+        if key is not None:
+            _WIDTH_CACHE[key] = (target, src)
+    else:
+        target, src = hit
+    if src < target:
         return df.repartition(target)
     return df
 
@@ -285,13 +369,23 @@ def adaptive_width(
     sc = df.sparkSession.sparkContext
     cap = sc.defaultParallelism * multiple
     per_task = task_bytes or FANOUT_TASK_BYTES
+    # cap is part of the key: sessions with different core counts in
+    # one process (tests) must not share width decisions
+    key = _plan_key(df, "width", cap, per_task, floor)
+    hit = _WIDTH_CACHE.get(key) if key is not None else None
+    if hit is not None:
+        return hit[0]
     try:
         est = int(str(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()))
     except Exception:
         est = -1
     if est < 0 or est >= (1 << 62):
-        return max(floor, cap)  # no/degenerate estimate: previous behavior
-    return max(floor, min(cap, -(-est // per_task)))
+        width = max(floor, cap)  # no/degenerate estimate: previous behavior
+    else:
+        width = max(floor, min(cap, -(-est // per_task)))
+    if key is not None:
+        _WIDTH_CACHE[key] = (width, -1)
+    return width
 
 
 #: Python-kernel fan_out slice (see fan_out docstring): coarser than the

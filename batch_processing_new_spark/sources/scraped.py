@@ -35,7 +35,11 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from batch_processing_new_spark.registry import query
-from batch_processing_new_spark.sources.readers import fan_out, load_table
+from batch_processing_new_spark.sources.readers import (
+    fan_out,
+    load_table,
+    pin_before_sort,
+)
 
 # --------------------------------------------------------- HTML source
 
@@ -175,7 +179,9 @@ def q136_scraped_html(spark: SparkSession, sf_dir: str) -> DataFrame:
     # latent divergence with no meaningful parse to compare
     d = d.where(F.trim(F.col("text")) != "")
     pages = synth_html_pages(fan_out(d.select("doc_id", "source", "text")))
-    return parse_html(pages).orderBy("doc_id")
+    # pin the HTML-parser Python pass ahead of the presentation sort:
+    # the range sampling otherwise runs it twice (r12 pin audit)
+    return pin_before_sort(parse_html(pages)).orderBy("doc_id")
 
 
 # -------------------------------------------------------- tweet source

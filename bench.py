@@ -160,6 +160,40 @@ def main() -> None:
         time.sleep(0.5)
 
     total = round(sum(timings.values()), 3)
+
+    # Parallelism canary (round 12, VERDICT r11 #2): at sf0.1 every
+    # headline query is per-task-overhead-bound, so low-core/high-core
+    # ratios sit at ~1 and the harness's core honoring became
+    # unfalsifiable ("suspect_cpus_ignored"). This synthetic CPU-bound
+    # stage (pure codegen'd hash chain over spark.range, no I/O, no
+    # Python, partitions >> cores) scales with the core count by
+    # construction, so the low-core run shows ~cores ratio here if and
+    # only if the session honors $SPARK_GRAFT_CPUS. It is reported as
+    # an EXTRA queries entry but — deliberately — NOT added into
+    # "value": the headline total must stay comparable round-over-round
+    # (the canary is harness evidence, not an engine query).
+    # Sizing (calibrated round 12): 384M rows x 4 chained hashes =
+    # ~0.7 s at 32 cores / ~1.6 s at 8 on the round-12 host — a 2.3x
+    # ratio against this host's measured 2.7x raw ceiling for 8->32
+    # processes (a pure-Python burn probe read 48.3 -> 132.4 M iters/s,
+    # i.e. the box itself does not deliver 4x), while every
+    # overhead-bound headline query reads ~1.0x. That contrast is the
+    # evidence the driver's scaling check needs.
+    def _canary(sp) -> float:
+        n_part = sp.sparkContext.defaultParallelism * 2
+        df = sp.range(0, 384_000_000, 1, n_part).selectExpr(
+            "xxhash64(xxhash64(xxhash64(xxhash64(id)))) AS h"
+        )
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            df.write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        return round(best, 3)
+
+    _canary(spark)  # untimed JIT warm-up, like every query
+    timings["c00_parallelism_canary"] = _canary(spark)
+
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(
         json.dumps(
@@ -169,6 +203,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "cpus": spark.sparkContext.defaultParallelism,
+                "master": spark.sparkContext.master,
             }
         )
     )
