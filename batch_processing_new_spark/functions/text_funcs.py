@@ -48,7 +48,7 @@ def tokens_spark_sql(expr: str) -> str:
     algebra call is a py4j round trip plus an eager re-analysis
     (measured round 12: ~1-6 ms per call on the bench driver), while a
     parsed string costs one. Parity with the Column form is asserted in
-    tests/test_text_funcs_sql_twins.py."""
+    tests/test_r12_parity.py."""
     return f"split(trim({expr}), ' ')"
 
 

@@ -84,26 +84,12 @@ def _apply_merge(syms: Column, left: str, right: str) -> Column:
     )
 
 
-def _apply_merge_guarded(syms: Column, left: str, right: str) -> Column:
-    """_apply_merge behind two ``array_contains`` probes: a word that
-    lacks either symbol cannot contain the adjacent pair and passes
-    through UNTOUCHED, skipping the fold's O(len) array rebuild (each
-    fold step copies the accumulator). Value-identical everywhere: when
-    both symbols are present the fold runs exactly as before, and for a
-    word containing both but never adjacently the unguarded fold
-    rebuilt an EQUAL array anyway (pinned against the pure-Python
-    reference in tests/test_bpe.py). Effectiveness grows with merge
-    rank — later merges pair multi-char symbols most words lack.
-
-    ONLY for call sites where ``syms`` is a plain column reference
-    (learn_bpe's per-round application over the checkpointed state):
-    the guard references ``syms`` four times, so composing it the way
-    ``segment`` chains folds would grow the expression tree 4^n-fold.
-    """
-    return F.when(
-        F.array_contains(syms, left) & F.array_contains(syms, right),
-        _apply_merge(syms, left, right),
-    ).otherwise(syms)
+# Round 12 note: an array_contains guard around the per-round fold
+# ("skip words lacking either merge symbol") was tried and REVERTED —
+# interleaved A/B at sf0.1 read neutral-to-negative (q169 guarded min
+# 2.49 s vs unguarded 2.29 s; q180 2.60 vs 2.62 — plans/r12/
+# r12_ab_bpe.json): the two probes cost about what the skipped folds
+# save, because early merges pair common characters most words contain.
 
 
 def learn_bpe(
@@ -130,7 +116,7 @@ def learn_bpe(
         l, r, pc = top[0]["l"], top[0]["r"], int(top[0]["pc"])
         merges.append((rank, l, r, pc))
         state = state.select(
-            _apply_merge_guarded(F.col("syms"), l, r).alias("syms"), "cnt"
+            _apply_merge(F.col("syms"), l, r).alias("syms"), "cnt"
         ).localCheckpoint(eager=False)
     return merges
 
